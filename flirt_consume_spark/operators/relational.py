@@ -1,0 +1,150 @@
+"""Relational core: projection, filters, joins, aggregation, set ops.
+
+Covers SURVEY.md §2.B (P1–P4), §2.C (J1–J5), §2.D (A1–A7),
+§2.G (O1–O4). Everything here is built-in Catalyst-visible
+expressions — zero UDFs — so predicate pushdown, column pruning,
+partial aggregation, broadcast selection and whole-stage codegen all
+apply untouched.
+
+Scale notes:
+- dimension joins (J1) broadcast explicitly: region/nation/customer
+  style dims stay small even at 100 TB fact scale, so the join is
+  shuffle-free on the fact side;
+- fact×fact joins (J4) are left to Catalyst/AQE — sort-merge with
+  runtime skew splitting;
+- the range join (J5) is bounded by a coarse equi bucket key so it
+  plans as a hash join on (bucket) with a residual range predicate,
+  instead of a broadcast-nested-loop over the whole fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --- P: projection / filters --------------------------------------------
+
+
+def project_rename(orders: DataFrame) -> DataFrame:
+    """P1: select / rename / computed columns.
+
+    Models the reference's raw-extract -> canonical-schema projection
+    (~50 raw CSV fields down to the engine schema, SURVEY.md §2.B P1).
+    """
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.upper(F.col("o_orderstatus")).alias("status"),
+        F.round(F.col("o_totalprice"), 2).alias("total_price"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.concat_ws("-", F.lit("PRI"), F.col("o_orderpriority")).alias("priority_tag"),
+    )
+
+
+def filter_valid(lineitem: DataFrame) -> DataFrame:
+    """P2: validity filter — the reference drops rows with missing
+    route endpoints / non-passenger service / zero seats; modeled as
+    the equivalent null/domain/positivity predicate on lineitem.
+    """
+    return lineitem.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_returnflag").isin("A", "N", "R")
+        & (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+    )
+
+
+def first_per_key(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -> DataFrame:
+    """P3/W5 core: keep exactly one row per natural key (the earliest
+    by ``order_col``, ties broken by ``tiebreak``) — the reference's
+    operating-carrier-wins codeshare dedup and Mongo upsert semantics.
+    Window-rank based so it is deterministic (dropDuplicates is not).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc(), F.col(tiebreak).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def filter_predicates(orders: DataFrame) -> DataFrame:
+    """P4: BETWEEN / IN / LIKE / CASE WHEN / null-safe predicates —
+    the simulator-style date-window filters (SURVEY.md §3.1.3).
+    """
+    return orders.filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_totalprice") >= 100000, F.lit("big"))
+        .when(F.col("o_totalprice") >= 10000, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+
+# --- J: joins -------------------------------------------------------------
+
+
+def enrich_dims(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """J1: dimension enrichment via explicit broadcast hash joins.
+
+    The reference enriches each flight with its origin and destination
+    airport documents (two lookups against a small dimension); here the
+    dims are customer -> nation -> region. ``broadcast()`` pins the
+    plan to shuffle-free hash joins on the fact side regardless of
+    autoBroadcastJoinThreshold.
+    """
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def anti_join(fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
+    """J2: report rows whose dimension key is unknown (the reference's
+    unknown-airport report)."""
+    return fact.join(F.broadcast(dim), cond, "left_anti")
+
+
+def semi_join(fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
+    """J3: keep only rows whose dimension key exists."""
+    return fact.join(F.broadcast(dim), cond, "left_semi")
+
+
+def bounded_range_join(
+    events: DataFrame,
+    orders: DataFrame,
+    bucket_seconds: int = 86400 * 7,
+) -> DataFrame:
+    """J5: range/theta join bounded by a coarse equi bucket.
+
+    Semantics: pair each event with orders whose o_orderdate falls in
+    [ts - 7d, ts]. A naive non-equi join plans as a nested-loop over
+    the cross product; instead both sides are bucketed to 7-day epochs
+    and joined on consecutive bucket pairs, which plans as a hash join
+    with a residual range filter — the strategy that survives a 100×
+    scale-up. (Used by join_range / join_asof query keys.)
+    """
+    week = F.lit(bucket_seconds)
+    ev = events.withColumn("_eb", (F.unix_timestamp("ts") / week).cast("long"))
+    # An order within [ts-7d, ts] lives in the event's bucket or the one before.
+    ev = ev.withColumn("_b", F.explode(F.array(F.col("_eb") - 1, F.col("_eb"))))
+    od = orders.withColumn(
+        "_b", (F.unix_timestamp("o_orderdate") / week).cast("long")
+    )
+    cond = (
+        (ev._b == od._b)
+        & (od.o_orderdate <= ev.ts)
+        & (od.o_orderdate >= ev.ts - F.expr("INTERVAL 7 DAYS"))
+    )
+    return ev.join(od, cond, "inner").drop("_b", "_eb")

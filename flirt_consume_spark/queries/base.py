@@ -1,0 +1,104 @@
+"""Registry plumbing + oracle hash-matching discipline helpers.
+
+The driver compares each Spark query against its DuckDB oracle by
+row-count + schema + order-insensitive value hash (SURVEY.md §5.1),
+so results must match **bit for bit**. The helpers here encode the
+discipline that makes that possible (SURVEY.md §4 hazards):
+
+- ``dsum``/``davg``: floating-point SUM is order-dependent, and Spark
+  partial aggregation visits rows in a different order than DuckDB.
+  We therefore aggregate exactly: cast each double to DECIMAL (a
+  deterministic per-value rounding both engines implement the same
+  way), sum in exact decimal arithmetic, and cast the final result
+  back to double. Bit-exact at any parallelism — no tolerance games.
+- timestamps are stringified at second/µs precision on both sides
+  (events.ts is ns in the file; both Spark and DuckDB 1.0 truncate to
+  µs, but tz-awareness differs between their client bindings, so raw
+  timestamp outputs are avoided);
+- derived integers are cast to BIGINT on both sides (DuckDB's year()
+  yields BIGINT, Spark's year() yields INT; DuckDB SUM(int) yields
+  HUGEINT — every oracle casts back to BIGINT);
+- every ranking/top-k orders by a full unique key so ties are
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    key: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(key: str, oracle: str | None = None) -> Callable:
+    """Register ``fn(spark, sf_dir) -> DataFrame`` under ``key``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[key] = QuerySpec(key, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand loader used by every query body."""
+    return load_table(spark, sf_dir, name)
+
+
+# --- exact-aggregation helpers (Spark side) ------------------------------
+
+
+def dec(col: Column | str, scale: int = 6, precision: int = 30) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent exact SUM of a double column -> double."""
+    return F.sum(dec(col, scale)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Exact-sum average: decimal SUM / COUNT, evaluated in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(dec(c, scale)).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def ts_str(col: Column | str, alias: str) -> Column:
+    """Canonical µs-precision string form of a timestamp column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(alias)
+
+
+# DuckDB-side equivalents (string templates for oracle SQL)
+def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+    )
+
+
+def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def sql_ts_str(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f') AS {alias}"

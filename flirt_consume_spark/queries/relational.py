@@ -1,0 +1,499 @@
+"""Relational query keys (SURVEY.md §2.B/C/D/G) with DuckDB oracles.
+
+Each function is the driver-facing wrapper: it composes the pure
+operators from ``operators/relational.py`` and applies the hash-match
+canonicalization rules from ``queries/base.py`` (exact decimal
+aggregation, DATE outputs, BIGINT derived ints, full-key tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flirt_consume_spark.operators import relational as R
+from flirt_consume_spark.queries.base import (
+    davg,
+    dsum,
+    query,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+# --- P: projection / filter ------------------------------------------------
+
+
+@query(
+    "project_rename",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           upper(o_orderstatus) AS status,
+           round(o_totalprice, 2) AS total_price,
+           CAST(o_orderdate AS DATE) AS order_date,
+           concat_ws('-', 'PRI', o_orderpriority) AS priority_tag
+    FROM orders
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: projection + rename + computed columns (raw extract ->
+    canonical schema, the reference's per-row normalization step)."""
+    return R.project_rename(t(spark, sf_dir, "orders"))
+
+
+@query(
+    "filter_valid",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_discount, l_returnflag, l_linestatus,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL
+      AND l_returnflag IN ('A','N','R')
+      AND l_quantity > 0 AND l_extendedprice > 0
+    """,
+)
+def filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: validity filter (missing endpoints / bad service type /
+    zero seats -> modeled on lineitem domain predicates)."""
+    return R.filter_valid(t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+@query(
+    "filter_codeshare",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def filter_codeshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: codeshare dedup — keep the operating row per natural key
+    (first event per (user_id, event_type)); deterministic rank-dedup,
+    the reference's marketing-duplicate drop."""
+    ev = R.first_per_key(
+        t(spark, sf_dir, "events"), ["user_id", "event_type"], "ts", "event_id"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CASE WHEN o_totalprice >= 100000 THEN 'big'
+                WHEN o_totalprice >= 10000 THEN 'mid'
+                ELSE 'small' END AS size_class
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND o_orderstatus IN ('O','F')
+      AND o_orderpriority LIKE '%URGENT%'
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: BETWEEN / IN / LIKE / CASE WHEN — simulator-style date-window
+    filter over the loaded data."""
+    return R.filter_predicates(t(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "size_class",
+    )
+
+
+# --- J: joins ---------------------------------------------------------------
+
+
+@query(
+    "join_enrich",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS order_cnt,
+           {sql_dsum('o_totalprice', 'revenue', 2)}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast dimension enrichment (flight×airports twice in the
+    reference; orders×customer×nation×region here) + A1 rollup."""
+    j = R.enrich_dims(
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "nation"),
+        t(spark, sf_dir, "region"),
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        dsum("o_totalprice", "revenue", 2),
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti join — entities with no match (the reference's
+    unknown-airport report)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: semi join — keep rows whose key exists on the other side."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS order_cnt,
+           {sql_dsum('o_totalprice', 'spend', 2)}
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: outer equi join (fact×dim with unmatched rows preserved);
+    SUM over an all-NULL group stays NULL on both engines."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            dsum("o_totalprice", "spend", 2),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS pair_cnt
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: range/theta join bounded by an equi key — event pairs within
+    a 10-minute window per user. The equi key (user_id) keeps this a
+    hash join with a residual range predicate, the shape that survives
+    a 100× scale-up (no nested-loop over the cross product)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a"))
+    b = ev.select("user_id", F.col("ts").alias("ts_b"), F.col("event_id").alias("id_b"))
+    pairs = a.join(b, "user_id").filter(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("pair_cnt"))
+
+
+# --- A: aggregation ---------------------------------------------------------
+
+
+@query(
+    "agg_route",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty', 2)},
+           {sql_dsum('l_extendedprice', 'sum_base_price', 2)},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 6)},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           {sql_davg('l_quantity', 'avg_qty', 2)},
+           {sql_davg('l_extendedprice', 'avg_price', 2)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship: hash group-by with multi-aggregation (TPC-H-Q1
+    shape; the reference's seats-per-route-per-month rollup). Partial
+    (map-side) aggregation + exact decimal sums -> order-independent."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty", 2),
+        dsum("l_extendedprice", "sum_base_price", 2),
+        dsum(disc_price, "sum_disc_price", 6),
+        dsum(charge, "sum_charge", 6),
+        davg("l_quantity", "avg_qty", 2),
+        davg("l_extendedprice", "avg_price", 2),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct / count-distinct per group."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: approximate count-distinct (HLL++) — the 100-TB design point
+    for cardinality. Randomized sketch => no hash-match oracle; the
+    driver records a rows-only check, and tests/test_relational.py
+    asserts <5% relative error against the exact count."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS cnt,
+           {sql_dsum('l_quantity', 'sum_qty', 2)}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: rollup with grouping id (route × month × carrier subtotal
+    reports in the reference's domain)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity", "sum_qty", 2),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS big_qty_cnt,
+           {sql_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice END',
+                     'discounted_revenue', 2)}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: filtered/conditional aggregation ('seats on direct flights
+    only')."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_qty_cnt"),
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")),
+            "discounted_revenue",
+            2,
+        ),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 6) AS med_value,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact percentiles/median (distribution reporting). Exact
+    (not approx) so the oracle hash-matches; both engines use linear
+    interpolation on the same sorted doubles."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med_value"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_set/array_agg per group, sorted + joined for a
+    deterministic scalar representation."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    )
+
+
+# --- O: sort / limit / set ops ----------------------------------------------
+
+
+@query(
+    "sort_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global total order, made hash-visible via a rank column.
+
+    Scale note: a global Window without partition keys is a
+    single-reducer pattern; at 100 TB a global rank would instead use
+    orderBy + zipWithIndex-style range partitioning or be avoided
+    entirely. Declared here for surface completeness; the bench
+    headline queries avoid global ranks.
+    """
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk")
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k with full-key tie-break — plans as
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT yr, COUNT(*) AS cnt FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders
+      WHERE year(o_orderdate) = 1996
+      UNION ALL
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders
+      WHERE year(o_orderdate) = 1997
+    ) GROUP BY yr
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: union of monthly/yearly extracts (appending consume batches,
+    schema-aligned by name)."""
+    orders = t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("bigint").alias("yr")
+    a = orders.filter(F.year("o_orderdate") == 1996).select(yr)
+    b = orders.filter(F.year("o_orderdate") == 1997).select(yr)
+    return a.unionByName(b).groupBy("yr").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "set_diff",
+    oracle="""
+    SELECT 'only_1996' AS tag, o_custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1997
+    )
+    UNION ALL
+    SELECT 'both' AS tag, o_custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1997
+    )
+    """,
+)
+def set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: intersect/except — month-over-month route-set diffing in the
+    reference's domain (customer sets across years here)."""
+    orders = t(spark, sf_dir, "orders")
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    y97 = (
+        orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    )
+    only = y96.subtract(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
+    both = y96.intersect(y97).select(F.lit("both").alias("tag"), "o_custkey")
+    return only.unionByName(both)
