@@ -1,1 +1,173 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function query keys (SURVEY.md §2.F, W1–W5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flirt_consume_spark.operators.windows import dec_wsum, keep_latest
+from flirt_consume_spark.queries.base import query, t
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal, rn,
+           rnk, drnk, CAST(nt AS BIGINT) AS nt
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             rank()       OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC) AS drnk,
+             ntile(4)     OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS nt
+      FROM customer
+    ) WHERE rn <= 10
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking family — top customers per market segment (top
+    routes per origin in the reference's domain). row_number/ntile
+    order by a full unique key; rank/dense_rank are tie-stable on the
+    semantic key alone."""
+    cust = t(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_val = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_val).alias("rnk"),
+            F.dense_rank().over(w_val).alias("drnk"),
+            F.ntile(4).over(w_unique).cast("bigint").alias("nt"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query(
+    "win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           prev_id,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_id,
+             lag(ts)       OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead — inter-event gap per user (next departure from an
+    airport in the reference's domain). Gap computed in exact epoch
+    microseconds (both engines truncate the file's ns to µs)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.lag("event_id").over(w).alias("prev_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@query(
+    "win_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS roll3,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM events
+    """,
+)
+def win_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: frame-spec aggregates — 3-row rolling sum + running total
+    per user (7-day rolling seats in the reference's domain). Exact
+    decimal sums keep the frame math order-independent."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        dec_wsum("value").over(w.rowsBetween(-2, 0)).cast("double").alias("roll3"),
+        dec_wsum("value")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "win_firstlast",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_type,
+           last_value(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_type
+    FROM events
+    """,
+)
+def win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: first/last value per partition — latest schedule version per
+    route in the reference's domain."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+@query(
+    "dedup_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: dedup-by-rank, latest-wins — the Spark re-expression of the
+    reference's Mongo upsert (one document per natural key, newest
+    version kept)."""
+    orders = t(spark, sf_dir, "orders")
+    latest = keep_latest(orders, ["o_custkey"], "o_orderdate", "o_orderkey")
+    return latest.select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
