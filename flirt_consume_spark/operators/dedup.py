@@ -1,0 +1,155 @@
+"""Deduplication operators for the training-data pipeline (L1/L2 + extras).
+
+Four tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. exact        — sha256(text) hash-groupBy; one shuffle on the hash.
+2. minhash LSH  — shingle → K md5 min-hashes → band keys → candidate
+                  pairs via an equi-join on (band, value). This IS the
+                  scale path: candidates shuffle on band keys only, no
+                  all-pairs comparison ever materializes.
+3. simhash      — 16-bit sign-of-weighted-sum fingerprint; Hamming-
+                  close fingerprints collide into the same value for
+                  near-dup clustering at one shuffle.
+4. n-gram Jaccard — exact verify step on candidate pairs.
+
+Determinism: every hash is md5/sha256 of explicit strings (no seeded
+RNG, no JVM hashCode), so results are bit-identical across engines —
+the DuckDB oracle checks the *same* construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flirt_consume_spark.operators.text import shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """L1: exact duplicate groups; canonical = lowest id (deterministic).
+    Returns one row per distinct text with its duplicate count."""
+    h = docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha"))
+    return h.groupBy("text_sha").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (doc, shingle) pairs — the unit for MinHash & Jaccard."""
+    tok_ok = docs.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= n)
+    sh = tok_ok.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> DataFrame:
+    """K independent min-hashes per doc: min(md5('<i>:' || shingle)).
+    One hash-aggregate pass over the shingle table computes all K."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the K-wide signature into `bands` keys and equi-join docs
+    sharing any band — the LSH trick that finds high-Jaccard pairs
+    without an all-pairs shuffle. Returns distinct (doc_a < doc_b)."""
+    rows = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(str(b)), F.col(f"band{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = stacked.select(F.col(id_col).alias("doc_a"), "band_key")
+    b = stacked.select(F.col(id_col).alias("doc_b"), "band_key")
+    pairs = a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b"))
+    return pairs.select("doc_a", "doc_b").distinct()
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", min_sim: float = 0.3
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle.
+    |A∩B| via self-join on shingle; |A∪B| = |A|+|B|-|A∩B|.
+    At scale, feed this LSH candidates instead of the raw self-join
+    (the join here bounds pairs to co-occurring shingles only)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= min_sim).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint (16-bit): per distinct token, a 32-bit md5
+    hash votes ±1 on each of 16 bit positions; the sign of each
+    column's total sets the bit. Near-identical token sets differ in
+    few bits. Pure relational: explode tokens × 16 bit positions,
+    two hash-aggregations — no UDF, deterministic."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    )
+    toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
+    # shiftleft/shiftright with a *column* bit count need expr form —
+    # the PySpark helpers only accept Python-int bit counts.
+    votes = toks.crossJoin(F.broadcast(bits)).select(
+        id_col,
+        "b",
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END").alias(
+            "vote"
+        ),
+    )
+    bit_sums = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("s"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
+        .cast("bigint")
+        .alias("simhash")
+    )

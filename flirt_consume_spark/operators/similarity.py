@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (J7/L3/L6).
+
+Two tiers:
+- exact brute-force cosine top-k — the baseline and the verifier;
+  dot products via zip_with + aggregate (JVM higher-order functions,
+  no UDF, no Python);
+- deterministic random-hyperplane LSH — 8 md5-derived ±1 planes bucket
+  vectors into 256 cells; neighbor search touches only the query's
+  cell. The md5 construction replaces seeded RNG so the DuckDB oracle
+  can rebuild the identical planes.
+
+Scale: brute force is O(Q·N) — fine for a broadcast query set, wrong
+for all-pairs at 100 TB; the LSH path shuffles once on bucket id and
+its per-bucket work is |bucket|², the standard ANN trade. Rank/cut
+always on ROUNDED similarity (6 dp) + id tie-break so cross-engine
+ulp noise can't reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_exact(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L3 baseline: exact cosine top-k for a small query set.
+    The query side is broadcast → no shuffle of the big side at all."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def hyperplanes(spark, n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Deterministic ±1 hyperplanes: w(p,d) = parity of md5('p_d')."""
+    p = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
+    d = spark.range(dim).select(F.col("id").cast("int").alias("d"))
+    return p.crossJoin(d).select(
+        "p",
+        "d",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", "p", "d")), 1, 2), 16, 10
+            ).cast("int")
+            % 2
+            == 1,
+            1.0,
+        )
+        .otherwise(-1.0)
+        .alias("w"),
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame, planes: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Bucket id = 8 sign bits of plane projections. explode(vector) ×
+    broadcast(planes) → one partial-aggregated sum per (vec, plane):
+    a single shuffle keyed on vec id."""
+    comp = emb.select(
+        F.col(id_col), F.posexplode(as_double(vec_col)).alias("d", "x")
+    )
+    proj = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    return proj.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, p)")).otherwise(0))
+        .cast("bigint")
+        .alias("bucket")
+    )
+
+
+def ann_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L3 scale path: cosine top-k restricted to the query's LSH bucket."""
+    buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).join(
+        buckets, id_col
+    )
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    pairs = F.broadcast(q).join(c, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def label_centroids(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """L6: per-label centroid, one value per (label, dimension).
+    Components are summed in exact integer nano-units (floor(x·1e9) —
+    both engines compute the identical IEEE product and floor, so the
+    sum is order-independent AND engine-independent; a plain double
+    SUM would drift with partial-aggregation order, and Spark's
+    double→DECIMAL cast goes through the shortest string repr, which
+    disagrees with DuckDB's exact binary expansion at high scales).
+    posexplode parallelizes with the scan; one shuffle to aggregate."""
+    comp = emb.select(
+        "label", F.posexplode(as_double(vec_col)).alias("d", "x")
+    )
+    return comp.groupBy("label", (F.col("d") + 1).cast("bigint").alias("dim")).agg(
+        (
+            F.sum(F.floor(F.col("x") * 1e9).cast("long")) / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )

@@ -1,0 +1,82 @@
+"""Text-analysis operators for the training-data pipeline (L4 + extras).
+
+All pure column expressions (split / higher-order array functions /
+regexp) — JVM-side, codegen-friendly, no UDFs. Tokenization is
+whitespace-regex based; a BPE-ish regex token count is provided for
+token-budget estimation. Language-ID is an n-gram/stopword heuristic
+(the honest version of what fastText-style models approximate) —
+deterministic and therefore oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency English function-word list (public knowledge).
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "by", "is", "are", "was", "be", "at", "as", "it", "that",
+)
+
+# BPE-ish lexer: runs of letters, runs of digits, single punctuation.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (the MinHash/Jaccard unit). Requires
+    size(tokens) >= n — callers filter shorter docs."""
+    tok = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + j) for j in range(n)]
+        ),
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    tok = tokens(text)
+    hits = F.size(F.filter(tok, lambda w: w.isin(*stopwords)))
+    return hits / F.size(tok)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", "")) / F.length(c)
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    tok = tokens(text)
+    return F.size(F.array_distinct(tok)) / F.size(tok)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_REGEX)).cast("bigint")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: length band +
+    stopword presence + low punctuation + lexical diversity — the
+    standard cheap pre-filter before expensive pipeline stages."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(400.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * 4, F.lit(1.0))
+    punct_score = 1 - F.least(punct_ratio(c) * 10, F.lit(1.0))
+    diversity = type_token_ratio(c)
+    return (len_score + sw_score + punct_score + diversity) / 4
+
+
+def min_fingerprint(doc_shingles: Column) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over the
+    shingle set (k=1 min-sketch). Two documents sharing it almost
+    surely share their rarest shingle — a cheap first-pass cluster key."""
+    return F.array_min(F.transform(doc_shingles, lambda s: F.md5(s)))

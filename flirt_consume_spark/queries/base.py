@@ -80,6 +80,28 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
     ).alias(alias)
 
 
+def favg(col: Column | str, alias: str) -> Column:
+    """Exact average for unit-scale floats via integer nano-units.
+
+    ``dec``-based sums are wrong for high-scale decimals: Spark casts
+    double→DECIMAL through Java's shortest string repr while DuckDB
+    expands the exact binary fraction, and the two disagree near
+    1e-12 boundaries. floor(x·1e9) is computed on the identical IEEE
+    double in both engines, so the integer sum matches bit-for-bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.floor(c * 1e9).cast("long")) / F.lit(1e9) / F.count(c)
+    ).alias(alias)
+
+
+def sql_favg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * 1e9) AS BIGINT)) AS DOUBLE)"
+        f" / 1e9 / COUNT(*) AS {alias}"
+    )
+
+
 def ts_str(col: Column | str, alias: str) -> Column:
     """Canonical µs-precision string form of a timestamp column."""
     c = F.col(col) if isinstance(col, str) else col

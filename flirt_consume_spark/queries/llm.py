@@ -1,1 +1,432 @@
-"""Placeholder — populated in a later milestone."""
+"""North-star LLM-data-pipeline query keys (SURVEY.md §2.K + §2.J U2).
+
+Dedup ladder (exact → MinHash-LSH → SimHash → n-gram Jaccard),
+similarity search (exact kNN + deterministic-LSH ANN), text analysis
+(stats, lang-ID, quality, token counting, fingerprinting), multimodal
+binary columns, and the grouped-map Pandas UDF. Every hash in the
+dedup/ANN family is md5/sha256 of explicit strings — no seeded RNG —
+so even the LSH constructions hash-match their DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.operators import dedup as D
+from flirt_consume_spark.operators import multimodal as M
+from flirt_consume_spark.operators import similarity as S
+from flirt_consume_spark.operators import text as X
+from flirt_consume_spark.queries.base import davg, favg, query, sql_davg, sql_favg, t
+
+# Shared oracle CTE: distinct (doc_id, 3-word shingle) pairs.
+_SH_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+  FROM (SELECT doc_id, tok,
+               unnest(generate_series(1, len(tok) - 2)) AS i
+        FROM toks)
+)
+"""
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS text_sha,
+           min(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash; canonical = lowest doc_id.
+    One shuffle on sha256 — at 100 TB this is the cheap first rung."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_minhash_dedup",
+    oracle=_SH_CTE
+    + """
+    , sigs AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(12)
+    )
+    + """
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{b}#' || md5(mh{b * 3} || '|' || mh{b * 3 + 1}"
+        f" || '|' || mh{b * 3 + 2}) AS band_key FROM sigs"
+        for b in range(4)
+    )
+    + """
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash-LSH near-dup candidates — 12 md5 min-hashes, 4
+    bands of 3, candidates = docs sharing any band. The band equi-join
+    is the scale path: no all-pairs shuffle ever materializes.
+    Deterministic md5 hashing (not seeded RNG) => full hash-match."""
+    docs = t(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_table(docs)))
+
+
+@query(
+    "llm_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, range(0, 16) t(b) GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b: 16-bit SimHash fingerprint per document (sign-of-weighted-
+    sum over token hashes) — near-identical token sets land on
+    Hamming-close fingerprints; pure relational, no UDF."""
+    return D.simhash16(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle=_SH_CTE
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c: exact 3-gram Jaccard similarity on pairs sharing >= 1
+    shingle — the verify rung of the dedup ladder (feed it LSH
+    candidates at scale)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(D.shingle_table(docs), min_sim=0.3)
+
+
+_COS = (
+    "round(list_dot_product(q.e, c.e) / "
+    "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)"
+)
+
+
+@query(
+    "llm_knn",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS} DESC, c.vec_id
+             ) AS rnk
+      FROM v q JOIN v c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 5
+    """,
+)
+def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline: exact cosine top-5 for 10 query vectors — broadcast
+    query set × full scan, rank on ROUNDED similarity + id tie-break
+    so cross-engine ulp noise cannot reorder the cut."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.knn_exact(emb, list(range(10)), k=5)
+
+
+@query(
+    "llm_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, d,
+             CASE WHEN CAST(('0x' || substr(md5(p || '_' || d), 1, 2)) AS INT)
+                    % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(0, 8) pp(p), range(0, 64) dd(d)
+    ), comp AS (
+      SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), proj AS (
+      SELECT vec_id, p, SUM(x * w) AS s
+      FROM comp JOIN planes USING (d) GROUP BY vec_id, p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id
+    ), v AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS e, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS} DESC, c.vec_id
+             ) AS rnk
+      FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: random-hyperplane LSH (8 md5-derived ±1 planes →
+    256 buckets); neighbor search touches only the query's bucket.
+    Deterministic construction => the oracle rebuilds identical planes."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ann_lsh(emb, list(range(10)), k=3)
+
+
+@query(
+    "llm_centroid",
+    oracle="""
+    SELECT label, CAST(d AS BIGINT) AS dim,
+           CAST(SUM(CAST(floor(embedding[d]::DOUBLE * 1e9) AS BIGINT))
+                AS DOUBLE) / 1e9 / COUNT(*) AS centroid
+    FROM embeddings, range(1, 65) t(d)
+    GROUP BY label, d
+    """,
+)
+def llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: per-label embedding centroid (exact decimal sums, one row
+    per label × dimension)."""
+    return S.label_centroids(t(spark, sf_dir, "embeddings"))
+
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_TTR = rf"len(list_distinct({_TOKS})) / len({_TOKS})"
+
+
+@query(
+    "llm_textstats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_davg('n_chars', 'avg_chars', 2)},
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           {sql_favg(_TTR, 'avg_ttr')}
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus statistics per language — doc counts, length, token
+    totals, lexical diversity (type-token ratio)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = X.tokens("text")
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        F.size(tok).cast("bigint").alias("n_tok"),
+        X.type_token_ratio("text").alias("ttr"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars", 2),
+        F.sum("n_tok").alias("total_tokens"),
+        favg("ttr", "avg_ttr"),
+    )
+
+
+@query(
+    "llm_langid",
+    oracle=rf"""
+    SELECT doc_id, lang AS actual,
+           round(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x IN {X.EN_STOPWORDS}))
+                 / len(regexp_split_to_array(lower(trim(text)), '\s+')),
+                 6) AS en_ratio,
+           CASE WHEN len(list_filter(
+                    regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN {X.EN_STOPWORDS}))
+                  / len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 0.1
+                THEN 'en' ELSE 'unk' END AS predicted
+    FROM documents
+    """,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: language-ID via function-word n-gram heuristic (the
+    deterministic, oracle-checkable core of fastText-style lang-ID;
+    real models would ride the same column pipeline)."""
+    docs = t(spark, sf_dir, "documents")
+    ratio = X.stopword_ratio("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(ratio >= 0.1, "en").otherwise("unk").alias("predicted"),
+    )
+
+
+@query(
+    "llm_quality",
+    oracle=rf"""
+    SELECT doc_id, round(q, 6) AS quality,
+           CASE WHEN round(q, 6) >= 0.75 THEN 'high'
+                WHEN round(q, 6) >= 0.5 THEN 'mid'
+                ELSE 'low' END AS bucket
+    FROM (
+      SELECT doc_id,
+        (least(length(text) / 400.0, 1.0)
+         + least(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x IN {X.EN_STOPWORDS}))
+             / len(regexp_split_to_array(lower(trim(text)), '\s+')) * 4, 1.0)
+         + (1 - least(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      / length(text) * 10, 1.0))
+         + len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+             / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        ) / 4 AS q
+      FROM documents
+    )
+    """,
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c: composite quality score (length band + stopword presence +
+    low punctuation + lexical diversity) with routing buckets — the
+    cheap pre-filter stage of a training-data pipeline."""
+    docs = t(spark, sf_dir, "documents")
+    q = F.round(X.quality_score("text"), 6)
+    return docs.select(
+        "doc_id",
+        q.alias("quality"),
+        F.when(q >= 0.75, "high").when(q >= 0.5, "mid").otherwise("low").alias(
+            "bucket"
+        ),
+    )
+
+
+@query(
+    "llm_tokens",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS BIGINT)
+             AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS chars
+    FROM documents
+    """,
+)
+def llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4d: token budgeting — whitespace tokens + BPE-ish lexer count
+    (letter runs / digit runs / single punctuation)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(X.tokens("text")).cast("bigint").alias("ws_tokens"),
+        X.bpe_token_count("text").alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=_SH_CTE
+    + """
+    SELECT doc_id, min(md5(shingle)) AS fp, COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4e: winnowing-style fingerprint — min-hash over the shingle
+    set as a cheap cluster key + distinct-shingle count."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fp"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
+@query(
+    "llm_multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS brightness,
+           CAST(length(text) % 640 AS INTEGER) AS width,
+           CAST(length(text) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: multimodal binary-asset columns — bytes + typed metadata
+    struct, features extracted by Arrow-batched mapInPandas (the real
+    decode is stubbed; see operators/multimodal.py). The Python path
+    computes from the BINARY column; the oracle recomputes from text —
+    matching hashes prove the bytes round-tripped exactly."""
+    docs = t(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_assets(docs))
+
+
+_GROUPNORM_SCHEMA = "doc_id long, lang string, z double"
+
+
+@query(
+    "udf_groupnorm",
+    oracle="""
+    SELECT doc_id, lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z
+    FROM documents
+    """,
+)
+def udf_groupnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: grouped-map Pandas UDF (applyInPandas) — per-language
+    z-score of document length, verified against window SQL. The one
+    place Python touches data in the batch surface, Arrow-batched.
+    Defined as a closure so executors never import this package."""
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["n_chars"].mean()
+        std = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": ((pdf["n_chars"] - mean) / std).round(4),
+            }
+        )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(znorm, schema=_GROUPNORM_SCHEMA)

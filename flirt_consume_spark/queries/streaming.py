@@ -1,1 +1,113 @@
-"""Placeholder — populated in a later milestone."""
+"""Batch-analogue query keys for the streaming operators (SURVEY.md §2.I).
+
+The streaming jobs (streaming/jobs.py) run the SAME transforms on a
+readStream source; these keys run them on the batch events table so
+the windowing math itself is DuckDB-oracle-checkable. The
+streaming-vs-batch equivalence (the part SQL can't express) is
+asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.operators.windows import dec_wsum
+from flirt_consume_spark.streaming import jobs
+from flirt_consume_spark.queries.base import query, t
+
+# One 5-min window index = epoch_us // 300e6 (windows are epoch-aligned
+# in Spark; integer µs arithmetic reproduces the assignment exactly).
+_WIN_US = 300 * 1_000_000
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT strftime(TIMESTAMP '1970-01-01'
+             + (epoch_us(ts) // {_WIN_US}) * 300 * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS val_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 batch analogue: 5-minute tumbling windows per event type —
+    same epoch-aligned assignment as F.window('5 minutes')."""
+    return jobs.tumbling_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT strftime(TIMESTAMP '1970-01-01'
+             + ((epoch_us(ts) // {_WIN_US}) - k) * 300 * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 batch analogue: 10-min windows sliding every 5 min — every
+    event lands in exactly width/slide = 2 epoch-aligned windows,
+    reproduced in SQL by the k ∈ {0,1} shift."""
+    return jobs.sliding_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS val_sum
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 batch analogue: session_window(30 min gap) per user vs the
+    classic lag + cumulative-sum sessionization SQL. A new session
+    starts when the gap is >= 30 min (session_window extends while the
+    next event is strictly inside start+gap)."""
+    return jobs.session_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS val_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analogue: duplicate-injected input (union with itself)
+    collapsed by event_id dedup — the idempotent re-consume semantics.
+    Identical rows make dropDuplicates' pick deterministic."""
+    ev = t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    deduped = jobs.stream_dedup(doubled)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dec_wsum("value").cast("double").alias("val_sum"),
+    )

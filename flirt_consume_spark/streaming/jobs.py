@@ -1,0 +1,238 @@
+"""Streaming sources, sinks, and stateful operators (S5/S6, T1–T7).
+
+Every transform takes/returns DataFrames and works identically on
+batch and streaming inputs — the tests assert streaming output ==
+batch analogue on the same files (SURVEY.md §5.5).
+
+Scale notes: windowed aggregations keep per-key state in the executor
+state stores; watermarks bound that state (without one, 100 TB of
+stream history accumulates). All jobs here take an explicit watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from flirt_consume_spark.session import apply_runtime_confs
+
+# Events as they sit in a stream-source directory: ns timestamps come
+# in as int64 (same legacy-conf handling as the batch loader).
+EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns since epoch
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """S5: file-arrival stream source — the streaming counterpart of
+    the reference's cron-poll for new monthly extract files. Each file
+    dropped into source_dir is discovered and processed exactly once
+    (tracked in the checkpoint's file log)."""
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+# --- windowed aggregations (T1–T3), watermarked (T4) ---------------------
+
+
+def tumbling_agg(events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """T1+T4: tumbling-window counts per event type. The watermark
+    drops events later than `watermark` and lets the state store purge
+    closed windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", width).alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("val_sum"),
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+        "val_sum",
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T2: sliding windows — each event contributes to
+    width/slide overlapping windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.window("ts", width, slide).alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """T3: session windows — per-user sessions closed after `gap` of
+    inactivity. Works in batch too (session_window is a unified op)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window("ts", gap).alias("win"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("val_sum"),
+    ).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "user_id",
+        "n_events",
+        "val_sum",
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: exactly-once by natural key — watermarked dropDuplicates;
+    state for keys older than the watermark is purged (the reference's
+    idempotent re-consume semantics, keyed by event_id)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, key_expr) -> DataFrame:
+    """T7: stream-static enrichment — the dimension is re-read per
+    micro-batch (broadcast), the streaming side never shuffles."""
+    return events.join(F.broadcast(dim), key_expr, "left")
+
+
+# --- T6: custom stateful per-key logic -----------------------------------
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", StringType()),  # decimal-as-string, exact
+        StructField("last_ts", TimestampType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total_micro", LongType()),  # value in 1e-6 units, exact
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def user_running_totals(events: DataFrame, watermark: str = "60 minutes") -> DataFrame:
+    """T6: arbitrary stateful per-key logic via applyInPandasWithState
+    (Arrow-batched, the sanctioned Python path) — running per-user
+    counters that outlive any window, accumulated in exact integer
+    micro-units so state carries no float drift across micro-batches.
+    Closure on purpose: executors must not need this package."""
+
+    def running_totals_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total_micro, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_micro += int(round(pdf["value"].sum() * 1_000_000))
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total_micro, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [f"{total_micro / 1_000_000:.6f}"],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    src = events.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        running_totals_fn,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- harness + sink -------------------------------------------------------
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow
+    (process-everything-then-stop — the reference's one-shot monthly
+    consume run)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def write_monthly_sink(
+    sdf: DataFrame, path: str, checkpoint: str, month_col: str = "month_key"
+) -> None:
+    """S6: exactly-once idempotent sink — foreachBatch + dynamic
+    partition overwrite per month, the Spark-native equivalent of the
+    reference's atomic per-month Mongo collection swap. Re-running a
+    batch overwrites the same partitions, so replays are idempotent."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(month_col, F.date_format("ts", "yyyy-MM"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(month_col)
+            .parquet(path)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

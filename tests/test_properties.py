@@ -1,0 +1,82 @@
+"""Property-based invariants (SURVEY.md §5.4) + stub-contract tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.operators.multimodal import (
+    attach_assets,
+    decode_image,
+    extract_features,
+)
+from flirt_consume_spark.operators.relational import first_per_key
+from flirt_consume_spark.operators.temporal import expand_schedule
+from flirt_consume_spark.operators.windows import keep_latest
+
+_days = st.integers(min_value=0, max_value=40)
+_mask = st.text(alphabet="01", min_size=7, max_size=7)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(span=_days, mask=_mask)
+def test_expansion_count_matches_mask(spark, span, mask):
+    """Expanded-leg count == number of dates in range whose ISO weekday
+    bit is set (the E1 golden invariant from FIXTURES.md)."""
+    start = datetime.date(2024, 3, 1)
+    end = start + datetime.timedelta(days=span)
+    df = spark.createDataFrame(
+        [(1, start.isoformat(), end.isoformat(), mask)],
+        "id int, eff string, disc string, mask string",
+    )
+    got = expand_schedule(df, "eff", "disc", "mask").count()
+    want = sum(
+        mask[(start + datetime.timedelta(days=i)).isoweekday() - 1] == "1"
+        for i in range(span + 1)
+    )
+    assert got == want
+
+
+def test_dedup_idempotent(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    once = first_per_key(ev, ["user_id", "event_type"], "ts", "event_id")
+    twice = first_per_key(once, ["user_id", "event_type"], "ts", "event_id")
+    assert once.count() == twice.count()
+    latest = keep_latest(ev, ["user_id"], "ts", "event_id")
+    assert latest.count() == ev.select("user_id").distinct().count()
+
+
+def test_union_except_roundtrip(spark):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey")
+    assert a.unionByName(b).subtract(b).exceptAll(a).count() == 0
+
+
+def test_multimodal_stub_contract(spark):
+    """The decode stub must fail loudly; the feature plumbing must run
+    with the declared schema and deterministic values."""
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    feats = extract_features(attach_assets(docs))
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert feats.columns == [
+        "doc_id", "byte_len", "sha", "brightness", "width", "height",
+    ]
+    assert all(0 <= r.brightness <= 255 for r in rows)
+
+
+def test_approx_distinct_tolerance(spark):
+    """A3: HLL++ within 5% of exact (can't hash-match, so bounded here)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    approx = ev.agg(F.approx_count_distinct("user_id", 0.01)).collect()[0][0]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(approx - exact) / exact < 0.05

@@ -1,0 +1,84 @@
+"""Streaming == batch equivalence (SURVEY.md §5.5) + sink idempotence.
+
+The Structured Streaming promise: the same transform over the same
+input files yields the same result under readStream as under read.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _drain(spark, sdf, name, tmp_path, mode):
+    jobs.run_to_memory(sdf, name, str(tmp_path / f"ckpt_{name}"), output_mode=mode)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, source_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, source_dir)
+    got = _drain(spark, jobs.tumbling_agg(stream), "t_tumb", tmp_path, "complete")
+    want = jobs.tumbling_agg(load_table(spark, SF, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_stream_equals_batch(spark, source_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, source_dir)
+    got = _drain(spark, jobs.session_agg(stream), "t_sess", tmp_path, "complete")
+    want = jobs.session_agg(load_table(spark, SF, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_drops_duplicate_files(spark, source_dir, tmp_path):
+    # Same file delivered twice (a re-consumed month) → dedup by
+    # event_id keeps each event once.
+    d2 = tmp_path / "dup_src"
+    d2.mkdir()
+    shutil.copy(f"{source_dir}/events.parquet", d2 / "a.parquet")
+    shutil.copy(f"{source_dir}/events.parquet", d2 / "b.parquet")
+    stream = jobs.read_events_stream(spark, str(d2))
+    got = _drain(spark, jobs.stream_dedup(stream), "t_dedup", tmp_path, "append")
+    n_src = load_table(spark, SF, "events").count()
+    assert got.count() == n_src
+
+
+def test_stateful_running_totals(spark, source_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, source_dir)
+    got = _drain(
+        spark, jobs.user_running_totals(stream), "t_state", tmp_path, "update"
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got_counts = {r.user_id: r.n_events for r in got.collect()}
+    want_counts = {r.user_id: r.n for r in batch.collect()}
+    assert got_counts == want_counts
+
+
+def test_monthly_sink_idempotent(spark, source_dir, tmp_path):
+    out = tmp_path / "sink"
+    n_src = load_table(spark, SF, "events").count()
+    for run in ("ck1", "ck2"):  # fresh checkpoint = full re-consume
+        stream = jobs.read_events_stream(spark, source_dir)
+        jobs.write_monthly_sink(stream, str(out), str(tmp_path / run))
+        got = spark.read.parquet(str(out))
+        assert got.count() == n_src, f"run {run} not idempotent"
+    assert {r.month_key for r in got.select("month_key").distinct().collect()} == {
+        "2024-01"
+    }
