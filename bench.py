@@ -26,9 +26,27 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Untimed session warm-up: JVM/codegen init, parquet footer reads,
+    and Python-worker pool spin-up (first Arrow exchange costs ~10s),
+    so per-query timings measure steady-state plans, not init."""
+    from flirt_consume_spark.io import load_table
+
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, name).count()
+
+    def ident(batches):
+        yield from batches
+
+    load_table(spark, sf_dir, "documents").limit(8).select(
+        "doc_id"
+    ).mapInPandas(ident, "doc_id long").count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     for key in sorted(REGISTRY):
         spec = REGISTRY[key]

@@ -37,10 +37,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct (doc, shingle) pairs — the unit for MinHash & Jaccard."""
-    tok_ok = docs.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= n)
-    sh = tok_ok.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    """Distinct (doc, shingle) pairs — the unit for MinHash & Jaccard.
+
+    Tokenizes ONCE into a materialized array column, then explodes the
+    shingle transform over it — a narrow op that parallelizes with the
+    scan (no shuffle until the distinct)."""
+    from flirt_consume_spark.operators.text import tokens
+
+    step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+        F.size("_tok") >= n
+    )
+    sh = step.select(
+        F.col(id_col), F.explode(shingles("_tok", n)).alias("shingle")
     )
     return sh.distinct()
 

@@ -28,10 +28,14 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (the MinHash/Jaccard unit). Requires
-    size(tokens) >= n — callers filter shorter docs."""
-    tok = tokens(text)
+def shingles(tok_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (the MinHash/Jaccard unit) over a BOUND
+    token-array column. Callers must materialize the token array in a
+    prior select and pass the column reference — passing a fresh
+    split() expression here gets inlined into every element_at of the
+    lambda and re-tokenizes the document per shingle per position
+    (measured 25–40× slower at sf0.1). Requires size >= n."""
+    tok = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
     return F.transform(
         idx,

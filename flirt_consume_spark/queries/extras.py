@@ -1,0 +1,153 @@
+"""Remaining SURVEY.md §2 surface: J7 similarity self-join, S2 CSV
+scan, U3 pandas UDAF, U4 Python UDTF."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from flirt_consume_spark.io import read_csv
+from flirt_consume_spark.operators.similarity import as_double, cosine
+from flirt_consume_spark.queries.base import query, t
+
+_COS_PAIR = (
+    "round(list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"
+)
+
+
+@query(
+    "join_similarity",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS_PAIR} AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_COS_PAIR} >= 0.45
+    """,
+)
+def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: similarity self-join — embedding pairs with cosine >= 0.45
+    (embedding-space near-dup detection). This is the exact/verify
+    form; the LSH-bucketed prefilter for 100-TB scale is llm_ann_lsh's
+    construction (bucket equi-join, then this exact check per bucket)."""
+    from flirt_consume_spark.operators.similarity import dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    # Hoist each vector's norm out of the pair loop: same IEEE ops as
+    # recomputing per pair (bit-identical to the oracle), ~3× less
+    # interpreted higher-order-function work per pair.
+    v = emb.select(
+        "vec_id", as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return pairs.select("vec_a", "vec_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.45
+    )
+
+
+@query("scan_csv", oracle=None)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: CSV scan with explicit schema + FAILFAST — the reference's
+    native input format (monthly schedule extracts). Round-trips the
+    orders table through CSV; rows-only check here (the driver's
+    oracle views are parquet), with parity asserted in
+    tests/test_sources.py."""
+    from flirt_consume_spark.schemas import ORDERS
+
+    orders = t(spark, sf_dir, "orders")
+    path = os.path.join(
+        "/tmp", f"flirt_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            orders.withColumn(
+                "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(path)
+        )
+    df = read_csv(spark, path, ORDERS)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "udf_geomean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)
+def udf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: custom aggregation as a GROUPED_AGG pandas UDF (Arrow-
+    batched geometric mean), oracle-checked against exp(avg(ln x)).
+    Closure so executors never import this package."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 6).alias("geo_mean")
+    )
+
+
+@query(
+    "udtf_expand",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS pos,
+           tok[i] AS token
+    FROM (
+      SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+            FROM documents WHERE doc_id < 20)
+    )
+    """,
+)
+def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: Python UDTF (row -> rows generator). The engine policy is
+    explode/sequence for generators (E1) — this key exists to cover
+    the UDTF surface itself; oracle = the equivalent unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, pos: long, token: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.strip().lower().split()):
+                yield doc_id, i + 1, tok
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+    )

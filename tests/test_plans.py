@@ -1,0 +1,68 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely
+on at 100 TB must actually fire at any scale — pushdown, pruning,
+broadcast joins, partial aggregation, top-k without global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = li.filter(F.col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    assert "PushedFilters" in p and "GreaterThan(l_quantity" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "column pruning failed"
+
+
+def test_dim_joins_are_broadcast(spark):
+    p = plan_of(REGISTRY["join_enrich"].fn(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    p = plan_of(REGISTRY["join_range"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_agg_is_partial_hash(spark):
+    p = plan_of(REGISTRY["agg_route"].fn(spark, SF))
+    # partial (map-side) + final hash aggregation around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topk_avoids_global_sort(spark):
+    p = plan_of(REGISTRY["topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_expansion_is_narrow(spark):
+    p = plan_of(REGISTRY["expand_schedule"].fn(spark, SF))
+    assert "Generate explode" in p or "Generate" in p
+    assert "Exchange" not in p, "schedule expansion must not shuffle"
+
+
+def test_session_confs_applied(spark):
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
