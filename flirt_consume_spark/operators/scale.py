@@ -1,0 +1,77 @@
+"""Scale infrastructure: co-located (bucketed) joins and skew salting.
+
+These target the two shuffle pathologies that dominate at 100 TB:
+
+- **Repeated shuffles on the same key** — persist fact tables bucketed
+  by the join key (`write_bucketed`); joins between tables bucketed on
+  the same key with the same bucket count plan as shuffle-free
+  sort-merge joins (verified in tests/test_scale.py by asserting no
+  Exchange above the join).
+- **Skewed keys** — AQE's skew-join splitting handles most cases at
+  runtime; `salted_join` is the explicit fallback for super-hot keys:
+  the big side gets a random-but-bounded salt, the small side is
+  exploded across all salt values, and the join key becomes
+  (key, salt) — turning one straggler partition into `salt_buckets`
+  even ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) — the Spark-native
+    analogue of the reference's Mongo secondary indexes: equality
+    lookups and co-located joins on the bucket key skip the shuffle."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # The default in-memory catalog forgets tables between sessions but
+    # the warehouse directory persists — an orphaned location makes
+    # saveAsTable fail with LOCATION_ALREADY_EXISTS. Clean it.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = os.path.join(urlparse(wh).path, table_name.lower())
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join with explicit skew salting.
+
+    The salt on the big side is derived from a hash of the whole row
+    (deterministic, uniform), NOT rand(), so results are reproducible
+    and retries of a failed task produce identical output.
+    """
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets))
+    )
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    small_s = small.withColumn("_salt", F.explode(salts))
+    joined = big_s.join(small_s, [key, "_salt"], how)
+    return joined.drop("_salt")
