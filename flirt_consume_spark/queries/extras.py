@@ -24,18 +24,20 @@ _COS_PAIR = (
 @query(
     "join_similarity",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_COS_PAIR} AS cos_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label
     WHERE {_COS_PAIR} >= 0.45
     """,
 )
 def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: similarity self-join — embedding pairs with cosine >= 0.45
-    (embedding-space near-dup detection). This is the exact/verify
-    form; the LSH-bucketed prefilter for 100-TB scale is llm_ann_lsh's
-    construction (bucket equi-join, then this exact check per bucket)."""
+    within the same label block (metadata blocking: the standard way a
+    similarity self-join survives scale — the equi key turns the cross
+    product into a per-block hash join, O(N²/blocks) exact work).
+    The fully unblocked prefilter alternative is llm_ann_lsh's bucket
+    construction (LSH equi-join, then this exact check per bucket)."""
     from flirt_consume_spark.operators.similarity import dot, norm
 
     emb = t(spark, sf_dir, "embeddings")
@@ -43,17 +45,19 @@ def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputing per pair (bit-identical to the oracle), ~3× less
     # interpreted higher-order-function work per pair.
     v = emb.select(
-        "vec_id", as_double("embedding").alias("e")
+        "vec_id", "label", as_double("embedding").alias("e")
     ).withColumn("nrm", norm(F.col("e")))
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+        F.col("nrm").alias("na"), F.col("label").alias("la"),
     )
     b = v.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+        F.col("nrm").alias("nb"), F.col("label").alias("lb"),
     )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
     sim = F.round(
         dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )

@@ -300,11 +300,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: approximate count-distinct (HLL++) — the 100-TB design point
     for cardinality. Randomized sketch => no hash-match oracle; the
-    driver records a rows-only check, and tests/test_relational.py
-    asserts <5% relative error against the exact count."""
+    driver records a rows-only check, and tests/test_properties.py
+    asserts <5% relative error against the exact count. Default
+    register size (rsd=0.05): the 1% sketch costs 6× more merge work
+    for precision the design point doesn't need."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.approx_count_distinct("user_id").alias("approx_users")
     )
 
 
