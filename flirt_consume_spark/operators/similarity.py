@@ -150,6 +150,76 @@ def ann_lsh(
     )
 
 
+def ann_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L3 scale path, IVF flavor: coarse-quantize every vector to its
+    nearest label centroid (the deterministic stand-in for k-means
+    cells), then search only the query's cell. Same shuffle shape as a
+    real IVF index: one pass to build cells (a groupBy), one equi-join
+    on cell id, exact cosine within the cell. Assignment distance uses
+    rounded values + label tie-break so both engines cut identically."""
+    cents = label_centroids(emb, id_col, vec_col)
+    # centroid rows -> one array per label, ordered by dim
+    cent_arr = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+            ).alias("s")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("s", lambda st: st.centroid).alias("cv"),
+        )
+    )
+    vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    # assign: nearest centroid by (rounded) cosine, tie-break on label
+    scored = vecs.crossJoin(F.broadcast(cent_arr)).select(
+        id_col,
+        "v",
+        "c_label",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("c_label")
+    )
+    cells = (
+        scored.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "v", F.col("c_label").alias("cell"))
+    )
+    q = cells.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2"), "cell"
+    )
+    pairs = F.broadcast(q).join(c, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    out = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """L6: per-label centroid, one value per (label, dimension).
     Components are summed in exact integer nano-units (floor(x·1e9) —

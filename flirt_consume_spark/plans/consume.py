@@ -149,9 +149,13 @@ def consume_schedules(
         F.col("lat").alias("d_lat"),
         F.col("lon").alias("d_lon"),
     )
+    d_off = ap.select(
+        F.col("code").alias("_dc2"), F.col("utc_offset_min").alias("d_offset")
+    )
     enriched = (
         legs.join(F.broadcast(o), legs.orig == F.col("_oc"), "inner")
         .join(F.broadcast(d), legs.dest == F.col("_dc"), "inner")
+        .join(F.broadcast(d_off), legs.dest == F.col("_dc2"), "inner")
         .withColumn(
             "dep_ts_utc",
             F.to_timestamp(
@@ -160,8 +164,32 @@ def consume_schedules(
             )
             - F.col("o_offset") * F.expr("INTERVAL 1 MINUTE"),
         )
+        # Arrival: published local arr time at dest names a wall-clock,
+        # not a day — the flight lands at the first such wall-clock at
+        # or after departure (the reference's overnight-arrival rule,
+        # generalized: normalize the UTC delta into [0, 24h)).
+        .withColumn(
+            "_arr_naive",
+            F.to_timestamp(
+                F.concat_ws(" ", F.col("leg_date"), F.col("arr_time_local")),
+                "yyyy-MM-dd HH:mm",
+            )
+            - F.col("d_offset") * F.expr("INTERVAL 1 MINUTE"),
+        )
+        .withColumn(
+            "_dur_sec",
+            F.pmod(
+                F.unix_timestamp("_arr_naive") - F.unix_timestamp("dep_ts_utc"),
+                F.lit(86400),
+            ),
+        )
+        .withColumn(
+            "arr_ts_utc",
+            F.col("dep_ts_utc") + F.col("_dur_sec") * F.expr("INTERVAL 1 SECOND"),
+        )
+        .withColumn("duration_min", (F.col("_dur_sec") / 60).cast("int"))
         .withColumn("month_key", F.date_format("dep_ts_utc", "yyyy-MM"))
-        .drop("_oc", "_dc")
+        .drop("_oc", "_dc", "_dc2", "_arr_naive", "_dur_sec")
     )
     return enriched, unknown
 

@@ -66,6 +66,58 @@ def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_QC = (
+    "round(list_dot_product(q.e, c.e) / "
+    "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)"
+)
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, CAST(d AS BIGINT) AS dim,
+             CAST(SUM(CAST(floor(embedding[d]::DOUBLE * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9 / COUNT(*) AS centroid
+      FROM embeddings, range(1, 65) t(d) GROUP BY label, d
+    ), cent_arr AS (
+      SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
+      FROM cent GROUP BY label
+    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assign AS (
+      SELECT vec_id, e, c_label,
+             round(list_dot_product(e, cv) /
+                   (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS sim
+      FROM v, cent_arr
+    ), cells AS (
+      SELECT vec_id, e, c_label AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, c_label) AS r
+        FROM assign
+      ) WHERE r = 1
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_QC} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id ORDER BY {_COS_QC} DESC, c.vec_id
+             ) AS rnk
+      FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path, IVF flavor: vectors coarse-quantized to their
+    nearest label centroid (deterministic stand-in for k-means cells);
+    neighbor search = one equi-join on cell id + exact cosine within
+    the cell. Complements llm_ann_lsh (hyperplane buckets)."""
+    from flirt_consume_spark.operators.similarity import ann_ivf
+
+    return ann_ivf(t(spark, sf_dir, "embeddings"), list(range(10)), k=3)
+
+
 @query("scan_csv", oracle=None)
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: CSV scan with explicit schema + FAILFAST — the reference's

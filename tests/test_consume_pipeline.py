@@ -52,6 +52,16 @@ def test_consume_end_to_end(spark, tmp_path):
     )
     assert row.dep_ts_utc == local - datetime.timedelta(minutes=row.o_offset)
 
+    # E2 overnight rule: arrival never precedes departure, and the
+    # rollover keeps duration within one day
+    bad = legs.filter(
+        (F.col("arr_ts_utc") < F.col("dep_ts_utc"))
+        | (F.col("duration_min") < 0)
+        | (F.col("duration_min") >= 1440)
+    ).count()
+    assert bad == 0
+    assert legs.filter(F.col("duration_min") > 0).count() > 0
+
     # J2 invariant: unknown-airport report == schedules with dangling refs
     ap_codes = {r.code for r in airports.collect()}
     valid = filter_valid_schedules(sched).collect()

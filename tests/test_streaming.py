@@ -71,6 +71,23 @@ def test_stateful_running_totals(spark, source_dir, tmp_path):
     assert got_counts == want_counts
 
 
+def test_stream_static_join_enriches(spark, source_dir, tmp_path):
+    """T7: per-micro-batch broadcast enrichment with a static dim."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = jobs.read_events_stream(spark, source_dir)
+    joined = jobs.stream_static_join(
+        stream, dim, "event_type"
+    ).select("event_id", "event_type", "weight")
+    got = _drain(spark, joined, "t_static", tmp_path, "append")
+    n_src = load_table(spark, SF, "events").count()
+    assert got.count() == n_src  # left join keeps unmatched types
+    w = {r.event_type: r.weight for r in got.select("event_type", "weight").distinct().collect()}
+    assert w["purchase"] == 5.0 and w["signup"] is None
+
+
 def test_monthly_sink_idempotent(spark, source_dir, tmp_path):
     out = tmp_path / "sink"
     n_src = load_table(spark, SF, "events").count()
