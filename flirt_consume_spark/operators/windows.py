@@ -21,11 +21,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dec_wsum(col: str | Column, scale: int = 6) -> Column:
-    """Exact decimal window-sum (same bit-exactness discipline as
-    queries.base.dsum, applied over a window frame)."""
+def dec_wsum(col: str | Column, window, scale: int = 6) -> Column:
+    """Exact window-sum in integer units (same discipline and fast
+    path as queries.base.dsum: floor(x·10^s) summed as LONG over the
+    frame, divided back — associative, codegen-friendly, identical in
+    any engine)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(30,{scale})"))
+    unit = float(10**scale)
+    return (
+        F.sum(F.floor(c * F.lit(unit)).cast("long")).over(window) / F.lit(unit)
+    ).cast("double")
 
 
 def keep_latest(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -> DataFrame:

@@ -12,9 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flirt_consume_spark.operators.windows import dec_wsum
 from flirt_consume_spark.streaming import jobs
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import dsum, query, t
 
 # One 5-min window index = epoch_us // 300e6 (windows are epoch-aligned
 # in Spark; integer µs arithmetic reproduces the assignment exactly).
@@ -29,7 +28,7 @@ _WIN_US = 300 * 1_000_000
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS val_sum
+           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS DOUBLE) AS val_sum
     FROM events
     GROUP BY 1, 2
     """,
@@ -80,7 +79,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS val_sum
+           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS DOUBLE) AS val_sum
     FROM numbered GROUP BY user_id, session_id
     """,
 )
@@ -96,7 +95,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS val_sum
+           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS DOUBLE) AS val_sum
     FROM events GROUP BY event_type
     """,
 )
@@ -109,5 +108,5 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = jobs.stream_dedup(doubled)
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        dec_wsum("value").cast("double").alias("val_sum"),
+        dsum("value", "val_sum", 6),
     )

@@ -89,14 +89,14 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS roll3,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+           ) AS DOUBLE) / 1e6 AS DOUBLE) AS roll3,
+           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total
+           ) AS DOUBLE) / 1e6 AS DOUBLE) AS running_total
     FROM events
     """,
 )
@@ -109,11 +109,10 @@ def win_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        dec_wsum("value").over(w.rowsBetween(-2, 0)).cast("double").alias("roll3"),
-        dec_wsum("value")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double")
-        .alias("running_total"),
+        dec_wsum("value", w.rowsBetween(-2, 0)).alias("roll3"),
+        dec_wsum("value", w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_total"
+        ),
     )
 
 

@@ -76,7 +76,9 @@ def tumbling_agg(events: DataFrame, width: str = "5 minutes", watermark: str = "
         F.window("ts", width).alias("win"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("val_sum"),
+        (F.sum(F.floor(F.col("value") * 1e6).cast("long")) / F.lit(1e6))
+        .cast("double")
+        .alias("val_sum"),
     ).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -113,7 +115,9 @@ def session_agg(
         F.session_window("ts", gap).alias("win"), "user_id"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("val_sum"),
+        (F.sum(F.floor(F.col("value") * 1e6).cast("long")) / F.lit(1e6))
+        .cast("double")
+        .alias("val_sum"),
     ).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
             "session_start"
