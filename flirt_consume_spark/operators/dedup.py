@@ -116,12 +116,15 @@ def jaccard_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
+            # rational value → floor-to-unit, not round: exact-decimal
+            # ties round differently across engines
             "jaccard",
-            F.round(
+            F.floor(
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                * 1e6
+            )
+            / F.lit(1e6),
         )
     )
     return j.filter(F.col("jaccard") >= min_sim).select(

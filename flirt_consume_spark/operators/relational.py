@@ -12,9 +12,10 @@ Scale notes:
   shuffle-free on the fact side;
 - fact×fact joins (J4) are left to Catalyst/AQE — sort-merge with
   runtime skew splitting;
-- the range join (J5) is bounded by a coarse equi bucket key so it
-  plans as a hash join on (bucket) with a residual range predicate,
-  instead of a broadcast-nested-loop over the whole fact table.
+- range joins (J5, see queries/relational.py join_range) always carry
+  an equi key (natural, or a coarse time bucket) so they plan as hash
+  joins with a residual range predicate, never a nested loop over the
+  cross product.
 """
 
 from __future__ import annotations
@@ -119,32 +120,3 @@ def anti_join(fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
 def semi_join(fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
     """J3: keep only rows whose dimension key exists."""
     return fact.join(F.broadcast(dim), cond, "left_semi")
-
-
-def bounded_range_join(
-    events: DataFrame,
-    orders: DataFrame,
-    bucket_seconds: int = 86400 * 7,
-) -> DataFrame:
-    """J5: range/theta join bounded by a coarse equi bucket.
-
-    Semantics: pair each event with orders whose o_orderdate falls in
-    [ts - 7d, ts]. A naive non-equi join plans as a nested-loop over
-    the cross product; instead both sides are bucketed to 7-day epochs
-    and joined on consecutive bucket pairs, which plans as a hash join
-    with a residual range filter — the strategy that survives a 100×
-    scale-up. (Used by join_range / join_asof query keys.)
-    """
-    week = F.lit(bucket_seconds)
-    ev = events.withColumn("_eb", (F.unix_timestamp("ts") / week).cast("long"))
-    # An order within [ts-7d, ts] lives in the event's bucket or the one before.
-    ev = ev.withColumn("_b", F.explode(F.array(F.col("_eb") - 1, F.col("_eb"))))
-    od = orders.withColumn(
-        "_b", (F.unix_timestamp("o_orderdate") / week).cast("long")
-    )
-    cond = (
-        (ev._b == od._b)
-        & (od.o_orderdate <= ev.ts)
-        & (od.o_orderdate >= ev.ts - F.expr("INTERVAL 7 DAYS"))
-    )
-    return ev.join(od, cond, "inner").drop("_b", "_eb")

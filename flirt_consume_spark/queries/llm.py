@@ -127,11 +127,11 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+           floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6) / 1e6 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3
+    WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6) / 1e6 >= 0.3
     """,
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,11 +270,11 @@ def llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_langid",
     oracle=rf"""
     SELECT doc_id, lang AS actual,
-           round(len(list_filter(
+           floor(len(list_filter(
                    regexp_split_to_array(lower(trim(text)), '\s+'),
                    x -> x IN {X.EN_STOPWORDS}))
-                 / len(regexp_split_to_array(lower(trim(text)), '\s+')),
-                 6) AS en_ratio,
+                 / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 * 1e6) / 1e6 AS en_ratio,
            CASE WHEN len(list_filter(
                     regexp_split_to_array(lower(trim(text)), '\s+'),
                     x -> x IN {X.EN_STOPWORDS}))
@@ -292,7 +292,7 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.col("lang").alias("actual"),
-        F.round(ratio, 6).alias("en_ratio"),
+        (F.floor(ratio * 1e6) / F.lit(1e6)).alias("en_ratio"),
         F.when(ratio >= 0.1, "en").otherwise("unk").alias("predicted"),
     )
 
@@ -300,9 +300,9 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_quality",
     oracle=rf"""
-    SELECT doc_id, round(q, 6) AS quality,
-           CASE WHEN round(q, 6) >= 0.75 THEN 'high'
-                WHEN round(q, 6) >= 0.5 THEN 'mid'
+    SELECT doc_id, floor(q * 1e6) / 1e6 AS quality,
+           CASE WHEN floor(q * 1e6) / 1e6 >= 0.75 THEN 'high'
+                WHEN floor(q * 1e6) / 1e6 >= 0.5 THEN 'mid'
                 ELSE 'low' END AS bucket
     FROM (
       SELECT doc_id,
@@ -325,7 +325,7 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     low punctuation + lexical diversity) with routing buckets — the
     cheap pre-filter stage of a training-data pipeline."""
     docs = t(spark, sf_dir, "documents")
-    q = F.round(X.quality_score("text"), 6)
+    q = F.floor(X.quality_score("text") * 1e6) / F.lit(1e6)
     return docs.select(
         "doc_id",
         q.alias("quality"),

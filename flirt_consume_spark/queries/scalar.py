@@ -63,7 +63,8 @@ def str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice / nullif(l_quantity, 0), 6) AS unit_price,
+           floor((l_extendedprice / nullif(l_quantity, 0)) * 1e6) / 1e6
+             AS unit_price,
            round(pow(l_discount, 2), 6) AS disc_sq,
            round(ln(l_extendedprice), 6) AS log_price,
            greatest(l_tax, l_discount) AS max_rate,
@@ -76,10 +77,18 @@ def math_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: math scalars incl. null-safe division — the seat-weighted
     edge probabilities of the FLIRT simulator (seats/Σseats)."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    # unit_price is RATIONAL (2-decimal price / integral qty) — its
+    # decimal expansion can end exactly on a rounding tie, where Spark
+    # (HALF_UP) and DuckDB disagree; floor-to-unit is tie-free.
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.try_divide("l_extendedprice", F.nullif("l_quantity", F.lit(0))), 6
+        (
+            F.floor(
+                F.try_divide("l_extendedprice", F.nullif("l_quantity", F.lit(0)))
+                * 1e6
+            )
+            / F.lit(1e6)
         ).alias("unit_price"),
         F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         F.round(F.log("l_extendedprice"), 6).alias("log_price"),
