@@ -53,9 +53,26 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return sh.distinct()
 
 
+def shingle_stream(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Non-distinct (doc, shingle) stream. MIN-based consumers
+    (MinHash) are duplicate-insensitive, so they skip shingle_table's
+    distinct() — one less full shuffle; partial aggregation reduces
+    the stream map-side instead."""
+    from flirt_consume_spark.operators.text import tokens
+
+    step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+        F.size("_tok") >= n
+    )
+    return step.select(
+        F.col(id_col), F.explode(shingles("_tok", n)).alias("shingle")
+    )
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> DataFrame:
     """K independent min-hashes per doc: min(md5('<i>:' || shingle)).
-    One hash-aggregate pass over the shingle table computes all K."""
+    One hash-aggregate pass over the shingle stream computes all K
+    (duplicates don't affect MIN — feed shingle_stream, not the
+    distinct table)."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)

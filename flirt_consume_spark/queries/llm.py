@@ -84,7 +84,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the scale path: no all-pairs shuffle ever materializes.
     Deterministic md5 hashing (not seeded RNG) => full hash-match."""
     docs = t(spark, sf_dir, "documents")
-    return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_table(docs)))
+    return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
 
 
 @query(
