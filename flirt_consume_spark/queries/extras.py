@@ -11,9 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from flirt_consume_spark.io import read_csv
+from flirt_consume_spark.io import read_csv, read_jsonl, with_month_key, write_partitioned
 from flirt_consume_spark.operators.similarity import as_double, cosine
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import dsum, query, sql_dsum, t
 
 _COS_PAIR = (
     "round(list_dot_product(a.e, b.e) / "
@@ -118,13 +118,21 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(t(spark, sf_dir, "embeddings"), list(range(10)), k=3)
 
 
-@query("scan_csv", oracle=None)
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: CSV scan with explicit schema + FAILFAST — the reference's
     native input format (monthly schedule extracts). Round-trips the
-    orders table through CSV; rows-only check here (the driver's
-    oracle views are parquet), with parity asserted in
-    tests/test_sources.py."""
+    orders table through CSV; the oracle runs the same aggregate on the
+    parquet view, so the check proves the CSV round-trip is lossless
+    for the aggregated columns (full-row parity in
+    tests/test_sources.py)."""
     from flirt_consume_spark.schemas import ORDERS
 
     orders = t(spark, sf_dir, "orders")
@@ -206,4 +214,79 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.pos, t.token "
         "FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+    )
+
+
+@query(
+    "scan_jsonl",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS cnt,
+           {sql_dsum('c_acctbal', 'acctbal_sum')}
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: JSON-lines scan with explicit schema (airport/aux reference
+    data in the reference). Round-trips the customer table through
+    JSONL; doubles survive exactly (shortest-repr write, nearest-parse
+    read), so the oracle aggregate on the parquet view must match
+    bit for bit."""
+    from flirt_consume_spark.schemas import CUSTOMER
+
+    cust = t(spark, sf_dir, "customer")
+    path = os.path.join(
+        "/tmp", f"flirt_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        cust.coalesce(4).write.mode("overwrite").json(path)
+    df = read_jsonl(spark, path, CUSTOMER)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("c_acctbal", "acctbal_sum"),
+    )
+
+
+_UPSERT_MONTH = "1995-03"
+
+
+@query(
+    "sink_upsert",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month_key, COUNT(*) AS cnt,
+           {sql_dsum("CASE WHEN strftime(o_orderdate, '%Y-%m') = '" + _UPSERT_MONTH + "' "
+           "THEN o_totalprice + 100.0 ELSE o_totalprice END", 'price_sum', 2)}
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S6 batch semantics: idempotent month re-consume. Full write
+    partitioned by month_key, then one month re-consumed with a
+    correction via DYNAMIC partition overwrite (the Spark-native
+    equivalent of the reference's atomic per-month Mongo collection
+    swap): exactly that month's partition is replaced, nothing else.
+    The read-back aggregate proves the merged state: corrected values
+    inside the month, untouched values outside it. repartition by the
+    partition key before writing => one file per month partition, not
+    tasks x months small files (the 100-TB small-file guard)."""
+    orders = t(spark, sf_dir, "orders")
+    base = with_month_key(orders, "o_orderdate")
+    path = os.path.join(
+        "/tmp", f"flirt_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    # The full base write happens once; every run after that re-consumes
+    # only the corrected month — dynamic overwrite makes the final state
+    # identical either way (that IS the idempotency being demonstrated).
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned(base.repartition("month_key"), path, ("month_key",))
+    fixed = (
+        base.filter(F.col("month_key") == _UPSERT_MONTH)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .repartition("month_key")
+    )
+    write_partitioned(fixed, path, ("month_key",))
+    final = spark.read.parquet(path)
+    return final.groupBy("month_key").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice", "price_sum", 2),
     )

@@ -91,6 +91,40 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.session_agg(t(spark, sf_dir, "events"))
 
 
+# Same literal dim as tests/test_streaming.py's T7 case; expressed as
+# VALUES in the oracle so both engines join against identical rows.
+_WEIGHTS = [("click", 1.0), ("purchase", 5.0), ("error", 0.0)]
+_WEIGHTS_SQL = ", ".join(f"('{k}', {w})" for k, w in _WEIGHTS)
+
+
+@query(
+    "stream_static",
+    oracle=f"""
+    SELECT e.event_type, w.weight, COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(e.value * 1e6) AS BIGINT)) AS DOUBLE)
+                / 1e6 AS DOUBLE) AS val_sum
+    FROM events e
+    LEFT JOIN (SELECT event_type, CAST(weight AS DOUBLE) AS weight
+               FROM (VALUES {_WEIGHTS_SQL}) AS t(event_type, weight)) w
+      ON e.event_type = w.event_type
+    GROUP BY 1, 2
+    """,
+)
+def stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch analogue: stream-static broadcast enrichment — the
+    dimension is broadcast per micro-batch, the (would-be streaming)
+    fact side never shuffles. Left join keeps event types missing
+    from the dim (NULL weight), matching the reference's
+    report-unknown-airport behavior rather than dropping rows."""
+    ev = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_WEIGHTS, "event_type string, weight double")
+    joined = jobs.stream_static_join(ev, dim, "event_type")
+    return joined.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value", "val_sum", 6),
+    )
+
+
 @query(
     "stream_dedup",
     oracle="""
