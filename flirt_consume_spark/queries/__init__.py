@@ -17,3 +17,4 @@ from flirt_consume_spark.queries import streaming  # noqa: F401,E402
 from flirt_consume_spark.queries import llm  # noqa: F401,E402
 from flirt_consume_spark.queries import extras  # noqa: F401,E402
 from flirt_consume_spark.queries import shapes  # noqa: F401,E402
+from flirt_consume_spark.queries import pipeline  # noqa: F401,E402

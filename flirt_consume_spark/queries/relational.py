@@ -499,3 +499,30 @@ def set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     only = y96.subtract(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
     both = y96.intersect(y97).select(F.lit("both").alias("tag"), "o_custkey")
     return only.unionByName(both)
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END", 'qty_a', 2)},
+           {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END", 'qty_n', 2)},
+           {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END", 'qty_r', 2)}
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: pivot — wide per-category columns from a long table.
+    Explicit value list so Spark skips the extra distinct-values job
+    (at 100 TB an implicit pivot would scan the fact table twice);
+    one shuffle on the groupBy key, same plan shape as a plain agg."""
+    li = t(spark, sf_dir, "lineitem")
+    piv = li.groupBy("l_linestatus").pivot("l_returnflag", ["A", "N", "R"]).agg(
+        dsum("l_quantity", "q", 2)
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )

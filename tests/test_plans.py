@@ -66,3 +66,22 @@ def test_expansion_is_narrow(spark):
 def test_session_confs_applied(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    p = plan_of(REGISTRY["llm_vocab"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_split_assign_is_single_agg_shuffle(spark):
+    # md5 bucketing is narrow; the only exchange is the 3-group agg.
+    p = plan_of(REGISTRY["split_assign"].fn(spark, SF))
+    assert p.count("HashAggregate") >= 2
+    n_exchange = p.count("Exchange")
+    assert n_exchange <= 2, p  # agg exchange (+AQE coalesce read)
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    # The packing cumsum must NOT serialize through one partition.
+    p = plan_of(REGISTRY["pack_sequences"].fn(spark, SF))
+    assert "hashpartitioning(source" in p, p
