@@ -181,3 +181,71 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .cast("bigint")
         .alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Tier 5 of the dedup ladder: candidate PAIRS -> duplicate GROUPS.
+
+    Min-label propagation to fixpoint: every node's component id is
+    the minimum doc_id reachable from it. Iterative (not expressible
+    as one SQL query in Spark), so the driver loops; each iteration is
+    one distributed join + min-agg, convergence is detected by the
+    strictly-decreasing sum of labels (one cheap scalar action), and
+    ``localCheckpoint`` truncates the plan lineage so iteration N does
+    not replay iterations 1..N-1.
+
+    Converges in O(diameter) rounds — near-dup clusters are
+    shallow/star-shaped, so single digits in practice. For web-scale
+    graphs with long chains, swap the propagation step for the
+    large-star/small-star contraction (Kiveris et al.) — same loop
+    skeleton, fewer rounds.
+    """
+    # Materialize the pair list BEFORE mirroring it: the union refers
+    # to `e` twice, and without this the whole upstream (LSH) subtree
+    # would execute once per branch.
+    e = pairs.select(
+        F.col(left).cast("long").alias("s"), F.col(right).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # The label table is the candidate-pair node set — orders of
+        # magnitude smaller than the corpus; broadcast it so the
+        # per-iteration join never shuffles the edge list. (At true
+        # web scale where labels outgrow broadcast, drop the hints:
+        # the loop then shuffle-joins on the same key both rounds.)
+        nbr_min = (
+            edges.join(F.broadcast(labels), edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(F.broadcast(nbr_min), labels["node"] == nbr_min["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

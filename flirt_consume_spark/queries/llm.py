@@ -52,10 +52,10 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(t(spark, sf_dir, "documents"))
 
 
-@query(
-    "llm_minhash_dedup",
-    oracle=_SH_CTE
-    + """
+# MinHash signature + band CTEs and the candidate-pair select, shared
+# by llm_minhash_dedup and the connected-components clustering oracle.
+_MH_BANDS = (
+    """
     , sigs AS (
       SELECT doc_id,
     """
@@ -73,10 +73,18 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     + """
     )
+    """
+)
+_MH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
+    """
+
+
+@query(
+    "llm_minhash_dedup",
+    oracle=_SH_CTE + _MH_BANDS + _MH_PAIRS_SELECT,
 )
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash-LSH near-dup candidates — 12 md5 min-hashes, 4
@@ -85,6 +93,47 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5 hashing (not seeded RNG) => full hash-match."""
     docs = t(spark, sf_dir, "documents")
     return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+
+
+@query(
+    "dedup_components",
+    oracle=_SH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _MH_BANDS
+    + ", pairs AS ("
+    + _MH_PAIRS_SELECT
+    + """
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT s AS node, s AS r FROM edges
+      UNION
+      SELECT w.node, e.d FROM reach w JOIN edges e ON e.s = w.r
+    ), comp AS (
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    )
+    SELECT CAST(comp AS BIGINT) AS component,
+           COUNT(*) AS n_docs,
+           CAST(MAX(node) AS BIGINT) AS max_doc
+    FROM comp GROUP BY comp
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d: near-dup CLUSTERS — connected components over the LSH
+    candidate-pair graph (iterative min-label propagation; the oracle
+    replays it as a recursive reachability CTE). component = min
+    doc_id in the group, the canonical survivor under keep-lowest-id
+    dedup policy."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+    comp = D.connected_components(pairs)
+    return comp.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").cast("bigint").alias("max_doc"),
+    ).select(
+        F.col("comp").cast("bigint").alias("component"), "n_docs", "max_doc"
+    )
 
 
 @query(
