@@ -99,3 +99,77 @@ def test_monthly_sink_idempotent(spark, source_dir, tmp_path):
     assert {r.month_key for r in got.select("month_key").distinct().collect()} == {
         "2024-01"
     }
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """T4: a row older than the persisted watermark is dropped — it
+    must not resurrect a window that was already finalized in a
+    previous run (checkpoint carries the watermark across runs)."""
+    import pandas as pd
+
+    ns = lambda s: int(pd.Timestamp(f"2024-03-01 {s}", tz="UTC").value)  # noqa: E731
+
+    def write_file(rows, name, d):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        spark.createDataFrame(pdf, schema=jobs.EVENTS_RAW).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    # Run 1: two events at 11:00 (+ one at 12:00 that pushes the
+    # watermark to 11:50) → window [11:00, 11:05) closes and emits.
+    write_file(
+        [
+            (1, ns("11:00:00"), 1, "click", 1.0, "{}"),
+            (2, ns("11:01:00"), 1, "click", 1.0, "{}"),
+            (3, ns("12:00:00"), 1, "click", 1.0, "{}"),
+        ],
+        "a",
+        src,
+    )
+    out = str(tmp_path / "late_out")
+
+    def drain_to_parquet(sdf):
+        # The memory sink cannot recover from a checkpoint; a
+        # foreachBatch parquet-append sink can, and recovery is the
+        # point of this test.
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stream = jobs.read_events_stream(spark, src)
+    drain_to_parquet(jobs.tumbling_agg(stream))
+    run1 = {r.win_start: r.cnt for r in spark.read.parquet(out).collect()}
+    assert run1.get("2024-03-01 11:00:00") == 2
+
+    # Run 2, same checkpoint: one late event (11:02 < watermark 11:50)
+    # and one fresh event at 12:30 that closes window [12:00, 12:05).
+    write_file(
+        [
+            (4, ns("11:02:00"), 1, "click", 1.0, "{}"),
+            (5, ns("12:30:00"), 1, "click", 1.0, "{}"),
+        ],
+        "b",
+        src,
+    )
+    stream2 = jobs.read_events_stream(spark, src)
+    drain_to_parquet(jobs.tumbling_agg(stream2))
+    rows = spark.read.parquet(out).collect()
+    by_win: dict[str, list[int]] = {}
+    for r in rows:
+        by_win.setdefault(r.win_start, []).append(r.cnt)
+    # The late event must NOT re-open the finalized 11:00 window (no
+    # second emission, no count change)...
+    assert by_win["2024-03-01 11:00:00"] == [2], by_win
+    # ...and the on-time 12:00 window finalizes with only its own row.
+    assert by_win.get("2024-03-01 12:00:00") == [1], by_win
