@@ -526,3 +526,89 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").alias("qty_n"),
         F.col("R").alias("qty_r"),
     )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(floor(value * 1e6) AS BIGINT)) AS sx,
+             SUM(CAST(floor(value * 1e6) AS HUGEINT)
+                 * CAST(floor(value * 1e6) AS HUGEINT)) AS sxx,
+             SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sy,
+             SUM(CAST(json_extract(props, '$.k') AS HUGEINT)
+                 * CAST(json_extract(props, '$.k') AS HUGEINT)) AS syy,
+             SUM(CAST(floor(value * 1e6) AS HUGEINT)
+                 * CAST(json_extract(props, '$.k') AS HUGEINT)) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           round(sqrt((CAST(sxx AS DOUBLE) / n)
+                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / 1e6, 6) AS stddev_value,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_vk
+    FROM m
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: distribution statistics (stddev, correlation). Built-in
+    stddev/corr use order-dependent streaming moments (Welford merges
+    differ by partitioning, and differ from DuckDB), so they can never
+    hash-match — instead: exact integer moments (n, Σx, Σx², Σy, Σy²,
+    Σxy in 1e-6 units / DECIMAL(38)), then one deterministic double
+    evaluation of the closed forms. Associative, parallelism-proof,
+    and the final round(6) sits on irrational values (sqrt), where
+    cross-engine ties have measure zero."""
+    ev = t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 1e6).cast("long")
+    y = F.get_json_object("props", "$.k").cast("long")
+    m = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("syy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("y"))).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    stddev = F.round(F.sqrt(sxx / n - (sx / n) * (sx / n)) / 1e6, 6)
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        6,
+    )
+    return m.select(
+        "event_type", stddev.alias("stddev_value"), corr.alias("corr_vk")
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: unpivot/melt — wide metric columns to long (metric, value)
+    rows, the inverse of A8. Narrow op (Expand node): each input row
+    emits one row per metric with no shuffle."""
+    part = t(spark, sf_dir, "part")
+    return part.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "metric",
+        "metric_value",
+    )
