@@ -1,0 +1,107 @@
+"""Physical-plan audit across every registered query key.
+
+For each key, compiles the plan (no execution) and reports the
+structures that matter at 100 TB: shuffle count, join strategies,
+whole-stage-codegen spans, parquet pushdown, and red flags
+(CartesianProduct, BroadcastNestedLoopJoin on large sides,
+partition-less window sorts).
+
+Usage: python tools/audit_plans.py [--sf DIR] [keys...]
+Exit 1 if any red flag fires outside the declared allowlist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flirt_consume_spark.queries import REGISTRY
+from flirt_consume_spark.session import get_spark
+
+# Keys where a nominally-scary node is the declared, documented plan.
+ALLOW = {
+    # O1 global sort is the operator itself (range-partitioned sort).
+    "sort_global": {"single_partition_window"},
+    # knn probes broadcast ~10 query vectors against the corpus — the
+    # nested-loop is over a 10-row broadcast side, by design.
+    "llm_knn": {"nested_loop"},
+    # the rank-over-50-rows windows after a TakeOrdered cut.
+    "llm_vocab": {"single_partition_window"},
+    "topk": {"single_partition_window"},
+    # Theta self-join over the 25-row nation dim: the nested loop's
+    # broadcast side is the whole (tiny) table.
+    "geo_haversine": {"nested_loop"},
+    # Deliberate tiny-broadcast cross products: every vector meets a
+    # constant-size side (10 centroids / the hyperplane set / 16 bit
+    # positions) — the scan side never shuffles.
+    "llm_ann_ivf": {"nested_loop"},
+    "llm_ann_lsh": {"nested_loop"},
+    "llm_simhash": {"nested_loop"},
+}
+
+
+import re
+
+
+def _explain(df, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def audit(key: str, df) -> dict:
+    p = _explain(df, "formatted")
+    flags = set()
+    if "CartesianProduct" in p:
+        flags.add("cartesian")
+    if "BroadcastNestedLoopJoin" in p:
+        flags.add("nested_loop")
+    # A window/sort over a single partition serializes the stage.
+    if (
+        "Arguments: SinglePartition" in p
+        and "TakeOrderedAndProject" not in p
+    ):
+        flags.add("single_partition_window")
+    return {
+        "key": key,
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange", p, re.M)),
+        "bhj": len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)),
+        "smj": len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)),
+        # NOTE: whole-stage-codegen spans are not visible pre-execution
+        # under AQE (isFinalPlan=false) — verified per-key manually via
+        # df.explain() after an action, not audited here.
+        "pushed_filters": "PushedFilters: [" in p
+        and bool(re.search(r"PushedFilters: \[[^\]]", p)),
+        "flags": sorted(flags),
+        "unexpected": sorted(flags - ALLOW.get(key, set())),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("CHECK_SF", "/root/testdata/sf0.001"))
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+    spark = get_spark("plan-audit")
+    n_bad = 0
+    for key in args.keys or sorted(REGISTRY):
+        try:
+            res = audit(key, REGISTRY[key].fn(spark, args.sf))
+        except Exception as e:  # noqa: BLE001
+            res = {"key": key, "error": f"{type(e).__name__}: {e}"}
+        if res.get("unexpected") or "error" in res:
+            n_bad += 1
+        print(json.dumps(res))
+    print(f"# {n_bad} keys with unexpected plan flags")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
