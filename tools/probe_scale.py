@@ -1,0 +1,123 @@
+"""Headroom probe: times the heavy operator pipelines at Nx the
+largest local scale factor by self-multiplying inputs (union of N
+copies with shifted keys — preserves key cardinality ratios and
+group counts, so plans face N× rows AND N× distinct keys).
+
+This is the local stand-in for "would the plan survive a 100×
+scale-up": if wall-time grows ~linearly in N while the plan shape
+stays fixed (same audit output), the operator scales by adding
+executors; superlinear growth or a plan flip marks a bottleneck.
+
+Usage: python tools/probe_scale.py [--sf DIR] [--mult N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.session import get_spark
+
+
+def multiply(df: DataFrame, key_cols: list[str], n: int, stride: int) -> DataFrame:
+    """N copies with all key columns shifted by copy*stride — distinct
+    keys scale with rows, as they would in real data."""
+    copies = []
+    for i in range(n):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * stride))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def timed(name: str, df: DataFrame) -> dict:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return {"probe": name, "sec": round(time.time() - t0, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args()
+    n = args.mult
+    spark = get_spark("probe-scale")
+
+    li = load_table(spark, args.sf, "lineitem")
+    od = load_table(spark, args.sf, "orders")
+    docs = load_table(spark, args.sf, "documents")
+    # warm-up
+    for d in (li, od, docs):
+        d.count()
+
+    li_n = multiply(li, ["l_orderkey"], n, 10_000_000)
+    od_n = multiply(od, ["o_orderkey", "o_custkey"], n, 10_000_000)
+    docs_n = multiply(docs, ["doc_id"], n, 10_000_000)
+
+    results = [
+        # Q1-shape aggregation: two-phase hash agg, fixed group count.
+        timed(
+            f"agg_q1_x{n}",
+            li_n.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sq"),
+                F.count(F.lit(1)).alias("cnt"),
+            ),
+        ),
+        # Fact-fact join: shuffle join on N-times-larger key domain.
+        timed(
+            f"join_fact_x{n}",
+            od_n.join(li_n, od_n["o_orderkey"] == li_n["l_orderkey"]).groupBy(
+                "o_orderstatus"
+            ).agg(F.count(F.lit(1)).alias("cnt")),
+        ),
+        # Distributed top-k over the multiplied fact table.
+        timed(
+            f"topk_x{n}",
+            li_n.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+            .limit(100),
+        ),
+        # The shingle/MinHash LSH pipeline end-to-end on N-times docs.
+        timed(f"minhash_lsh_x{n}", _lsh(docs_n)),
+    ]
+    base = [
+        timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
+        )),
+        timed("join_fact_x1", od.join(li, od["o_orderkey"] == li["l_orderkey"])
+              .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))),
+        timed("topk_x1", li.orderBy(
+            F.desc("l_extendedprice"), "l_orderkey", "l_linenumber").limit(100)),
+        timed("minhash_lsh_x1", _lsh(docs)),
+    ]
+    for r in results + base:
+        print(json.dumps(r))
+    by = {r["probe"]: r["sec"] for r in results + base}
+    for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh"):
+        hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
+        print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
+                          round(hi / lo / n, 2)}))
+
+
+def _lsh(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators import dedup as D
+
+    return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+
+
+if __name__ == "__main__":
+    main()
