@@ -96,3 +96,85 @@ def shape_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue", 6))
     )
+
+
+@query(
+    "shape_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def shape_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (the
+    fact side streams through the semi probe once; no duplicate
+    explosion, no distinct needed), then a small agg."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    hit = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "shape_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity * 100) AS BIGINT)) > 300 * 100
+    )
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           {sql_dsum('l_quantity', 'total_qty', 2)}
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def shape_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING subquery as a semi-join pre-filter on
+    the grouped fact (the aggregate runs once, its survivors prune the
+    join inputs), then dim enrichment and ranked cut."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sq"))
+        .filter(F.col("sq") > 300 * 100)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    cust = t(spark, sf_dir, "customer")
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+    )
+    agg = joined.groupBy("c_name", "o_orderkey", "o_orderdate").agg(
+        dsum("l_quantity", "total_qty", 2)
+    )
+    return agg.select(
+        "c_name",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "total_qty",
+    ).orderBy(F.desc("total_qty"), "o_orderkey").limit(20)
