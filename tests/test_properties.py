@@ -80,3 +80,63 @@ def test_approx_distinct_tolerance(spark):
     approx = ev.agg(F.approx_count_distinct("user_id", 0.01)).collect()[0][0]
     exact = ev.select("user_id").distinct().count()
     assert abs(approx - exact) / exact < 0.05
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == driver-side union-find on
+    arbitrary random graphs (chains, stars, cycles, forests)."""
+    from flirt_consume_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    """Bins are contiguous in doc_id order per source; every bin
+    except possibly the last starts before the ctx boundary it fills;
+    token totals are preserved."""
+    from flirt_consume_spark.queries.base import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    packed = REGISTRY["pack_sequences"].fn(spark, sf)
+    rows = packed.collect()
+    docs = load_table(spark, sf, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for r in rows:
+        assert r.bin_id >= 0 and r.n_docs >= 1
+    # bin ids per source are dense from 0 (no gaps: cumsum is monotone)
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.bin_id)
+    for src, bins in by_src.items():
+        assert sorted(bins) == list(range(len(bins))), src
