@@ -168,3 +168,37 @@ def llm_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits"
         ),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             {_BUCKET_SQL.format(c='doc_id')} AS bucket,
+             CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM b WHERE bucket < rate GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-stratum rates (corpus
+    rebalancing: downsample the dominant language to 10%, keep the
+    tail at 50%) off the same md5 bucket as split_assign. Unlike
+    ``df.sampleBy`` (RNG, non-reproducible across engines/runs) the
+    kept set is a pure function of doc_id, so resumed or re-sharded
+    pipelines keep exactly the same documents."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = _BUCKET_SPARK(F.col("doc_id"))
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
