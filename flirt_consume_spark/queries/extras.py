@@ -290,3 +290,69 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice", "price_sum", 2),
     )
+
+
+_SALT_DIM = [("click", "low"), ("view", "low"), ("purchase", "high"),
+             ("signup", "mid"), ("error", "mid")]
+_SALT_DIM_SQL = ", ".join(f"('{k}', '{v}')" for k, v in _SALT_DIM)
+
+
+@query(
+    "join_salted",
+    oracle=f"""
+    SELECT e.event_type, d.tier, COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(e.value * 1e6) AS BIGINT)) AS DOUBLE)
+                / 1e6 AS DOUBLE) AS val_sum
+    FROM events e
+    JOIN (SELECT * FROM (VALUES {_SALT_DIM_SQL}) AS t(event_type, tier)) d
+      ON e.event_type = d.event_type
+    GROUP BY 1, 2
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/scale.salted_join): the fact
+    side's 5-value event_type key is maximally skewed — salting
+    splits each hot key across salt_buckets reducers (salt from
+    xxhash64 of the row, not rand(): deterministic retries), the
+    small side is exploded across all salts. The salt never escapes:
+    the result — and therefore the oracle — is the plain join."""
+    from flirt_consume_spark.operators.scale import salted_join
+
+    ev = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_SALT_DIM, "event_type string, tier string")
+    joined = salted_join(ev, dim, "event_type")
+    return joined.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value", "val_sum", 6),
+    )
+
+
+@query(
+    "agg_incremental",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE)
+                / 1e2 AS DOUBLE) AS price_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation — the reference's monthly consume model
+    at 100 TB: keep PARTIAL aggregates (sum-in-integer-units + count)
+    per month partition, merge partials for the report. A new month
+    only computes its own partial; the merge re-aggregates ~months
+    rows, not ~1e12 rows. Correct because integer SUM and COUNT are
+    commutative monoids — the oracle is the direct full aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    partials = (
+        orders.withColumn("month_key", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("month_key", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("p_sum"),
+        )
+    )
+    return partials.groupBy("o_orderstatus").agg(
+        F.sum("p_cnt").alias("cnt"),
+        (F.sum("p_sum") / F.lit(100.0)).cast("double").alias("price_sum"),
+    )
