@@ -479,3 +479,36 @@ def udf_groupnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return docs.groupBy("lang").applyInPandas(znorm, schema=_GROUPNORM_SCHEMA)
+
+
+@query(
+    "llm_editdist",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, substr(text, 1, 40) AS head,
+             lead(substr(text, 1, 40)) OVER (ORDER BY doc_id) AS next_head
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(levenshtein(head, next_head) AS BIGINT) AS edit_dist
+    FROM p WHERE next_head IS NOT NULL
+    """,
+)
+def llm_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: Levenshtein edit distance between adjacent documents'
+    40-char heads — the character-level rung of the fuzzy-match
+    ladder (shingles are word-level). JVM built-in, O(len^2) per
+    pair: bound the compared prefix, never run it on full documents
+    at scale — it's the verify step after a blocking join, same
+    role as jaccard_pairs."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    head = F.substring("text", 1, 40)
+    w = Window.orderBy("doc_id")
+    p = docs.select(
+        "doc_id", head.alias("head"), F.lead(head).over(w).alias("next_head")
+    )
+    return p.filter(F.col("next_head").isNotNull()).select(
+        "doc_id",
+        F.levenshtein("head", "next_head").cast("bigint").alias("edit_dist"),
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flirt_consume_spark.operators.windows import dec_wsum, keep_latest
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import dsum, query, t
 
 
 @query(
@@ -169,4 +169,37 @@ def dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = keep_latest(orders, ["o_custkey"], "o_orderdate", "o_orderkey")
     return latest.select(
         "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT tile, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE)
+                / 1e2 AS DOUBLE) AS price_sum
+    FROM (
+      SELECT o_totalprice,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS tile
+      FROM orders
+    ) GROUP BY tile
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: ntile quantile bucketing (spend quartiles). Full unique
+    ordering (price, orderkey) so tile boundaries are deterministic
+    cross-engine. The global ntile is inherently single-ordered; at
+    scale prefer A6 percentile cutoffs + a narrow bucket join —
+    this key covers the window surface itself."""
+    from pyspark.sql.window import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiles = orders.select(
+        "o_totalprice", F.ntile(4).over(w).cast("bigint").alias("tile")
+    )
+    return tiles.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "price_sum", 2),
     )

@@ -43,6 +43,11 @@ ALLOW = {
     "llm_ann_ivf": {"nested_loop"},
     "llm_ann_lsh": {"nested_loop"},
     "llm_simhash": {"nested_loop"},
+    # Global-order windows over bounded inputs, documented as surface
+    # coverage (win_ntile: quantile cutoffs are the scale path;
+    # llm_editdist: adjacent-pair verify over a 200-doc slice).
+    "win_ntile": {"single_partition_window"},
+    "llm_editdist": {"single_partition_window"},
 }
 
 
