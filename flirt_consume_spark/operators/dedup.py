@@ -216,10 +216,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Initialize at min(self, neighbors): the first propagation round
+    # folded into the init aggregation — one fewer loop iteration
+    # (each costs a join + agg + action).
     labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.min("s"), F.min("d")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
