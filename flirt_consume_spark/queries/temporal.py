@@ -178,3 +178,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         "click_id",
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), points AS (
+      SELECT user_id, event_type, ts FROM chg
+      WHERE prev_type IS NULL OR prev_type != event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM points
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: SCD Type-2 interval versioning — compress an event stream
+    to change points (value != previous), then close each version
+    with the next change's timestamp (valid_from/valid_to,
+    NULL = current). This is how the reference's *schedule versions*
+    come to exist — the table J6's as-of join consumes. Two windows
+    over the same (user, time) partitioning: one shuffle, second
+    window reuses the sort."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    points = chg.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return points.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
