@@ -97,3 +97,42 @@ def write_partitioned(
 def with_month_key(df: DataFrame, ts_col: str, key_col: str = "month_key") -> DataFrame:
     """Derive the partition key used by the monthly sink ('YYYY-MM')."""
     return df.withColumn(key_col, F.date_format(F.col(ts_col), "yyyy-MM"))
+
+
+def source_fingerprint(sf_dir: str, name: str) -> str:
+    """Content fingerprint of one source table (file or directory):
+    md5 over sorted (relpath, size, mtime_ns) of every data file.
+
+    Round-trip caches under /tmp must be keyed on THIS, not on the
+    sf-dir basename alone: if testdata is regenerated in place (same
+    path, new contents), a basename-keyed cache would silently serve
+    stale data. A size+mtime fingerprint changes with the rewrite, so
+    the cache misses and the round-trip re-runs.
+    """
+    import hashlib
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(root)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:10]
+
+
+def cache_path(prefix: str, sf_dir: str, table: str) -> str:
+    """/tmp round-trip cache location for (prefix, sf_dir, table),
+    keyed on the source table's content fingerprint (see
+    source_fingerprint). Safe to reuse iff the fingerprint matches.
+    """
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        "/tmp", f"flirt_{prefix}_{base}_{source_fingerprint(sf_dir, table)}"
+    )

@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from flirt_consume_spark.io import read_csv, read_jsonl, with_month_key, write_partitioned
+from flirt_consume_spark.io import (
+    cache_path,
+    read_csv,
+    read_jsonl,
+    with_month_key,
+    write_partitioned,
+)
 from flirt_consume_spark.operators.similarity import as_double, cosine
 from flirt_consume_spark.queries.base import dsum, query, sql_dsum, t
 
@@ -136,9 +142,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flirt_consume_spark.schemas import ORDERS
 
     orders = t(spark, sf_dir, "orders")
-    path = os.path.join(
-        "/tmp", f"flirt_csv_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    path = cache_path("csv", sf_dir, "orders")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (
@@ -234,9 +238,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flirt_consume_spark.schemas import CUSTOMER
 
     cust = t(spark, sf_dir, "customer")
-    path = os.path.join(
-        "/tmp", f"flirt_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    path = cache_path("jsonl", sf_dir, "customer")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         cust.coalesce(4).write.mode("overwrite").json(path)
@@ -271,9 +273,7 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks x months small files (the 100-TB small-file guard)."""
     orders = t(spark, sf_dir, "orders")
     base = with_month_key(orders, "o_orderdate")
-    path = os.path.join(
-        "/tmp", f"flirt_sink_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    path = cache_path("sink", sf_dir, "orders")
     # The full base write happens once; every run after that re-consumes
     # only the corrected month — dynamic overwrite makes the final state
     # identical either way (that IS the idempotency being demonstrated).
