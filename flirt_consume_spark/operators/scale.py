@@ -67,7 +67,17 @@ def salted_join(
     The salt on the big side is derived from a hash of the whole row
     (deterministic, uniform), NOT rand(), so results are reproducible
     and retries of a failed task produce identical output.
+
+    Only inner/left are supported: the small side is exploded across
+    all salt values, so right/full outer would emit each unmatched
+    small-side row salt_buckets times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "exploded small side would duplicate unmatched rows under "
+            "right/full outer joins"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets))
     )

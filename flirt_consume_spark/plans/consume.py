@@ -205,9 +205,17 @@ def destination_distribution(
         & F.col("leg_date").between(start, end)
     )
     by_dest = window.groupBy("dest").agg(F.sum("seats").alias("seats"))
-    total = by_dest.agg(F.sum("seats")).collect()[0][0]
-    return by_dest.select(
-        "dest",
-        "seats",
-        F.round(F.col("seats") / F.lit(total), 6).alias("probability"),
-    ).orderBy(F.col("seats").desc(), "dest")
+    # Normalizer as a broadcast 1-row aggregate, not a driver-side
+    # collect: keeps the pipeline end-to-end lazy (view/stream
+    # composable), and an empty window yields an empty result instead
+    # of NULL probabilities.
+    total = by_dest.agg(F.sum("seats").alias("_total"))
+    return (
+        by_dest.crossJoin(F.broadcast(total))
+        .select(
+            "dest",
+            "seats",
+            F.round(F.col("seats") / F.col("_total"), 6).alias("probability"),
+        )
+        .orderBy(F.col("seats").desc(), "dest")
+    )

@@ -111,9 +111,11 @@ def favg(col: Column | str, alias: str) -> Column:
 
 
 def sql_favg(expr: str, alias: str) -> str:
+    # COUNT(expr), not COUNT(*): favg divides by F.count(col) (non-null
+    # count) — both sides must use the same denominator if NULLs appear.
     return (
         f"CAST(SUM(CAST(floor(({expr}) * 1e9) AS BIGINT)) AS DOUBLE)"
-        f" / 1e9 / COUNT(*) AS {alias}"
+        f" / 1e9 / COUNT(({expr})) AS {alias}"
     )
 
 

@@ -187,6 +187,39 @@ def udf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e2)
+             / 1e2 AS charge
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: SCALAR pandas UDF — the vectorized Arrow-batched per-row
+    path (TPC-H charge expression). Policy stays "built-ins first";
+    this key covers the scalar-UDF surface itself and proves the
+    Arrow batch transfer computes bit-identical IEEE arithmetic to
+    the engines' native expression (floor-to-cents on both sides —
+    per-value round() ties differ cross-engine, floor doesn't).
+    Closure (not module-level) so executors never import this package."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def charge(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # identical association order to the oracle: (ep*(1-d))*(1+t)
+        c = ep.to_numpy() * (1.0 - disc.to_numpy()) * (1.0 + tax.to_numpy())
+        return pd.Series(np.floor(c * 100.0) / 100.0)
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@query(
     "udtf_expand",
     oracle=r"""
     SELECT doc_id,

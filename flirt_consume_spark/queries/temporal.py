@@ -184,20 +184,20 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_history",
     oracle="""
     WITH chg AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), points AS (
-      SELECT user_id, event_type, ts FROM chg
+      SELECT user_id, event_type, ts, event_id FROM chg
       WHERE prev_type IS NULL OR prev_type != event_type
     )
     SELECT user_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                     '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                AS BOOLEAN) AS is_current
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current
     FROM points
     """,
 )
@@ -218,7 +218,10 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("prev_type") != F.col("event_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # Full-unique ordering (ts, event_id): two change points sharing a
+    # (user_id, ts) would otherwise make valid_to nondeterministic
+    # cross-engine; the oracle's lead windows order identically.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w2)
     return points.select(
         "user_id",
