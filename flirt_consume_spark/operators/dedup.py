@@ -39,18 +39,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct (doc, shingle) pairs — the unit for MinHash & Jaccard.
 
-    Tokenizes ONCE into a materialized array column, then explodes the
-    shingle transform over it — a narrow op that parallelizes with the
-    scan (no shuffle until the distinct)."""
+    Fully narrow: global distinct over (doc, shingle) pairs is exactly
+    per-doc ``array_distinct``, so no shuffle — and the explode sits
+    DIRECTLY over the token-array projection (one Generate node).
+    Don't re-shape this into project-array-then-explode-the-alias: an
+    aliased HOF array column crossing a Project boundary is evaluated
+    by the interpreted (non-codegen) projection path and re-serialized
+    per row — measured 15× slower at sf0.1."""
     from flirt_consume_spark.operators.text import tokens
 
     step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
         F.size("_tok") >= n
     )
-    sh = step.select(
-        F.col(id_col), F.explode(shingles("_tok", n)).alias("shingle")
+    return step.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles("_tok", n))).alias("shingle"),
     )
-    return sh.distinct()
 
 
 def shingle_stream(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -149,6 +153,53 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    min_sim: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to CANDIDATE pairs — the
+    scale-true verify rung: LSH proposes (lsh_candidate_pairs), this
+    disposes. ``sh`` is the distinct (doc, shingle) stream
+    (shingle_table).
+
+    Unlike jaccard_pairs' raw shingle self-join (quadratic in a hot
+    shingle's document frequency), every join here is pair-bounded:
+    cand ⋈ A's shingles on doc_a, then ⋈ B's shingles on
+    (doc_b, shingle) — total work O(Σ_pairs |shingles(A)|),
+    independent of corpus-wide shingle frequencies.
+
+    ``cand`` must have (doc_a, doc_b) with doc_a < doc_b."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                * 1e6
+            )
+            / F.lit(1e6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= min_sim).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint (16-bit): per distinct token, a 32-bit md5
     hash votes ±1 on each of 16 bit positions; the sign of each
@@ -205,15 +256,22 @@ def connected_components(
     large-star/small-star contraction (Kiveris et al.) — same loop
     skeleton, fewer rounds.
     """
-    # Materialize the pair list BEFORE mirroring it: the union refers
-    # to `e` twice, and without this the whole upstream (LSH) subtree
-    # would execute once per branch.
-    e = pairs.select(
-        F.col(left).cast("long").alias("s"), F.col(right).cast("long").alias("d")
-    ).localCheckpoint(eager=True)
+    # Mirror each pair into both directions with one explode — a
+    # single narrow pass, so the upstream (LSH) subtree executes
+    # exactly once and only ONE materialization is needed. No
+    # distinct(): candidate pairs are distinct with left < right, so
+    # the mirrored set is distinct by construction.
+    s, d = F.col(left).cast("long"), F.col(right).cast("long")
     edges = (
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("s"), d.alias("d")),
+                    F.struct(d.alias("s"), s.alias("d")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.d")
         .localCheckpoint(eager=True)
     )
     # Initialize at min(self, neighbors): the first propagation round
@@ -224,28 +282,34 @@ def connected_components(
         .agg(F.least(F.min("s"), F.min("d")).alias("comp"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
-    for _ in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         # The label table is the candidate-pair node set — orders of
         # magnitude smaller than the corpus; broadcast it so the
-        # per-iteration join never shuffles the edge list. (At true
+        # per-round join never shuffles the edge list. (At true
         # web scale where labels outgrow broadcast, drop the hints:
         # the loop then shuffle-joins on the same key both rounds.)
         nbr_min = (
-            edges.join(F.broadcast(labels), edges["d"] == labels["node"])
+            edges.join(F.broadcast(lbl), edges["d"] == lbl["node"])
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = (
-            labels.join(F.broadcast(nbr_min), labels["node"] == nbr_min["s"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(
+            F.broadcast(nbr_min), lbl["node"] == nbr_min["s"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
         )
+
+    # Seed the convergence probe with the INIT labels' sum (a tiny agg
+    # over the just-checkpointed table): near-dup graphs are
+    # star-shaped, so min(self, neighbors) init usually IS the
+    # fixpoint — seeding lets the loop confirm it with a single
+    # propagation round instead of two.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        labels = propagate(labels).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

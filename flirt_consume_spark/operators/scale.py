@@ -55,6 +55,55 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Distributed global row_number over a total order — the scale
+    path for O1/W6 that a partition-less Window can't provide (that
+    plans as a single reducer holding the whole table).
+
+    Mechanics: range-repartition on the sort key (each partition holds
+    a contiguous key range, in partition-index order), sort within
+    partitions (parallel), derive each row's 0-based offset inside its
+    partition from ``monotonically_increasing_id`` (its low 33 bits
+    are exactly the within-partition row counter, assigned in sorted
+    order — narrow, no window), then add per-partition start offsets
+    via a broadcast join against the tiny (pid → preceding-count)
+    table. That prefix sum is a broadcast triangular self-join over
+    O(num_partitions) rows — no single-partition window or other
+    serialized stage anywhere in the plan.
+
+    Rank values are exact and deterministic regardless of where the
+    sampled range boundaries land, PROVIDED ``order_cols`` is a total
+    order (full unique key — ties would make any global rank
+    nondeterministic anyway).
+    """
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_loc", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+        )
+    )
+    cnts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    prev = cnts.select(
+        F.col("_pid").alias("_ppid"), F.col("_cnt").alias("_pcnt")
+    )
+    offs = (
+        cnts.join(F.broadcast(prev), F.col("_ppid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_loc") + 1).cast("int"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -167,13 +167,17 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ngram_jaccard",
     oracle=_SH_CTE
+    + _MH_BANDS
+    + ", pairs AS ("
+    + _MH_PAIRS_SELECT
     + """
-    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
     )
     SELECT doc_a, doc_b,
            floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e6) / 1e6 AS jaccard
@@ -184,11 +188,15 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2c: exact 3-gram Jaccard similarity on pairs sharing >= 1
-    shingle — the verify rung of the dedup ladder (feed it LSH
-    candidates at scale)."""
+    """L2c: exact 3-gram Jaccard VERIFY over MinHash-LSH candidates —
+    the full propose/dispose composition of the dedup ladder. The
+    exact-Jaccard joins are pair-bounded (operators/dedup.
+    jaccard_verify), so no step is quadratic in a hot shingle's
+    document frequency; the raw self-join form (jaccard_pairs) stays
+    available for small blocked inputs."""
     docs = t(spark, sf_dir, "documents")
-    return D.jaccard_pairs(D.shingle_table(docs), min_sim=0.3)
+    cand = D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+    return D.jaccard_verify(D.shingle_table(docs), cand, min_sim=0.3)
 
 
 _COS = (

@@ -416,17 +416,18 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: global total order, made hash-visible via a rank column.
 
-    Scale note: a global Window without partition keys is a
-    single-reducer pattern; at 100 TB a global rank would instead use
-    orderBy + zipWithIndex-style range partitioning or be avoided
-    entirely. Declared here for surface completeness; the bench
-    headline queries avoid global ranks.
+    Scale path (operators/scale.global_rank): range-repartition on the
+    sort key + parallel within-partition ranking + broadcast offset
+    join — no single-reducer Window anywhere; the only sequential step
+    is a running sum over num_partitions rows.
     """
+    from flirt_consume_spark.operators.scale import global_rank
+
     orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return orders.select(
-        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk")
+    ranked = global_rank(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     )
+    return ranked.select("o_orderkey", "o_totalprice", "rnk")
 
 
 @query(

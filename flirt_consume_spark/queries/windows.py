@@ -187,17 +187,31 @@ def dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6: ntile quantile bucketing (spend quartiles). Full unique
-    ordering (price, orderkey) so tile boundaries are deterministic
-    cross-engine. The global ntile is inherently single-ordered; at
-    scale prefer A6 percentile cutoffs + a narrow bucket join —
-    this key covers the window surface itself."""
-    from pyspark.sql.window import Window
+    """W6: ntile quantile bucketing (spend quartiles), computed the
+    scale way: distributed global rank (range partitioning + offset
+    join, operators/scale.global_rank — no single-reducer Window),
+    then the exact ntile row-number formula — the first n%k tiles get
+    ceil(n/k) rows, the rest floor(n/k) — with n from a broadcast
+    1-row count. Bit-identical to the engines' ntile(4) at any
+    parallelism; full unique ordering (price, orderkey) so tile
+    boundaries are deterministic cross-engine."""
+    from flirt_consume_spark.operators.scale import global_rank
 
+    k = 4
     orders = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    tiles = orders.select(
-        "o_totalprice", F.ntile(4).over(w).cast("bigint").alias("tile")
+    ranked = global_rank(orders, [F.col("o_totalprice"), F.col("o_orderkey")])
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    q = F.col("_n") - (F.col("_n") / k).cast("long") * k  # n % k
+    base = (F.col("_n") / k).cast("long")  # n // k
+    big = q * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = (
+        F.when((F.col("rnk") <= big) | (base == 0),
+               ((F.col("rnk") - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(q + ((F.col("rnk") - big - 1) / base).cast("long") + 1)
+        .alias("tile")
+    )
+    tiles = ranked.crossJoin(F.broadcast(total)).select(
+        "o_totalprice", tile
     )
     return tiles.groupBy("tile").agg(
         F.count(F.lit(1)).alias("n_orders"),

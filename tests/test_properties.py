@@ -118,6 +118,28 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_jaccard_verify_matches_raw_selfjoin(spark):
+    """Pair-bounded array-intersect Jaccard == the raw shingle
+    self-join form, on the pairs both can see (candidates)."""
+    from flirt_consume_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_stream,
+        shingle_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(shingle_stream(docs)))
+    got = jaccard_verify(shingle_table(docs), cand, min_sim=1e-6)
+    raw = jaccard_pairs(shingle_table(docs), min_sim=1e-6)
+    want = raw.join(cand, ["doc_a", "doc_b"])  # restrict to candidates
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_pack_sequences_invariants(spark):
     """Bins are contiguous in doc_id order per source; every bin
     except possibly the last starts before the ctx boundary it fills;

@@ -1,15 +1,23 @@
 """Scale-infrastructure behavior: bucketed joins eliminate the
-shuffle; salted joins keep results identical and spread hot keys."""
+shuffle; salted joins keep results identical and spread hot keys;
+global_rank matches a single-reducer window without using one."""
 
 from __future__ import annotations
 
 import contextlib
 import io
 
+import pytest
+
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flirt_consume_spark.io import load_table
-from flirt_consume_spark.operators.scale import salted_join, write_bucketed
+from flirt_consume_spark.operators.scale import (
+    global_rank,
+    salted_join,
+    write_bucketed,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -60,6 +68,30 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_rejects_outer(spark):
+    customer = load_table(spark, SF, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    nation = load_table(spark, SF, "nation")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(customer, nation, "n_nationkey", how="full")
+
+
+def test_global_rank_matches_window_rank(spark):
+    orders = load_table(spark, SF, "orders")
+    cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    got = global_rank(orders, cols).select("o_orderkey", "rnk")
+    w = Window.orderBy(*cols)
+    want = orders.select("o_orderkey", F.row_number().over(w).alias("rnk"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # and the plan never funnels the table through one partition:
+    # no Window node at all, offsets come from the triangular join
+    p = plan_of(got)
+    assert "Window" not in p, p
 
 
 def test_salt_spreads_rows(spark):

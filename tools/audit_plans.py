@@ -26,8 +26,12 @@ from flirt_consume_spark.session import get_spark
 
 # Keys where a nominally-scary node is the declared, documented plan.
 ALLOW = {
-    # O1 global sort is the operator itself (range-partitioned sort).
-    "sort_global": {"single_partition_window"},
+    # O1 global rank (operators/scale.global_rank): the per-partition
+    # offset prefix-sum is a broadcast triangular self-join over the
+    # (pid, count) table — num_partitions rows, constant in data size.
+    # Same for W6, which adds a 1-row broadcast total for the ntile
+    # formula. Neither plan serializes any data-sized stage.
+    "sort_global": {"nested_loop"},
     # knn probes broadcast ~10 query vectors against the corpus — the
     # nested-loop is over a 10-row broadcast side, by design.
     "llm_knn": {"nested_loop"},
@@ -43,10 +47,10 @@ ALLOW = {
     "llm_ann_ivf": {"nested_loop"},
     "llm_ann_lsh": {"nested_loop"},
     "llm_simhash": {"nested_loop"},
-    # Global-order windows over bounded inputs, documented as surface
-    # coverage (win_ntile: quantile cutoffs are the scale path;
-    # llm_editdist: adjacent-pair verify over a 200-doc slice).
-    "win_ntile": {"single_partition_window"},
+    "win_ntile": {"nested_loop"},
+    # Global-order window over a bounded input, documented as surface
+    # coverage (llm_editdist: adjacent-pair verify over a 200-doc
+    # slice).
     "llm_editdist": {"single_partition_window"},
 }
 
@@ -68,9 +72,12 @@ def audit(key: str, df) -> dict:
         flags.add("cartesian")
     if "BroadcastNestedLoopJoin" in p:
         flags.add("nested_loop")
-    # A window/sort over a single partition serializes the stage.
+    # A Window evaluated over a single partition serializes the stage.
+    # Requires an actual Window node: a SinglePartition exchange alone
+    # is also the (fine, 1-row) shape of every scalar aggregate.
     if (
         "Arguments: SinglePartition" in p
+        and re.search(r"^\(\d+\) Window", p, re.M)
         and "TakeOrderedAndProject" not in p
     ):
         flags.add("single_partition_window")
