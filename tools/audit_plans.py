@@ -48,6 +48,9 @@ ALLOW = {
     "llm_ann_lsh": {"nested_loop"},
     "llm_simhash": {"nested_loop"},
     "win_ntile": {"nested_loop"},
+    # 1-row normalizing-total CTE cross-joined back (lazy scalar
+    # broadcast — the same shape destination_distribution plans).
+    "sql_distribution": {"nested_loop"},
     # Global-order window over a bounded input, documented as surface
     # coverage (llm_editdist: adjacent-pair verify over a 200-doc
     # slice).
