@@ -73,15 +73,29 @@ def shingle_stream(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = 12) -> DataFrame:
-    """K independent min-hashes per doc: min(md5('<i>:' || shingle)).
-    One hash-aggregate pass over the shingle stream computes all K
+    """K independent min-hashes per doc, from ONE wide hash per shingle:
+    w = md5(shingle) || sha256(shingle) (96 hex chars), sliced into K
+    8-hex (32-bit) windows; mh_i = min(substr(w, i*8+1, 8)).
+
+    Disjoint slices of a cryptographic hash are independent hash
+    functions of the input, so each slice induces its own permutation
+    of the shingle set — the K-permutation structure MinHash needs —
+    while the map side computes 2 hash invocations per shingle
+    occurrence instead of K (measured 6× less hashing at 100-TB shape;
+    hex strings compare lexicographically = numerically, identically
+    in Spark and DuckDB). One hash-aggregate pass computes all K mins
     (duplicates don't affect MIN — feed shingle_stream, not the
     distinct table)."""
+    if k > 12:
+        raise ValueError("k<=12: md5||sha256 yields 96 hex chars = 12 slices")
+    wide = sh.select(
+        F.col(id_col),
+        F.concat(F.md5("shingle"), F.sha2("shingle", 256)).alias("_w"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min(F.substring("_w", i * 8 + 1, 8)).alias(f"mh{i}") for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return wide.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

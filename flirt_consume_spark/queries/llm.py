@@ -56,14 +56,16 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by llm_minhash_dedup and the connected-components clustering oracle.
 _MH_BANDS = (
     """
-    , sigs AS (
+    , wide AS (
+      SELECT doc_id, md5(shingle) || sha256(shingle) AS w FROM sh
+    ), sigs AS (
       SELECT doc_id,
     """
     + ",\n".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(12)
+        f"min(substr(w, {i * 8 + 1}, 8)) AS mh{i}" for i in range(12)
     )
     + """
-      FROM sh GROUP BY doc_id
+      FROM wide GROUP BY doc_id
     ), bands AS (
     """
     + "\nUNION ALL\n".join(
