@@ -150,6 +150,48 @@ def ann_lsh(
     )
 
 
+def embed_dup_pairs(
+    emb: DataFrame,
+    min_cos: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: LSH-bucket every vector
+    (8 deterministic ±1 planes → 256 buckets), pair vectors sharing a
+    bucket (id_a < id_b), keep pairs with ROUNDED cosine >= min_cos.
+
+    Scale shape: one shuffle keyed on bucket id; per-bucket work is
+    |bucket|² — the standard ANN trade, never an all-pairs product
+    over the corpus. The threshold cut is on the 6-dp rounded value so
+    cross-engine ulp noise cannot move a pair across the cut."""
+    buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
+    # Hoist the L2 norm to once-per-vector (O(N·dim)) instead of
+    # inside the pair comparison (O(pairs·dim)) — same IEEE value as
+    # computing it per pair, so the rounded cosine is unchanged.
+    vecs = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .join(buckets, id_col)
+        .select(id_col, "v", "bucket", norm(F.col("v")).alias("nv"))
+    )
+    a = vecs.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), "bucket",
+    )
+    b = vecs.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= min_cos)
+
+
 def ann_ivf(
     emb: DataFrame,
     query_ids: list[int],

