@@ -94,6 +94,38 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files of ~target size. Returns
+    the file count written.
+
+    The 100-TB motivation: a partitioned sink fed by many tasks leaves
+    thousands of KB-scale files per partition; every downstream scan
+    then pays per-file open/footer costs and the driver pays listing.
+    Compaction uses ``coalesce`` (narrow — merges input splits into
+    fewer tasks, no shuffle) rather than ``repartition`` (full
+    shuffle); row order within merged files is input order, which
+    downstream consumers must not rely on either way.
+    """
+    import math
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(src_path):
+        for fn in files:
+            if not fn.startswith("_") and not fn.startswith("."):
+                total += os.path.getsize(os.path.join(dirpath, fn))
+    n = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_path).coalesce(n).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return n
+
+
 def with_month_key(df: DataFrame, ts_col: str, key_col: str = "month_key") -> DataFrame:
     """Derive the partition key used by the monthly sink ('YYYY-MM')."""
     return df.withColumn(key_col, F.date_format(F.col(ts_col), "yyyy-MM"))

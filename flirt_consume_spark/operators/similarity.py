@@ -120,9 +120,14 @@ def ann_lsh(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
-    """L3 scale path: cosine top-k restricted to the query's LSH bucket."""
-    buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
+    """L3 scale path: cosine top-k restricted to the query's LSH bucket.
+    Pass a prebuilt ``buckets`` table (lsh_buckets) to amortize index
+    construction across queries — the build-once/query-many shape of a
+    real ANN index."""
+    if buckets is None:
+        buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
     vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v")).join(
         buckets, id_col
     )
@@ -155,6 +160,7 @@ def embed_dup_pairs(
     min_cos: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: LSH-bucket every vector
     (8 deterministic ±1 planes → 256 buckets), pair vectors sharing a
@@ -164,7 +170,8 @@ def embed_dup_pairs(
     |bucket|² — the standard ANN trade, never an all-pairs product
     over the corpus. The threshold cut is on the 6-dp rounded value so
     cross-engine ulp noise cannot move a pair across the cut."""
-    buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
+    if buckets is None:
+        buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
     # Hoist the L2 norm to once-per-vector (O(N·dim)) instead of
     # inside the pair comparison (O(pairs·dim)) — same IEEE value as
     # computing it per pair, so the rounded cosine is unchanged.

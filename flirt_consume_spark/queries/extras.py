@@ -428,3 +428,79 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_cnt").alias("cnt"),
         (F.sum("p_sum") / F.lit(100.0)).cast("double").alias("price_sum"),
     )
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: text-lines source — one record per line, the rawest LLM
+    corpus format. Round-trips documents as '<doc_id>\\t<text>' lines
+    (text is tab/newline-free), re-reads with ``spark.read.text`` and
+    re-parses; the oracle computes the same per-doc stats from the
+    parquet view, proving the line round-trip lossless."""
+    docs = t(spark, sf_dir, "documents")
+    path = cache_path("text", sf_dir, "documents")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            docs.select(
+                F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias(
+                    "value"
+                )
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .text(path)
+        )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split("value", "\t", 2).alias("_p")
+    ).select(
+        F.element_at("_p", 1).cast("bigint").alias("doc_id"),
+        F.element_at("_p", 2).alias("text"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_words"),
+    )
+
+
+@query(
+    "sink_compact",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: small-file compaction sink — documents scattered across 64
+    tiny files (the classic many-task sink pathology), compacted to
+    ~4 MiB-target files with io.compact_parquet (coalesce: narrow, no
+    shuffle), then read back. The oracle aggregates the parquet view;
+    matching proves compaction is content-lossless. File-count
+    assertions live in tests/test_sources.py."""
+    from flirt_consume_spark.io import compact_parquet
+
+    docs = t(spark, sf_dir, "documents")
+    small = cache_path("smallfiles", sf_dir, "documents")
+    compacted = cache_path("compacted", sf_dir, "documents")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        docs.repartition(64).write.mode("overwrite").parquet(small)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        compact_parquet(spark, small, compacted, target_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

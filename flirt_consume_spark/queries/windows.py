@@ -245,3 +245,59 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("pct_rnk"),
         (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cume"),
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: batch sessionization — the batch twin of the T3 streaming
+    session window. New session when the gap to the previous event
+    exceeds 30 min (exact integer µs comparison); session id is the
+    running count of session-starts (cumulative-sum window). One
+    shuffle on user_id; both windows and the final group share that
+    partitioning, so the sort is reused and the groupBy is
+    partial-aggregated. Full unique ordering (ts, event_id)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

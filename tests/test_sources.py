@@ -57,3 +57,33 @@ def test_partitioned_sink_dynamic_overwrite(spark, tmp_path):
     half = ev.filter(F.col("event_id") % 2 == 0)
     write_partitioned(half, path, ("month_key",))
     assert spark.read.parquet(path).count() == half.count()
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """S8: compaction collapses a many-small-files directory to
+    ceil(bytes/target) files with identical content."""
+    import os
+
+    from flirt_consume_spark.io import compact_parquet
+
+    docs = load_table(spark, SF, "documents")
+    small = str(tmp_path / "small")
+    docs.repartition(32).write.mode("overwrite").parquet(small)
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, small, dst, target_bytes=64 * 1024 * 1024)
+
+    def data_files(p):
+        return [
+            fn
+            for _, _, fs in os.walk(p)
+            for fn in fs
+            if fn.endswith(".parquet")
+        ]
+
+    assert len(data_files(small)) == 32
+    assert len(data_files(dst)) == n
+    assert n < 32
+    back = spark.read.parquet(dst)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
