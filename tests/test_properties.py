@@ -162,3 +162,53 @@ def test_pack_sequences_invariants(spark):
         by_src.setdefault(r.source, []).append(r.bin_id)
     for src, bins in by_src.items():
         assert sorted(bins) == list(range(len(bins))), src
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_edges)
+def test_star_components_matches_union_find(spark, edges):
+    """Alternating large-star/small-star contraction == union-find on
+    arbitrary random graphs — and therefore == min-label propagation."""
+    from flirt_consume_spark.operators.dedup import (
+        alternating_star_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.comp for r in alternating_star_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_star_components_long_chain(spark):
+    """The O(log n) win: a 120-node chain (diameter 119) — label
+    propagation's worst case — resolves to one component in the
+    logarithmic round budget."""
+    from flirt_consume_spark.operators.dedup import (
+        alternating_star_components,
+    )
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = alternating_star_components(pairs, max_iter=12).collect()
+    assert {r.node for r in rows} == set(range(n))
+    assert {r.comp for r in rows} == {0}
