@@ -92,6 +92,12 @@ def main() -> None:
         ),
         # The shingle/MinHash LSH pipeline end-to-end on N-times docs.
         timed(f"minhash_lsh_x{n}", _lsh(docs_n)),
+        # Zero-shuffle quality signal: must scale embarrassingly.
+        timed(f"repetition_x{n}", _rep(docs_n)),
+        # Batch sessionization: one shuffle on user_id, window + agg.
+        timed(f"sessionize_x{n}", _sess(multiply(
+            load_table(spark, args.sf, "events"), ["event_id", "user_id"],
+            n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -103,11 +109,14 @@ def main() -> None:
         timed("topk_x1", li.orderBy(
             F.desc("l_extendedprice"), "l_orderkey", "l_linenumber").limit(100)),
         timed("minhash_lsh_x1", _lsh(docs)),
+        timed("repetition_x1", _rep(docs)),
+        timed("sessionize_x1", _sess(load_table(spark, args.sf, "events"))),
     ]
     for r in results + base:
         print(json.dumps(r))
     by = {r["probe"]: r["sec"] for r in results + base}
-    for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh"):
+    for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh",
+                 "repetition", "sessionize"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -117,6 +126,30 @@ def _lsh(docs: DataFrame) -> DataFrame:
     from flirt_consume_spark.operators import dedup as D
 
     return D.lsh_candidate_pairs(D.minhash_signatures(D.shingle_stream(docs)))
+
+
+def _rep(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.text import repetition_signal
+
+    return repetition_signal(docs)
+
+
+def _sess(ev: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
 
 
 if __name__ == "__main__":
