@@ -120,3 +120,61 @@ def asof_join(
             *[F.col(f"_v_{c}").alias(c) for c in version_cols],
         )
     )
+
+
+def asof_join_forward(
+    versions: DataFrame,
+    probes: DataFrame,
+    key: str,
+    version_ts: str,
+    probe_ts: str,
+    version_cols: list[str],
+    probe_cols: list[str],
+) -> DataFrame:
+    """J6b: forward as-of — for each probe row, attach the EARLIEST
+    version row of the same key with version_ts >= probe_ts (the
+    "next schedule version after this query date" / time-to-next-event
+    direction; pandas merge_asof(direction='forward')).
+
+    Same single-shuffle union + running-scan shape as ``asof_join``,
+    mirrored: first_value over a [current, unbounded following] frame,
+    with probes sorted BEFORE versions at equal timestamps so a
+    same-instant version is visible to the probe (>= semantics). Among
+    same-instant versions the smallest tiebreak-column order wins.
+    """
+    v = versions.select(
+        F.col(key).alias("_k"),
+        F.col(version_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in version_cols],
+        *[F.lit(None).cast(dict(probes.dtypes)[c]).alias(c) for c in probe_cols],
+    )
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(versions.dtypes)[c]).alias(c) for c in version_cols],
+        *[F.col(c) for c in probe_cols],
+    )
+    u = v.unionByName(p)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", *version_cols)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.first(c, ignorenulls=True).over(w).alias(f"_v_{c}")
+            for c in version_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("_side") == 0)
+        .select(
+            F.col("_k").alias(key),
+            F.col("_ts").alias(probe_ts),
+            *[F.col(c) for c in probe_cols],
+            *[F.col(f"_v_{c}").alias(c) for c in version_cols],
+        )
+    )

@@ -181,6 +181,55 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_fwd",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           purchase_id
+    FROM (
+      SELECT c.user_id, c.event_id, c.ts, p.event_id AS purchase_id,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts ASC, p.event_id ASC
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b: FORWARD as-of join — each click matched to the earliest
+    purchase at-or-after it for the same user (time-to-conversion;
+    pandas merge_asof direction='forward'). Same single-shuffle
+    union + running-scan implementation as join_asof, mirrored to a
+    [current, following] frame — the oracle's join+rank form would
+    explode probe×version pairs at scale."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = T.asof_join_forward(
+        versions=purchases,
+        probes=clicks,
+        key="user_id",
+        version_ts="ts",
+        probe_ts="ts",
+        version_cols=["purchase_id"],
+        probe_cols=["event_id"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "purchase_id",
+    )
+
+
+@query(
     "scd2_history",
     oracle="""
     WITH chg AS (

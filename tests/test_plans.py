@@ -85,3 +85,20 @@ def test_pack_sequences_partitions_by_source(spark):
     # The packing cumsum must NOT serialize through one partition.
     p = plan_of(REGISTRY["pack_sequences"].fn(spark, SF))
     assert "hashpartitioning(source" in p, p
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
+    """Reading one month back from a month-partitioned sink must prune
+    at the scan (PartitionFilters on month_key), not read-then-filter
+    — the difference between scanning 1/N and N/N of a 100-TB sink."""
+    from flirt_consume_spark.io import with_month_key, write_partitioned
+
+    ev = with_month_key(load_table(spark, SF, "events"), "ts")
+    path = str(tmp_path / "part_sink")
+    write_partitioned(ev, path, ("month_key",))
+    month = ev.select(F.min("month_key")).collect()[0][0]
+    q = spark.read.parquet(path).filter(F.col("month_key") == month)
+    p = plan_of(q)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "month_key" in pf[0], p
+    assert q.count() == ev.filter(F.col("month_key") == month).count()
