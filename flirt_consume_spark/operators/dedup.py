@@ -218,9 +218,14 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """SimHash fingerprint (16-bit): per distinct token, a 32-bit md5
     hash votes ±1 on each of 16 bit positions; the sign of each
     column's total sets the bit. Near-identical token sets differ in
-    few bits. Pure relational: explode tokens × 16 bit positions,
-    two hash-aggregations — no UDF, deterministic."""
-    spark = docs.sparkSession
+    few bits.
+
+    One shuffle, no row blowup: the 16 per-bit vote totals are 16
+    aggregate expressions over the (doc, token-hash) stream — NOT an
+    explode × 16 bit positions (that multiplies shuffle volume 16×;
+    integer vote sums are order-independent, so the single-pass form
+    is bit-identical and the oracle's join-with-range construction
+    still matches). No UDF, deterministic."""
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -230,22 +235,19 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
-    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
-    # shiftleft/shiftright with a *column* bit count need expr form —
-    # the PySpark helpers only accept Python-int bit counts.
-    votes = toks.crossJoin(F.broadcast(bits)).select(
-        id_col,
-        "b",
-        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END").alias(
-            "vote"
-        ),
+    vote_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
-    bit_sums = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("s"))
-    return bit_sums.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
-        .cast("bigint")
-        .alias("simhash")
-    )
+    bit = F.lit(0).cast("long")
+    for b in range(16):
+        bit = bit + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return vote_sums.select(F.col(id_col), bit.cast("bigint").alias("simhash"))
 
 
 def connected_components(
