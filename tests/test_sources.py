@@ -59,6 +59,45 @@ def test_partitioned_sink_dynamic_overwrite(spark, tmp_path):
     assert spark.read.parquet(path).count() == half.count()
 
 
+def test_ntz_timestamp_normalized(spark, tmp_path):
+    """Regression (round-3 verdict): in the driver environment
+    ``events.ts`` scans as TIMESTAMP_NTZ, not int64 nanos, and
+    ``unix_micros`` rejects NTZ. load_table must normalize every
+    timestamp_ntz column to TimestampType (identity under the pinned
+    UTC session zone), and every events-consuming query key must
+    analyze cleanly against an NTZ-typed table."""
+    import inspect
+    import os
+
+    from flirt_consume_spark.queries import REGISTRY
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ntz_dir = str(tmp_path / "ntz_sf")
+    os.makedirs(ntz_dir)
+    ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        os.path.join(ntz_dir, "events.parquet")
+    )
+    for name in os.listdir(SF):
+        if name != "events.parquet":
+            os.symlink(os.path.join(SF, name), os.path.join(ntz_dir, name))
+
+    loaded = load_table(spark, ntz_dir, "events")
+    assert dict(loaded.dtypes)["ts"] == "timestamp"
+
+    ev_keys = [
+        k
+        for k, spec in REGISTRY.items()
+        if '"events"' in inspect.getsource(spec.fn)
+    ]
+    assert "win_lag" in ev_keys and "win_sessionize" in ev_keys
+    for k in ev_keys:
+        # .schema forces full analysis — the phase where the NTZ
+        # type-mismatch class (DATATYPE_MISMATCH on unix_micros) threw.
+        assert REGISTRY[k].fn(spark, ntz_dir).schema is not None, k
+
+
 def test_compact_parquet_reduces_files(spark, tmp_path):
     """S8: compaction collapses a many-small-files directory to
     ceil(bytes/target) files with identical content."""
