@@ -24,17 +24,32 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
 from flirt_consume_spark.session import apply_runtime_confs
 
-# Events as they sit in a stream-source directory: ns timestamps come
-# in as int64 (same legacy-conf handling as the batch loader).
+# Events as they sit in a stream-source directory. Two layouts exist:
+# legacy int64 nanos (EVENTS_RAW, same legacy-conf handling as the
+# batch loader) and µs TIMESTAMP without timezone (EVENTS_RAW_US, the
+# current testdata layout — scans as TIMESTAMP_NTZ). read_events_stream
+# probes the directory once and normalizes both to TimestampType.
 EVENTS_RAW = StructType(
     [
         StructField("event_id", LongType()),
         StructField("ts", LongType()),  # ns since epoch
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EVENTS_RAW_US = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -47,16 +62,33 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """S5: file-arrival stream source — the streaming counterpart of
     the reference's cron-poll for new monthly extract files. Each file
     dropped into source_dir is discovered and processed exactly once
-    (tracked in the checkpoint's file log)."""
+    (tracked in the checkpoint's file log).
+
+    A streaming source needs its schema declared up front, so the ts
+    layout (int64 nanos vs µs NTZ) is probed with one batch footer
+    read of the files already present; either way the stream exposes
+    plain TimestampType (UTC session zone ⇒ the NTZ cast is identity),
+    matching io.load_table's batch normalization.
+    """
     apply_runtime_confs(spark)
+    try:
+        ts_dtype = dict(spark.read.parquet(source_dir).dtypes).get("ts")
+    except Exception:  # empty dir at startup — assume current layout
+        ts_dtype = "timestamp_ntz"
+    if ts_dtype == "bigint":
+        schema = EVENTS_RAW
+        ts_expr = F.expr("timestamp_micros(ts DIV 1000)")
+    else:
+        schema = EVENTS_RAW_US
+        ts_expr = F.col("ts").cast("timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
     return raw.select(
         "event_id",
-        F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+        ts_expr.alias("ts"),
         "user_id",
         "event_type",
         "value",
