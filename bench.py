@@ -2,11 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {key: sec, ...}, "sf": "..."}
+   "queries": {key: sec, ...}, "queries_min": {...}, "sf": "..."}
 
 Materialization uses the noop sink (full execution on executors, no
 driver-side row transfer), so timings measure the query plan, not
 collect overhead.
+
+Each key runs REPS times (default 3, $SPARK_GRAFT_BENCH_REPS) and
+reports the per-key MEDIAN; single-shot timings proved unusable for
+round-over-round comparison (round 3 showed 7.8x swings on unchanged
+code from machine noise). Repetitions are interleaved — every key runs
+once, then every key again — so a transient stall (GC pause, page-cache
+eviction, competing process) lands in at most one rep of each key
+instead of all reps of whichever key was unlucky.
 """
 
 from __future__ import annotations
@@ -45,18 +53,35 @@ def warmup(spark, sf_dir: str) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
     warmup(spark, sf_dir)
+    samples: dict[str, list[float]] = {key: [] for key in sorted(REGISTRY)}
+    for _rep in range(reps):
+        for key in sorted(REGISTRY):
+            spec = REGISTRY[key]
+            t0 = time.time()
+            try:
+                materialize(spec.fn(spark, sf_dir))
+                samples[key].append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001
+                samples[key].append(-1.0)
+                print(
+                    f"# bench error {key}: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+    import statistics
+
     timings: dict[str, float] = {}
-    for key in sorted(REGISTRY):
-        spec = REGISTRY[key]
-        t0 = time.time()
-        try:
-            materialize(spec.fn(spark, sf_dir))
-            timings[key] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
+    minimums: dict[str, float] = {}
+    for key, vals in samples.items():
+        ok = [v for v in vals if v >= 0]
+        if ok:
+            timings[key] = round(statistics.median(ok), 3)
+            minimums[key] = round(min(ok), 3)
+        else:
             timings[key] = -1.0
-            print(f"# bench error {key}: {type(e).__name__}: {e}", file=sys.stderr)
+            minimums[key] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -65,8 +90,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": minimums,
                 "sf": sf_dir,
                 "n_queries": len(timings),
+                "reps": reps,
             }
         )
     )
