@@ -255,6 +255,7 @@ def connected_components(
     left: str = "doc_a",
     right: str = "doc_b",
     max_iter: int = 25,
+    broadcast_nodes_limit: int = 5_000_000,
 ) -> DataFrame:
     """Tier 5 of the dedup ladder: candidate PAIRS -> duplicate GROUPS.
 
@@ -267,10 +268,14 @@ def connected_components(
     not replay iterations 1..N-1.
 
     Converges in O(diameter) rounds — near-dup clusters are
-    shallow/star-shaped, so single digits in practice. For web-scale
-    graphs with long chains, swap the propagation step for the
-    large-star/small-star contraction (Kiveris et al.) — same loop
-    skeleton, fewer rounds.
+    shallow/star-shaped, so single digits in practice. The per-round
+    join broadcasts the label table, which assumes the candidate-pair
+    node set fits in driver/executor memory; when the node count
+    exceeds ``broadcast_nodes_limit`` (counted on the materialized
+    init table, one cheap action), the call dispatches to
+    ``alternating_star_components`` — O(log n) rounds, shuffle-only,
+    no broadcast assumption — so the operator is scale-safe by
+    default rather than by caller discipline.
     """
     # Mirror each pair into both directions with one explode — a
     # single narrow pass, so the upstream (LSH) subtree executes
@@ -298,12 +303,15 @@ def connected_components(
         .agg(F.least(F.min("s"), F.min("d")).alias("comp"))
         .localCheckpoint(eager=True)
     )
+    if labels.count() > broadcast_nodes_limit:
+        return alternating_star_components(pairs, left, right)
+
     def propagate(lbl: DataFrame) -> DataFrame:
         # The label table is the candidate-pair node set — orders of
         # magnitude smaller than the corpus; broadcast it so the
-        # per-round join never shuffles the edge list. (At true
-        # web scale where labels outgrow broadcast, drop the hints:
-        # the loop then shuffle-joins on the same key both rounds.)
+        # per-round join never shuffles the edge list. Node sets
+        # beyond broadcast_nodes_limit never reach this loop (see
+        # dispatch above).
         nbr_min = (
             edges.join(F.broadcast(lbl), edges["d"] == lbl["node"])
             .groupBy("s")

@@ -56,14 +56,43 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(data: bytes):  # pragma: no cover - stub by design
-    """Real media decode requires PIL/ffmpeg, absent in this container.
-    The Spark-side plumbing (binary column → Arrow batch → per-batch
-    Python) is identical for the real implementation."""
-    raise NotImplementedError(
-        "media decoding is stubbed: install pillow/ffmpeg and replace "
-        "extract_features' byte-level features with decoded ones"
-    )
+# Probe for a real image codec at import. The container this engine is
+# developed in has none (verified: PIL/soundfile/cv2 all absent), so
+# decode_image stays a loud stub there — but the probe means dropping
+# the package into an environment WITH pillow lights up real decode
+# with zero code change.
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - the tested path here
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(data: bytes):
+    """Decode image bytes to (width, height, mode, mean_luma).
+
+    With pillow present, a real decode (any format PIL reads) +
+    8x8-thumbnail mean luminance — a deterministic, cheap stand-in for
+    the usual resize/feature step. Without it, NotImplementedError:
+    the Spark-side plumbing (binary column → Arrow batch → per-batch
+    Python) is identical either way, and extract_features' byte-level
+    features keep the pipeline oracle-checkable in codec-less
+    environments."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "media decoding needs pillow (not in this container); "
+            "extract_features' byte-level features are the tested "
+            "stand-in here"
+        )
+    import io as _io
+
+    img = _PILImage.open(_io.BytesIO(data))
+    img.load()
+    luma = img.convert("L").resize((8, 8))
+    pixels = list(luma.getdata())
+    return (img.width, img.height, img.mode, sum(pixels) // len(pixels))
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

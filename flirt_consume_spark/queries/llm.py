@@ -118,9 +118,12 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir)
 
 
-@query(
-    "dedup_components",
-    oracle=_SH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+# Shared oracle for both connected-components keys: recursive
+# reachability over the mirrored LSH candidate pairs, component =
+# min reachable doc_id. Both Spark algorithms must agree with it
+# (and hence with each other) under the driver's value hash.
+_CC_ORACLE = (
+    _SH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + _MH_BANDS
     + ", pairs AS ("
     + _MH_PAIRS_SELECT
@@ -140,22 +143,45 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(MAX(node) AS BIGINT) AS max_doc
     FROM comp GROUP BY comp
-    """,
+    """
 )
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2d: near-dup CLUSTERS — connected components over the LSH
-    candidate-pair graph (iterative min-label propagation; the oracle
-    replays it as a recursive reachability CTE). component = min
-    doc_id in the group, the canonical survivor under keep-lowest-id
-    dedup policy."""
-    pairs = _lsh_pairs(spark, sf_dir)
-    comp = D.connected_components(pairs)
+
+
+def _component_rollup(comp: DataFrame) -> DataFrame:
     return comp.groupBy("comp").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").cast("bigint").alias("max_doc"),
     ).select(
         F.col("comp").cast("bigint").alias("component"), "n_docs", "max_doc"
     )
+
+
+@query("dedup_components", oracle=_CC_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d: near-dup CLUSTERS — connected components over the LSH
+    candidate-pair graph (iterative min-label propagation; the oracle
+    replays it as a recursive reachability CTE). component = min
+    doc_id in the group, the canonical survivor under keep-lowest-id
+    dedup policy. Above a node-count threshold the operator
+    auto-dispatches to the no-broadcast star-contraction algorithm
+    (see operators/dedup.connected_components), so this key is
+    scale-safe by default."""
+    pairs = _lsh_pairs(spark, sf_dir)
+    comp = D.connected_components(pairs)
+    return _component_rollup(comp)
+
+
+@query("dedup_components_star", oracle=_CC_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d (web-scale variant): the same clustering computed by
+    alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC 2014) — O(log n) rounds, shuffle-only, no broadcast-labels
+    assumption. Shares dedup_components' oracle, so the driver's
+    value hash proves the two algorithms agree, not just the
+    property tests."""
+    pairs = _lsh_pairs(spark, sf_dir)
+    comp = D.alternating_star_components(pairs)
+    return _component_rollup(comp)
 
 
 @query(

@@ -60,10 +60,25 @@ def test_union_except_roundtrip(spark):
 
 
 def test_multimodal_stub_contract(spark):
-    """The decode stub must fail loudly; the feature plumbing must run
-    with the declared schema and deterministic values."""
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    """Without a codec the decode must fail loudly; with pillow it must
+    really decode. The feature plumbing must run either way with the
+    declared schema and deterministic values."""
+    from flirt_consume_spark.operators.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        # 1x1 uncompressed BMP, bright-red pixel — decodes anywhere.
+        bmp = (
+            b"BM" + (26 + 4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\x00\x00\xff\x00"
+        )
+        w, h, mode, luma = decode_image(bmp)
+        assert (w, h) == (1, 1) and 0 <= luma <= 255
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
     feats = extract_features(attach_assets(docs))
     rows = feats.collect()
@@ -116,6 +131,27 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_connected_components_dispatches_above_broadcast_limit(spark):
+    """Scale-safety dispatch: when the node set exceeds
+    broadcast_nodes_limit, connected_components must hand off to the
+    no-broadcast star-contraction algorithm and still return the same
+    labels (a chain catches any off-by-one handoff)."""
+    from flirt_consume_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(20)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    small_path = {
+        r.node: r.comp for r in connected_components(pairs).collect()
+    }
+    dispatched = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, broadcast_nodes_limit=5
+        ).collect()
+    }
+    assert small_path == dispatched == {n: 0 for n in range(21)}
 
 
 def test_jaccard_verify_matches_raw_selfjoin(spark):
