@@ -56,6 +56,14 @@ ALLOW = {
     # coverage (llm_editdist: adjacent-pair verify over a 200-doc
     # slice).
     "llm_editdist": {"single_partition_window"},
+    # nested_loop: 1-row corpus-count broadcast for the idf (same
+    # lazy-scalar shape as sql_distribution). single_partition_window
+    # is a heuristic false positive here: the flag can't associate
+    # nodes, and this plan contains BOTH a scalar count (whose final
+    # agg is legitimately SinglePartition, 1 row) AND a window that is
+    # hash-partitioned by doc_id — no partition-less window exists
+    # (verified by reading the formatted plan).
+    "llm_tfidf": {"nested_loop", "single_partition_window"},
 }
 
 
