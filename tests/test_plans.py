@@ -87,6 +87,29 @@ def test_pack_sequences_partitions_by_source(spark):
     assert "hashpartitioning(source" in p, p
 
 
+def test_chunking_is_narrow(spark):
+    # Context-window chunking must be embarrassingly parallel: a
+    # Generate (explode) over per-row sequences, zero exchanges.
+    p = plan_of(REGISTRY["llm_chunk"].fn(spark, SF))
+    assert "Generate" in p
+    assert "Exchange" not in p, "chunking must not shuffle"
+
+
+def test_contamination_probe_broadcasts_benchmark(spark):
+    # The benchmark gram set is ~1% of the corpus; probing must
+    # broadcast it, never shuffle the training shingle stream into a
+    # sort-merge join against it.
+    p = plan_of(REGISTRY["llm_contaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_quota_window_partitions_by_source(spark):
+    # The quota row_number must partition by the source key, not
+    # serialize the corpus through one partition.
+    p = plan_of(REGISTRY["quota_per_source"].fn(spark, SF))
+    assert "hashpartitioning(lang" in p, p
+
+
 def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
     """Reading one month back from a month-partitioned sink must prune
     at the scan (PartitionFilters on month_key), not read-then-filter

@@ -98,6 +98,10 @@ def main() -> None:
         timed(f"sessionize_x{n}", _sess(multiply(
             load_table(spark, args.sf, "events"), ["event_id", "user_id"],
             n, 10_000_000))),
+        # Context chunking: zero-shuffle, must scale embarrassingly.
+        timed(f"chunk_x{n}", _chunk(docs_n)),
+        # Contamination probe: broadcast benchmark grams vs N× stream.
+        timed(f"contaminate_x{n}", _contam(docs_n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -111,12 +115,14 @@ def main() -> None:
         timed("minhash_lsh_x1", _lsh(docs)),
         timed("repetition_x1", _rep(docs)),
         timed("sessionize_x1", _sess(load_table(spark, args.sf, "events"))),
+        timed("chunk_x1", _chunk(docs)),
+        timed("contaminate_x1", _contam(docs)),
     ]
     for r in results + base:
         print(json.dumps(r))
     by = {r["probe"]: r["sec"] for r in results + base}
     for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh",
-                 "repetition", "sessionize"):
+                 "repetition", "sessionize", "chunk", "contaminate"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -132,6 +138,36 @@ def _rep(docs: DataFrame) -> DataFrame:
     from flirt_consume_spark.operators.text import repetition_signal
 
     return repetition_signal(docs)
+
+
+def _chunk(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.text import tokens
+
+    step = docs.select("doc_id", tokens("text").alias("_tok"))
+    ch = step.select(
+        "doc_id", "_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("_tok") - 1) / 48).cast("int"))
+        ).alias("k"),
+    )
+    piece = F.slice(F.col("_tok"), F.col("k") * 48 + 1, 64)
+    return ch.select(
+        "doc_id", F.col("k").alias("chunk_id"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+def _contam(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs, n=3)
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
 
 
 def _sess(ev: DataFrame) -> DataFrame:
