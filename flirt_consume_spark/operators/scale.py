@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,84 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def zorder_value(
+    x: Column,
+    y: Column,
+    x_min: Column,
+    x_max: Column,
+    y_min: Column,
+    y_max: Column,
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) curve value for two columns: quantize each to
+    ``bits`` levels over its [min, max] range, then interleave the
+    bits. Sorting a sink by this value clusters rows that are close in
+    BOTH dimensions into the same parquet files/row groups, so min/max
+    footer statistics prune multi-dimensional box predicates — the
+    data-skipping layout trick a 100-TB table needs when queries
+    filter on two columns and partitioning can only serve one.
+
+    Deterministic and cross-engine exact: quantization is one IEEE
+    subtract/divide/multiply/floor chain (bit-identical in Spark and
+    DuckDB), interleaving is pure integer arithmetic. Zero-range
+    columns quantize to 0. Returns a 2*bits-bit BIGINT.
+    """
+    levels = float((1 << bits) - 1)
+
+    def quant(c, lo, hi):
+        rng = hi - lo
+        return (
+            F.when(rng == 0, F.lit(0).cast("long"))
+            .otherwise(F.floor((c - lo) / rng * F.lit(levels)).cast("long"))
+        )
+
+    xq, yq = quant(x, x_min, x_max), quant(y, y_min, y_max)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftright(xq, b).bitwiseAND(1) * F.lit(1 << (2 * b))
+            + F.shiftright(yq, b).bitwiseAND(1) * F.lit(1 << (2 * b + 1))
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Re-cluster ``df`` along the Z-curve of (x_col, y_col): range
+    partition + sort by the interleaved value, ready to write. The
+    min/max bounds come from one tiny agg broadcast back — no second
+    pass over the data per row."""
+    bounds = df.agg(
+        F.min(x_col).alias("_xmin"),
+        F.max(x_col).alias("_xmax"),
+        F.min(y_col).alias("_ymin"),
+        F.max(y_col).alias("_ymax"),
+    )
+    with_z = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        zorder_value(
+            F.col(x_col).cast("double"),
+            F.col(y_col).cast("double"),
+            F.col("_xmin").cast("double"),
+            F.col("_xmax").cast("double"),
+            F.col("_ymin").cast("double"),
+            F.col("_ymax").cast("double"),
+            bits=bits,
+        ),
+    )
+    return (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_xmin", "_xmax", "_ymin", "_ymax")
+    )
 
 
 def global_rank(

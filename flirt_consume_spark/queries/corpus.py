@@ -219,6 +219,63 @@ def llm_contaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replica of operators/scale.zorder_value's 16-bit interleave:
+# a sum of 32 integer terms over the quantized coordinates.
+_Z_TERMS = " + ".join(
+    f"(((xq >> {b}) & 1) * {1 << (2 * b)}) + "
+    f"(((yq >> {b}) & 1) * {1 << (2 * b + 1)})"
+    for b in range(16)
+)
+
+
+@query(
+    "sink_zorder",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS xmin,
+             MAX(CAST(o_custkey AS DOUBLE)) AS xmax,
+             MIN(o_totalprice) AS ymin, MAX(o_totalprice) AS ymax
+      FROM orders
+    ), q AS (
+      SELECT o_orderkey,
+             CASE WHEN xmax - xmin = 0 THEN 0
+                  ELSE CAST(floor((CAST(o_custkey AS DOUBLE) - xmin)
+                                  / (xmax - xmin) * 65535.0) AS BIGINT)
+             END AS xq,
+             CASE WHEN ymax - ymin = 0 THEN 0
+                  ELSE CAST(floor((o_totalprice - ymin)
+                                  / (ymax - ymin) * 65535.0) AS BIGINT)
+             END AS yq
+      FROM orders, bounds
+    ), z AS (
+      SELECT o_orderkey, ({_Z_TERMS}) AS zval FROM q
+    )
+    SELECT o_orderkey, zval, zval // {1 << 26} AS zbucket FROM z
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order sink layout: cluster orders along the Morton curve of
+    (o_custkey, o_totalprice) so a written table's parquet min/max
+    footer stats prune BOX predicates on both columns — the
+    data-skipping layout for the two-filter queries partitioning can't
+    serve (partition keys cover one dimension; the Z-curve covers
+    two). The key materializes each row's curve position and 64-way
+    file bucket; the physical effect (files overlapping a box query
+    drop ~4x vs natural order) is asserted on real written files in
+    tests/test_scale.py. One pass + one tiny broadcast bounds agg;
+    range-partition + local sort on the curve value — no global
+    sort."""
+    from flirt_consume_spark.operators.scale import zorder_layout
+
+    orders = t(spark, sf_dir, "orders")
+    laid = zorder_layout(orders, "o_custkey", "o_totalprice", n_files=16)
+    return laid.select(
+        "o_orderkey",
+        F.col("_z").alias("zval"),
+        F.expr(f"_z DIV {1 << 26}").alias("zbucket"),
+    )
+
+
 @query(
     "quota_per_source",
     oracle="""

@@ -103,3 +103,76 @@ def test_salt_spreads_rows(spark):
         F.count(F.lit(1)).alias("cnt")).collect()]
     assert len(counts) == 8
     assert max(counts) < 2.5 * min(counts), f"salt skewed: {counts}"
+
+
+def _files_overlapping_box(path, x_col, x_lo, x_hi, y_col, y_lo, y_hi):
+    """Count (data files, files whose footer min/max stats overlap the
+    box) — exactly the skipping decision a stats-aware scan makes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = hit = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            x_min = min(
+                md.row_group(g).column(names[x_col]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            x_max = max(
+                md.row_group(g).column(names[x_col]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            y_min = min(
+                md.row_group(g).column(names[y_col]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            y_max = max(
+                md.row_group(g).column(names[y_col]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if x_min <= x_hi and x_max >= x_lo and y_min <= y_hi and y_max >= y_lo:
+                hit += 1
+    return total, hit
+
+
+def test_zorder_layout_skips_box_queries(spark, tmp_path):
+    """Writing along the Z-curve must make parquet footer stats prune a
+    two-column box predicate far better than natural (single-column)
+    order — the measurable point of the layout."""
+    from flirt_consume_spark.operators.scale import zorder_layout
+
+    orders = load_table(spark, SF, "orders")
+    lo_x, hi_x = orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    lo_y, hi_y = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    # middle-quarter box in both dimensions (1/16 of the area)
+    x_lo, x_hi = lo_x + (hi_x - lo_x) * 0.375, lo_x + (hi_x - lo_x) * 0.625
+    y_lo, y_hi = lo_y + (hi_y - lo_y) * 0.375, lo_y + (hi_y - lo_y) * 0.625
+
+    z_path = str(tmp_path / "zorder")
+    n_path = str(tmp_path / "natural")
+    zorder_layout(orders, "o_custkey", "o_totalprice", n_files=16).drop(
+        "_z"
+    ).write.parquet(z_path)
+    orders.repartitionByRange(16, "o_orderkey").write.parquet(n_path)
+
+    z_total, z_hit = _files_overlapping_box(
+        z_path, "o_custkey", x_lo, x_hi, "o_totalprice", y_lo, y_hi
+    )
+    n_total, n_hit = _files_overlapping_box(
+        n_path, "o_custkey", x_lo, x_hi, "o_totalprice", y_lo, y_hi
+    )
+    assert z_total == n_total == 16
+    # natural order is uncorrelated with both dims: ~every file overlaps
+    assert n_hit >= 12, f"baseline unexpectedly prunable: {n_hit}"
+    # the z-layout must skip at least half the files for a 1/16 box
+    assert z_hit <= 8, f"z-order failed to cluster: {z_hit}/{z_total}"
+    # and the data survives intact
+    assert spark.read.parquet(z_path).count() == orders.count()

@@ -64,6 +64,8 @@ ALLOW = {
     # hash-partitioned by doc_id — no partition-less window exists
     # (verified by reading the formatted plan).
     "llm_tfidf": {"nested_loop", "single_partition_window"},
+    # 1-row min/max bounds broadcast for the Z-curve quantization.
+    "sink_zorder": {"nested_loop"},
 }
 
 
