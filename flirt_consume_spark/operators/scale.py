@@ -133,6 +133,95 @@ def zorder_layout(
     )
 
 
+def _bloom_positions(col: str, n_bits: int, hashes: int) -> list[Column]:
+    if hashes > 4:
+        raise ValueError("hashes<=4: md5 yields 4 independent 8-hex slices")
+    h = F.md5(F.col(col).cast("string"))
+    return [
+        F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long") % n_bits
+        for i in range(hashes)
+    ]
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small_keys: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_words: int = 1024,
+    hashes: int = 3,
+) -> DataFrame:
+    """Filter ``big`` down to rows whose key MIGHT be in
+    ``small_keys`` via a broadcast bloom bitmap — no shuffle of the
+    big side, bounded false positives, zero false negatives.
+
+    The small side's key set is folded into a ``n_words``×64-bit
+    bitmap (md5-sliced positions, bit_or aggregation — a few KB
+    regardless of key count); the big side then passes through
+    ``hashes`` broadcast joins + bit tests, all narrow.
+    """
+    n_bits = n_words * 64
+    # Build the (word_idx, bits) bitmap: union the hash positions, OR
+    # the bit masks per word. Tiny result (<= n_words rows).
+    stacked = small_keys.select(
+        F.explode(F.array(*_bloom_positions(small_key, n_bits, hashes))).alias(
+            "pos"
+        )
+    )
+    bitmap = (
+        stacked.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = big
+    for i, p in enumerate(_bloom_positions(big_key, n_bits, hashes)):
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        probe = probe.withColumn(f"_p{i}", p).join(
+            F.broadcast(bm),
+            (F.col(f"_p{i}") / 64).cast("long") == F.col(f"_w{i}"),
+            "left",
+        )
+        probe = probe.filter(
+            F.expr(
+                f"(_b{i} IS NOT NULL) AND "
+                f"((shiftright(_b{i}, cast(_p{i} % 64 as int)) & 1) = 1)"
+            )
+        ).drop(f"_p{i}", f"_w{i}", f"_b{i}")
+    return probe
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small_keys: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_words: int = 1024,
+    hashes: int = 3,
+) -> DataFrame:
+    """Semi join with an explicit broadcast-bloom prefilter.
+
+    Only the ~|match|+ε rows surviving ``bloom_prefilter`` reach the
+    exact semi join. At 100 TB this is the difference between
+    shuffling the whole fact table into a semi join and shuffling only
+    the rows that can possibly match — the hand-rolled, deterministic
+    version of Spark's runtime bloom-filter injection, available even
+    where the optimizer declines to inject one. False positives are
+    eliminated by the final exact semi join, so results are identical
+    to ``big.join(small, semi)`` by construction.
+    """
+    probe = bloom_prefilter(big, small_keys, big_key, small_key, n_words, hashes)
+    return probe.join(
+        small_keys.select(small_key).distinct(),
+        probe[big_key] == F.col(small_key),
+        "left_semi",
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,

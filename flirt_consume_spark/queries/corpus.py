@@ -219,6 +219,45 @@ def llm_contaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_bloom",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(l_extendedprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join through an explicit broadcast-bloom prefilter
+    (operators/scale.bloom_semi_join): the selective order-key set is
+    folded into a KB-scale bitmap, the lineitem side is pre-filtered
+    by narrow broadcast bit tests, and only surviving rows reach the
+    exact semi join — so the fact table never shuffles rows that
+    cannot match. The oracle is the PLAIN semi join: bloom false
+    positives are removed by the final exact join, making the
+    prefilter invisible to results and fully hash-checkable."""
+    from flirt_consume_spark.operators.scale import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    sel = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    hit = bloom_semi_join(li, sel, "l_orderkey", "o_orderkey")
+    return hit.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("l_extendedprice") * 1e2).cast("long"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
 # DuckDB replica of operators/scale.zorder_value's 16-bit interleave:
 # a sum of 32 integer terms over the quantized coordinates.
 _Z_TERMS = " + ".join(

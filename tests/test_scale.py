@@ -176,3 +176,36 @@ def test_zorder_layout_skips_box_queries(spark, tmp_path):
     assert z_hit <= 8, f"z-order failed to cluster: {z_hit}/{z_total}"
     # and the data survives intact
     assert spark.read.parquet(z_path).count() == orders.count()
+
+
+def test_bloom_semi_join_exact_and_selective(spark):
+    """The bloom prefilter must (a) never drop a true match — the
+    composed semi join equals the plain one — and (b) actually filter:
+    rows surviving the bitmap probe are far fewer than the fact table
+    and barely more than the true matches (bounded false positives)."""
+    from flirt_consume_spark.operators.scale import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    sel = load_table(spark, SF, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    got = bloom_semi_join(li, sel, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+    want = li.join(
+        sel.select("o_orderkey").distinct(),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    ).select("l_orderkey", "l_linenumber")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    n_total = li.count()
+    n_true = want.count()
+    n_probe = bloom_prefilter(li, sel, "l_orderkey", "o_orderkey").count()
+    assert n_true <= n_probe < n_total * 0.5, (n_true, n_probe, n_total)
