@@ -120,3 +120,83 @@ def anti_join(fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
 def semi_join(fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
     """J3: keep only rows whose dimension key exists."""
     return fact.join(F.broadcast(dim), cond, "left_semi")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Month-over-month snapshot diff — the reference's core consume
+    semantic (what changed between two schedule extracts) as one
+    full-outer join: every key classified added / removed / changed /
+    unchanged by null-safe comparison of the tracked columns.
+
+    One shuffle on the natural key (both sides co-partition); at
+    100 TB both snapshots are month partitions of the same sink, so
+    the join is between two pruned scans, not two full tables.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(~in_old, "added")
+        .when(~in_new, "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level MERGE (upsert): source rows update matching target
+    rows and insert unmatched ones; unmatched target rows survive —
+    the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core of
+    Delta/Iceberg MERGE INTO, computed as a full-outer join with
+    source-wins coalescing. Columns must match between the two sides.
+
+    Same scale shape as snapshot_diff: one co-partitioned shuffle on
+    the natural key. With a month-partitioned sink, pair this with
+    dynamic partition overwrite (io.write_partitioned) to rewrite
+    exactly the touched partitions.
+    """
+    cols = target.columns
+    if source.columns != cols:
+        raise ValueError(f"schema mismatch: {source.columns} vs {cols}")
+    t_ = target.select(*[F.col(c).alias(f"_t_{c}") for c in cols])
+    s_ = source.select(*[F.col(c).alias(f"_s_{c}") for c in cols])
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_t_{k}") == F.col(f"_s_{k}")
+        cond = c if cond is None else (cond & c)
+    j = t_.join(s_, cond, "full_outer")
+    return j.select(
+        *[F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c) for c in cols]
+    )

@@ -26,3 +26,4 @@ from flirt_consume_spark.queries import relational  # noqa: F401,E402
 from flirt_consume_spark.queries import temporal  # noqa: F401,E402
 from flirt_consume_spark.queries import scalar  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
+from flirt_consume_spark.queries import evolution  # noqa: F401,E402
