@@ -27,3 +27,4 @@ from flirt_consume_spark.queries import temporal  # noqa: F401,E402
 from flirt_consume_spark.queries import scalar  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
 from flirt_consume_spark.queries import evolution  # noqa: F401,E402
+from flirt_consume_spark.queries import analytics  # noqa: F401,E402

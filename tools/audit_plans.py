@@ -66,6 +66,9 @@ ALLOW = {
     "llm_tfidf": {"nested_loop", "single_partition_window"},
     # 1-row min/max bounds broadcast for the Z-curve quantization.
     "sink_zorder": {"nested_loop"},
+    # Three 1-row funnel counters cross-joined into the single output
+    # row — each broadcast side is exactly one row.
+    "funnel_steps": {"nested_loop"},
 }
 
 
