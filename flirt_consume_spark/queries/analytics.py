@@ -67,6 +67,109 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(LEAST(CAST(floor((o_totalprice - lo) / (hi - lo) * 20)
+                           AS BIGINT), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           CAST(CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE)
+                / 1e2 AS DOUBLE) AS price_sum
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram of order value — the data-
+    profiling primitive (distribution shape in one scan + one tiny
+    bounds broadcast). Bucket assignment is the same IEEE
+    subtract/divide/floor chain both engines compute identically; the
+    max value clamps into the last bucket."""
+    orders = t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * 20
+        ).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long"))
+                / F.lit(1e2)
+            )
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary: null count, exact distinct count, and
+    min/max per profiled column, in ONE scan — the aggregates for all
+    columns run as expressions of a single aggregation (Spark plans
+    multi-distinct via Expand), then unpivot to the long (col, stats)
+    shape. The profiling pass every ingest pipeline runs before
+    trusting a new drop."""
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # min/max in the column's native type, THEN stringified —
+            # lexicographic min of string-cast numerics would disagree
+            # with the oracle's CAST(MIN(...) AS VARCHAR).
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )
+
+
+@query(
     "cohort_retention",
     oracle="""
     WITH first_seen AS (

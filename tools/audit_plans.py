@@ -69,6 +69,8 @@ ALLOW = {
     # Three 1-row funnel counters cross-joined into the single output
     # row — each broadcast side is exactly one row.
     "funnel_steps": {"nested_loop"},
+    # 1-row min/max bounds broadcast for bucket assignment.
+    "agg_histogram": {"nested_loop"},
 }
 
 
