@@ -40,29 +40,39 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users → first click → purchase strictly AFTER
     that click. Step 2 is an ORDERED condition (a purchase before the
     first click does not count), which a naive event_type filter gets
-    wrong — the per-user first-click table joins back against the
-    stream so only post-click purchases survive. Both reductions
-    shuffle on user_id; the three funnel counts are tiny scalar
-    aggs."""
-    ev = t(spark, sf_dir, "events")
-    s1 = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    wrong.
+
+    Computed in ONE scan and ONE shuffle: a per-user range window in
+    integer microseconds with frame end -1 marks, for every event,
+    whether any STRICTLY-earlier click exists (range -1 excludes
+    same-timestamp peers — exactly the oracle's ts > first-click-ts);
+    the per-user reduction then folds clicked/converted flags, and
+    three counts come off that tiny table. The naive form (first-click
+    table joined back) scans the stream twice and shuffles twice."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
-    n_clicked = s1.agg(F.count(F.lit(1)).alias("n_clicked"))
-    n_conv = s2.agg(F.count(F.lit(1)).alias("n_converted"))
-    return (
-        n_users.crossJoin(F.broadcast(n_clicked))
-        .crossJoin(F.broadcast(n_conv))
+    flagged = ev.withColumn(
+        "click_before", F.coalesce(F.max("is_click").over(w), F.lit(0))
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max("is_click").alias("clicked"),
+        F.max(F.col("is_purchase") * F.col("click_before")).alias("converted"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("clicked").cast("bigint").alias("n_clicked"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
     )
 
 
