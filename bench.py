@@ -83,17 +83,50 @@ def main() -> None:
             timings[key] = -1.0
             minimums[key] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    full = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": minimums,
+        "sf": sf_dir,
+        "n_queries": len(timings),
+        "reps": reps,
+    }
+    # Full per-key artifact: the driver's BENCH_r{N}.json keeps only a
+    # 2000-char stdout tail, which truncates a 105-key JSON line and
+    # loses per-key numbers.  Persist the complete payload to a file in
+    # the repo (committed each round) so round-over-round comparison
+    # never depends on the truncated tail.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as e:
+        print(f"# bench: could not write {full_path}: {e}", file=sys.stderr)
+    print(json.dumps(full))
+    # Compact summary LAST so it always fits inside the driver's stdout
+    # tail and parses: total, key count, worst-5 keys, pointer to the
+    # full artifact.
+    worst = sorted(
+        ((k, v) for k, v in timings.items() if v >= 0),
+        key=lambda kv: -kv[1],
+    )[:5]
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": minimums,
+                "queries": dict(worst),
                 "sf": sf_dir,
                 "n_queries": len(timings),
                 "reps": reps,
+                "errors": sorted(k for k, v in timings.items() if v < 0),
+                "full": "BENCH_FULL_latest.json",
             }
         )
     )

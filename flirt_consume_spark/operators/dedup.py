@@ -427,4 +427,20 @@ def alternating_star_components(
         "node", F.col("node").alias("comp")
     )
     members = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    return members.union(roots).distinct()
+    result = members.union(roots).distinct()
+    # Nodes appearing ONLY in self-pairs (u == v) were dropped by the
+    # up-front filter; the propagation path keeps them as singleton
+    # components, and both algorithms must agree on all inputs (the
+    # size dispatch in connected_components must not change the node
+    # set). Union them back as (node, node); the anti join keeps a
+    # node that also has real edges from gaining a bogus self row.
+    self_nodes = (
+        pairs.select(u.alias("node"), v.alias("_v"))
+        .filter(F.col("node") == F.col("_v"))
+        .select("node")
+        .distinct()
+    )
+    isolated = self_nodes.join(result, "node", "left_anti").select(
+        "node", F.col("node").alias("comp")
+    )
+    return result.union(isolated)

@@ -137,21 +137,27 @@ def snapshot_diff(
     100 TB both snapshots are month partitions of the same sink, so
     the join is between two pruned scans, not two full tables.
     """
+    # Side presence is tracked with explicit lit(1) marker columns, NOT
+    # null-ness of a key column: a legitimate NULL natural key would
+    # otherwise misclassify its row (and a full-outer equi-join never
+    # matches NULL keys, so such rows surface once per side).
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(1).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(1).alias("_n_present"),
     )
     cond = None
     for k in key_cols:
         c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     same = None
     for c in compare_cols:
         eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
@@ -180,7 +186,11 @@ def merge_upsert(
     rows and insert unmatched ones; unmatched target rows survive —
     the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core of
     Delta/Iceberg MERGE INTO, computed as a full-outer join with
-    source-wins coalescing. Columns must match between the two sides.
+    row-level source-wins: when the source has the key, the WHOLE
+    source row replaces the target row (a NULL in a matched source
+    column overwrites, exactly like MERGE's UPDATE SET *). The two
+    sides must have the same column set; order may differ — source
+    columns are selected in target order.
 
     Same scale shape as snapshot_diff: one co-partitioned shuffle on
     the natural key. With a month-partitioned sink, pair this with
@@ -188,15 +198,26 @@ def merge_upsert(
     exactly the touched partitions.
     """
     cols = target.columns
-    if source.columns != cols:
+    if sorted(source.columns) != sorted(cols):
         raise ValueError(f"schema mismatch: {source.columns} vs {cols}")
     t_ = target.select(*[F.col(c).alias(f"_t_{c}") for c in cols])
-    s_ = source.select(*[F.col(c).alias(f"_s_{c}") for c in cols])
+    # lit(1) presence marker, not key null-ness: a NULL key or NULL
+    # source column must not flip a row back to target-wins.
+    s_ = source.select(
+        *[F.col(c).alias(f"_s_{c}") for c in cols],
+        F.lit(1).alias("_s_present"),
+    )
     cond = None
     for k in key_cols:
         c = F.col(f"_t_{k}") == F.col(f"_s_{k}")
         cond = c if cond is None else (cond & c)
     j = t_.join(s_, cond, "full_outer")
+    src_wins = F.col("_s_present").isNotNull()
     return j.select(
-        *[F.coalesce(F.col(f"_s_{c}"), F.col(f"_t_{c}")).alias(c) for c in cols]
+        *[
+            F.when(src_wins, F.col(f"_s_{c}"))
+            .otherwise(F.col(f"_t_{c}"))
+            .alias(c)
+            for c in cols
+        ]
     )

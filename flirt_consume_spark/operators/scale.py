@@ -155,20 +155,37 @@ def bloom_prefilter(
     ``small_keys`` via a broadcast bloom bitmap — no shuffle of the
     big side, bounded false positives, zero false negatives.
 
-    The small side's key set is folded into a ``n_words``×64-bit
-    bitmap (md5-sliced positions, bit_or aggregation — a few KB
-    regardless of key count); the big side then passes through
-    ``hashes`` broadcast joins + bit tests, all narrow.
+    The small side's key set is folded into a dense ``n_words``-long
+    array of 64-bit words (md5-sliced positions, bit_or aggregation —
+    a few KB regardless of key count) carried on ONE broadcast row;
+    the big side tests all ``hashes`` bits in a single narrow pass
+    (O(1) ``element_at`` per hash — no per-hash join chain, and the
+    small-side aggregation runs exactly once).
+
+    Both key columns must have the same Spark data type: positions are
+    md5 hashes of the key's string form, and equal values of different
+    types can render differently ('1' vs '1.0'), silently diverging
+    the bit positions — a false-negative bug, not a correctness-
+    preserving approximation. Hence the hard type check.
     """
+    big_t = big.schema[big_key].dataType
+    small_t = small_keys.schema[small_key].dataType
+    if big_t != small_t:
+        raise ValueError(
+            f"bloom_prefilter: key dtypes must match exactly "
+            f"({big_key}: {big_t} vs {small_key}: {small_t}); equal "
+            "values of different types can have different string forms, "
+            "which would silently drop true matches"
+        )
     n_bits = n_words * 64
-    # Build the (word_idx, bits) bitmap: union the hash positions, OR
-    # the bit masks per word. Tiny result (<= n_words rows).
+    # Sparse (word_idx, bits) bitmap: union the hash positions, OR the
+    # bit masks per word. Tiny result (<= n_words rows).
     stacked = small_keys.select(
         F.explode(F.array(*_bloom_positions(small_key, n_bits, hashes))).alias(
             "pos"
         )
     )
-    bitmap = (
+    sparse = (
         stacked.select(
             (F.col("pos") / 64).cast("long").alias("word_idx"),
             F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
@@ -176,23 +193,36 @@ def bloom_prefilter(
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    probe = big
-    for i, p in enumerate(_bloom_positions(big_key, n_bits, hashes)):
-        bm = bitmap.select(
-            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-        )
-        probe = probe.withColumn(f"_p{i}", p).join(
-            F.broadcast(bm),
-            (F.col(f"_p{i}") / 64).cast("long") == F.col(f"_w{i}"),
-            "left",
-        )
-        probe = probe.filter(
+    # Densify into one array-of-longs row (index i holds word i): the
+    # linear map scan happens n_words times on ONE row here, buying
+    # O(1) array indexing per fact row below.
+    dense = (
+        sparse.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "bits"))
+            ).alias("_m")
+        ).select(
             F.expr(
-                f"(_b{i} IS NOT NULL) AND "
-                f"((shiftright(_b{i}, cast(_p{i} % 64 as int)) & 1) = 1)"
-            )
-        ).drop(f"_p{i}", f"_w{i}", f"_b{i}")
-    return probe
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(element_at(_m, cast(i AS bigint)), 0L))"
+            ).alias("_bloom")
+        )
+    )
+    probe = big.crossJoin(F.broadcast(dense))
+    pos_cols = {
+        f"_p{i}": p
+        for i, p in enumerate(_bloom_positions(big_key, n_bits, hashes))
+    }
+    cond = " AND ".join(
+        f"((shiftright(get(_bloom, cast(_p{i} / 64 AS int)), "
+        f"cast(_p{i} % 64 AS int)) & 1) = 1)"
+        for i in range(hashes)
+    )
+    return (
+        probe.withColumns(pos_cols)
+        .filter(F.expr(cond))
+        .drop("_bloom", *pos_cols)
+    )
 
 
 def bloom_semi_join(
@@ -215,11 +245,11 @@ def bloom_semi_join(
     to ``big.join(small, semi)`` by construction.
     """
     probe = bloom_prefilter(big, small_keys, big_key, small_key, n_words, hashes)
-    return probe.join(
-        small_keys.select(small_key).distinct(),
-        probe[big_key] == F.col(small_key),
-        "left_semi",
-    )
+    # Qualify the small side's key column: an unqualified F.col would be
+    # ambiguous (or silently resolve to the wrong side) if `big` carries
+    # a column with the same name.
+    small = small_keys.select(small_key).distinct()
+    return probe.join(small, probe[big_key] == small[small_key], "left_semi")
 
 
 def global_rank(

@@ -296,17 +296,38 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: approximate count-distinct (HLL++) — the 100-TB design point
-    for cardinality. Randomized sketch => no hash-match oracle; the
-    driver records a rows-only check, and tests/test_properties.py
-    asserts <5% relative error against the exact count. Default
-    register size (rsd=0.05): the 1% sketch costs 6× more merge work
-    for precision the design point doesn't need."""
+    for cardinality. The sketch estimate itself is not hash-matchable,
+    so the checked contract is the HLL++ accuracy guarantee: emit the
+    exact distinct count alongside a Spark-side ``within_tol`` boolean
+    (|approx - exact| / exact < 3*rsd with rsd=0.05) and oracle the
+    exact count + TRUE. A wrong sketch breaks the hash; the estimate
+    stays the Spark-side artifact. Default register size (rsd=0.05):
+    the 1% sketch costs 6× more merge work for precision the design
+    point doesn't need."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.greatest(F.col("exact_users"), F.lit(1))
+            < F.lit(0.15)
+        ).alias("within_tol"),
     )
 
 

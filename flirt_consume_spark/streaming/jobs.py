@@ -73,7 +73,21 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     try:
         ts_dtype = dict(spark.read.parquet(source_dir).dtypes).get("ts")
-    except Exception:  # empty dir at startup — assume current layout
+    except Exception:
+        # Empty dir at startup: the probe can't see any file, so we
+        # assume the CURRENT (µs TIMESTAMP_NTZ) layout. Say so loudly —
+        # if legacy int64-nano files arrive later, the declared NTZ
+        # schema would mis-read their bigint ts column rather than
+        # failing over, and this warning is the breadcrumb.
+        import warnings
+
+        warnings.warn(
+            f"read_events_stream: no readable parquet in {source_dir!r} "
+            "at startup; assuming µs TIMESTAMP_NTZ ts layout. If legacy "
+            "int64-nanos files land in this directory the ts column "
+            "will be misread — re-create the stream once files exist.",
+            stacklevel=2,
+        )
         ts_dtype = "timestamp_ntz"
     if ts_dtype == "bigint":
         schema = EVENTS_RAW
