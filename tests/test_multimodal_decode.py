@@ -1,0 +1,122 @@
+"""L5 media decode: the pure-Python PPM/BMP paths must really execute
+in this (codec-less) container — locally and through the Spark
+mapInPandas plumbing — with exact, hand-computable pixel stats."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from flirt_consume_spark.operators.multimodal import (
+    HAS_PIL,
+    decode_assets,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+)
+
+# 2x2 test image, row-major RGB: red, green, blue, white.
+_PIXELS = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+# Per-pixel floored BT.601 luma: 76 + 149 + 29 + 255 = 509; mean 127.
+_EXPECT_LUMA = 127
+
+
+def make_ppm(w: int, h: int, pixels, comment: bool = False) -> bytes:
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# test comment\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    return hdr + b"".join(bytes(p) for p in pixels)
+
+
+def make_bmp(w: int, h: int, pixels, top_down: bool = False) -> bytes:
+    stride = (3 * w + 3) & ~3
+    pix_off = 14 + 40
+    rows = []
+    order = range(h) if top_down else reversed(range(h))
+    for y in order:
+        row = b"".join(
+            bytes((b, g, r)) for (r, g, b) in pixels[y * w : (y + 1) * w]
+        )
+        rows.append(row + b"\x00" * (stride - 3 * w))
+    raster = b"".join(rows)
+    file_hdr = struct.pack("<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off)
+    h_signed = -h if top_down else h
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h_signed, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + raster
+
+
+def test_ppm_decode_exact():
+    w, h, mode, luma = decode_ppm(make_ppm(2, 2, _PIXELS))
+    assert (w, h, mode, luma) == (2, 2, "RGB", _EXPECT_LUMA)
+
+
+def test_ppm_decode_with_comment():
+    assert decode_ppm(make_ppm(2, 2, _PIXELS, comment=True))[3] == _EXPECT_LUMA
+
+
+def test_bmp_decode_exact_bottom_up_and_top_down():
+    assert decode_bmp(make_bmp(2, 2, _PIXELS)) == (2, 2, "RGB", _EXPECT_LUMA)
+    assert decode_bmp(make_bmp(2, 2, _PIXELS, top_down=True)) == (
+        2, 2, "RGB", _EXPECT_LUMA,
+    )
+
+
+def test_bmp_row_padding():
+    # Odd width forces per-row padding (stride 12 for 3*3=9 bytes).
+    pixels = [(10, 20, 30)] * 3
+    w, h, mode, luma = decode_bmp(make_bmp(3, 1, pixels))
+    assert (w, h) == (3, 1)
+    assert luma == (299 * 10 + 587 * 20 + 114 * 30) // 1000
+
+
+def test_truncated_inputs_raise_value_error():
+    with pytest.raises(ValueError):
+        decode_ppm(make_ppm(2, 2, _PIXELS)[:-1])
+    with pytest.raises(ValueError):
+        # Cut past the 2 padding bytes into real pixel data (stride 8,
+        # row bytes 6): a 1-byte truncation is absorbed by padding.
+        decode_bmp(make_bmp(2, 2, _PIXELS)[:-4])
+
+
+@pytest.mark.skipif(HAS_PIL, reason="with pillow the PIL path decodes PNG")
+def test_unknown_format_still_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_image_dispatches_pure_paths():
+    """decode_image must execute (not stub out) on PPM and BMP bytes
+    regardless of whether pillow is installed."""
+    if HAS_PIL:
+        # PIL reads both formats; sizes must match, luma is PIL's
+        # 8x8-thumbnail variant so only bounded.
+        for data in (make_ppm(2, 2, _PIXELS), make_bmp(2, 2, _PIXELS)):
+            w, h, _mode, luma = decode_image(data)
+            assert (w, h) == (2, 2) and 0 <= luma <= 255
+    else:
+        assert decode_image(make_ppm(2, 2, _PIXELS))[3] == _EXPECT_LUMA
+        assert decode_image(make_bmp(2, 2, _PIXELS))[3] == _EXPECT_LUMA
+
+
+def test_decode_assets_through_spark(spark):
+    """The real decode runs inside Arrow-batched mapInPandas: mixed
+    PPM/BMP binary rows come back with exact dimensions and (on the
+    pure path) exact luma."""
+    rows = [
+        (1, bytearray(make_ppm(2, 2, _PIXELS))),
+        (2, bytearray(make_bmp(2, 2, _PIXELS))),
+        (3, bytearray(make_bmp(3, 1, [(10, 20, 30)] * 3))),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {r.doc_id: r for r in decode_assets(assets).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert (got[2].width, got[2].height) == (2, 2)
+    assert (got[3].width, got[3].height) == (3, 1)
+    if not HAS_PIL:
+        assert got[1].mean_luma == _EXPECT_LUMA
+        assert got[2].mean_luma == _EXPECT_LUMA

@@ -248,3 +248,99 @@ def test_star_components_long_chain(spark):
     rows = alternating_star_components(pairs, max_iter=12).collect()
     assert {r.node for r in rows} == set(range(n))
     assert {r.comp for r in rows} == {0}
+
+
+# --- analytics-op invariants (funnel / histogram / cohort) ---------------
+
+_event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),                       # user_id
+        st.integers(0, 10_000_000),              # seconds offset
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _write_events(spark, rows, tmpdir: str) -> None:
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(seconds=sec), uid, et, 1.0, "{}")
+        for i, (uid, sec, et) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_event_rows)
+def test_funnel_monotone(spark, rows):
+    """Funnel step counts are monotone non-increasing, and step 1
+    equals the naive first-click count."""
+    import tempfile
+
+    from flirt_consume_spark.queries.analytics import funnel_steps
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        got = funnel_steps(spark, d).collect()[0]
+        assert got.n_users >= got.n_clicked >= got.n_converted >= 0
+        assert got.n_users == len({uid for uid, _, _ in rows})
+        assert got.n_clicked == len(
+            {uid for uid, _, et in rows if et == "click"}
+        )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_event_rows)
+def test_cohort_retention_invariants(spark, rows):
+    """Activity month >= cohort month for every cell, and the matrix
+    total equals the number of distinct (user, month) pairs."""
+    import tempfile
+
+    from flirt_consume_spark.queries.analytics import cohort_retention
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        cells = cohort_retention(spark, d).collect()
+        assert all(c.act_month >= c.cohort for c in cells)
+        base = datetime.datetime(2024, 1, 1)
+        want = len(
+            {
+                (uid, (base + datetime.timedelta(seconds=sec)).strftime("%Y-%m"))
+                for uid, sec, _ in rows
+            }
+        )
+        assert sum(c.n_active for c in cells) == want
+
+
+_prices = st.lists(
+    st.floats(min_value=1.0, max_value=500_000.0, allow_nan=False),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(prices=_prices)
+def test_histogram_invariants(spark, prices):
+    """Bucket counts sum to the row count, every bucket id is in
+    [0, 19], and the max value lands in the LAST bucket."""
+    import tempfile
+
+    from flirt_consume_spark.queries.analytics import agg_histogram
+
+    prices = prices + [1.0, 500_000.0]  # guarantee hi > lo
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(prices)],
+            "o_orderkey long, o_totalprice double",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        buckets = agg_histogram(spark, d).collect()
+        assert sum(b.cnt for b in buckets) == len(prices)
+        assert all(0 <= b.bucket <= 19 for b in buckets)
+        assert any(b.bucket == 19 for b in buckets)

@@ -102,6 +102,14 @@ def main() -> None:
         timed(f"chunk_x{n}", _chunk(docs_n)),
         # Contamination probe: broadcast benchmark grams vs N× stream.
         timed(f"contaminate_x{n}", _contam(docs_n)),
+        # Bloom semi join: KB bitmap broadcast, fact side never
+        # shuffles non-candidates — must scale with the fact scan.
+        timed(f"bloom_x{n}", _bloom(li_n, od_n)),
+        # Snapshot diff / MERGE: one co-partitioned shuffle each.
+        timed(f"snapdiff_x{n}", _snapdiff(od_n)),
+        timed(f"merge_x{n}", _merge(od_n)),
+        # Z-order layout: one tiny bounds agg + range partition + sort.
+        timed(f"zorder_x{n}", _zorder(od_n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -117,12 +125,17 @@ def main() -> None:
         timed("sessionize_x1", _sess(load_table(spark, args.sf, "events"))),
         timed("chunk_x1", _chunk(docs)),
         timed("contaminate_x1", _contam(docs)),
+        timed("bloom_x1", _bloom(li, od)),
+        timed("snapdiff_x1", _snapdiff(od)),
+        timed("merge_x1", _merge(od)),
+        timed("zorder_x1", _zorder(od)),
     ]
     for r in results + base:
         print(json.dumps(r))
     by = {r["probe"]: r["sec"] for r in results + base}
     for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh",
-                 "repetition", "sessionize", "chunk", "contaminate"):
+                 "repetition", "sessionize", "chunk", "contaminate",
+                 "bloom", "snapdiff", "merge", "zorder"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -167,6 +180,52 @@ def _contam(docs: DataFrame) -> DataFrame:
         train.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def _bloom(li: DataFrame, od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import bloom_semi_join
+
+    sel = od.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    return bloom_semi_join(li, sel, "l_orderkey", "o_orderkey").groupBy(
+        "l_returnflag"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _snapdiff(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.relational import snapshot_diff
+
+    old = od.filter(F.col("o_orderkey") % 10 != 0)
+    new = od.filter(F.col("o_orderkey") % 10 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def _merge(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.relational import merge_upsert
+
+    src = od.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    return merge_upsert(od, src, ["o_orderkey"])
+
+
+def _zorder(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import zorder_layout
+
+    return zorder_layout(
+        od.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        "o_totalprice",
     )
 
 
