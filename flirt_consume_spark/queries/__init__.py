@@ -16,7 +16,9 @@ from flirt_consume_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 # rotates the never-externally-checked corpus/evolution/analytics keys
 # (12) to the front, followed by relational/temporal/scalar (38) whose
 # last driver rows predate the round-4 loader changes — exactly filling
-# the 50-key window. Keys are unchanged; only insertion order rotates.
+# the 50-key window. The round-5 `advanced` keys are brand-new (zero
+# external rows) so they take the very front.
+from flirt_consume_spark.queries import advanced  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
 from flirt_consume_spark.queries import evolution  # noqa: F401,E402
 from flirt_consume_spark.queries import analytics  # noqa: F401,E402

@@ -1,0 +1,282 @@
+"""Round-5 first-class additions: spatial radius join, winsorized
+aggregation, multi-step sequence patterns, schema-evolution scans,
+and int8 embedding quantization.
+
+Each extends a SURVEY.md §2 family beyond its round-4 surface (J:
+spatial join; A: robust aggregation; W/E: ordered patterns; S: schema
+drift; K: embedding compression for the training-data pipeline), with
+full DuckDB oracles. Registered FIRST: none of these keys has an
+external verification row yet, so they take the head of the driver's
+50-key window.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import cache_path
+from flirt_consume_spark.queries.base import query, t
+
+_HAV_SQL = """2 * 6371.0 * asin(least(1.0, sqrt(
+        sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * sin(radians(b.lon - a.lon)/2) * sin(radians(b.lon - a.lon)/2)
+      )))"""
+
+
+@query(
+    "join_geo",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS key,
+             (c_custkey * 7) % 140 - 70 + 0.25 AS lat,
+             (c_custkey * 131) % 360 - 180 + 0.25 AS lon
+      FROM customer
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           round({_HAV_SQL}, 3) AS dist_km
+    FROM pts a JOIN pts b ON a.key < b.key
+    WHERE {_HAV_SQL} <= 150.0
+    """,
+)
+def join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: spatial radius self-join — all customer pairs within
+    150 km (nearby-airport discovery in the reference's domain).
+    Spark side is the GRID-BUCKETED join (operators/spatial.py): 4°
+    cells, 3×3-neighborhood probe with dateline wrap, exact haversine
+    verify — O(|cell|²) candidates instead of O(n²). The oracle is the
+    brute-force all-pairs filter, so the hash match proves the grid
+    candidate generator loses nothing."""
+    from flirt_consume_spark.functions import synth_coord
+    from flirt_consume_spark.operators.spatial import grid_within_radius
+
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("key"),
+        synth_coord(F.col("c_custkey"), 7, 140, 0.25).alias("lat"),
+        synth_coord(F.col("c_custkey"), 131, 360, 0.25).alias("lon"),
+    )
+    # synth lat ∈ [-69.75, 69.45]: 4° cells cover 150 km down to
+    # cos(70°) (needs ≥ 3.95°).
+    return grid_within_radius(
+        pts, "key", "lat", "lon", radius_km=150.0, cell_deg=4.0,
+        max_abs_lat=70.0,
+    )
+
+
+@query(
+    "agg_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+           CAST(SUM(CAST(floor(least(greatest(o_totalprice, lo), hi) * 1e2)
+                         AS BIGINT)) AS BIGINT) AS capped_cents
+    FROM orders o JOIN p USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: winsorized (percentile-capped) aggregation — the robust-
+    stats step that keeps a few absurd rows from dominating a mean
+    (fare outliers in the reference's domain; token-count outliers in
+    a training corpus). Two passes that share the groupBy key
+    partitioning: exact per-group p05/p95 (tiny result), broadcast
+    back, clamp, aggregate in exact integer cents. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    identically on the same sorted doubles (the agg_percentile
+    pairing)."""
+    orders = t(spark, sf_dir, "orders")
+    pct = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    x = F.col("o_totalprice")
+    clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        orders.join(F.broadcast(pct), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(((x < F.col("lo")) | (x > F.col("hi"))).cast("int"))
+            .cast("bigint")
+            .alias("n_capped"),
+            F.sum(F.floor(clamped * 1e2).cast("long"))
+            .cast("bigint")
+            .alias("capped_cents"),
+        )
+    )
+
+
+@query(
+    "win_pattern",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_then_clicked,
+           (SELECT COUNT(*) FROM p) AS n_then_purchased
+    """,
+)
+def win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: multi-step ordered sequence detection (MATCH_RECOGNIZE-
+    lite): users who did view → click → purchase with each step
+    STRICTLY after some qualifying previous step. Exists-semantics
+    ("a purchase with some earlier click that itself had some earlier
+    view") is equivalent to the oracle's first-qualifying-timestamp
+    chain. ONE scan and ONE shuffle: two chained strictly-earlier
+    range windows (frame end -1 excludes same-µs peers) over the same
+    user partitioning, then a per-user fold — no per-step self-join,
+    which is the naive plan that scans the stream once per step."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "view").cast("int").alias("iv"),
+        (F.col("event_type") == "click").cast("int").alias("ic"),
+        (F.col("event_type") == "purchase").cast("int").alias("ip"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "qc", F.col("ic") * F.coalesce(F.max("iv").over(w), F.lit(0))
+    )
+    s2 = s1.withColumn(
+        "qp", F.col("ip") * F.coalesce(F.max("qc").over(w), F.lit(0))
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.max("iv").alias("viewed"),
+        F.max("qc").alias("clicked"),
+        F.max("qp").alias("purchased"),
+    )
+    return per_user.agg(
+        F.sum("viewed").cast("bigint").alias("n_viewed"),
+        F.sum("clicked").cast("bigint").alias("n_then_clicked"),
+        F.sum("purchased").cast("bigint").alias("n_then_purchased"),
+    )
+
+
+@query(
+    "scan_evolve",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE '(pre-schema)' END AS prio,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: schema-evolution scan — two parquet drops of the same feed
+    where the newer one added a column (the reference's monthly
+    extracts gain fields across seasons), read as ONE DataFrame via
+    mergeSchema; rows from the pre-evolution drop surface NULL for the
+    added column. The oracle reconstructs the same union from the
+    source view, so the check proves the merged read is lossless.
+    At 100 TB mergeSchema only reads footers of a file sample; per-file
+    pruned scans are unaffected."""
+    orders = t(spark, sf_dir, "orders")
+    root = cache_path("evolve", sf_dir, "orders")
+    v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    if not (
+        os.path.exists(os.path.join(v1, "_SUCCESS"))
+        and os.path.exists(os.path.join(v2, "_SUCCESS"))
+    ):
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).coalesce(2).write.mode("overwrite").parquet(v1)
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).coalesce(2).write.mode("overwrite").parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-schema)")).alias(
+            "prio"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+@query(
+    "emb_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e9) AS BIGINT) AS scale_e9,
+           CAST(list_sum(list_transform(v,
+                x -> CAST(floor((x / scale) * 127) AS BIGINT))) AS BIGINT)
+             AS qsum,
+           CAST(floor(list_max(list_transform(v,
+                x -> abs(x - (floor((x / scale) * 127) * scale) / 127)))
+                * 1e9) AS BIGINT) AS maxerr_e9
+    FROM s WHERE scale > 0
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17: symmetric int8 embedding quantization — the 4× storage /
+    bandwidth compression every large ANN corpus applies before
+    indexing. Per vector: scale = max|x|, q_i = floor(x_i/scale·127)
+    ∈ [-127, 127], plus the max reconstruction error — all computed
+    with array higher-order functions (zero shuffle, zero UDF); the
+    oracle replays the identical IEEE chain with DuckDB list lambdas,
+    so quantized values hash-match bit-for-bit. Emitted as checksums
+    (qsum, floored fixed-point scale/error) rather than raw int8
+    arrays to keep the compared surface scalar."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scaled = emb.withColumn(
+        "scale", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    ).filter(F.col("scale") > 0)
+    q = F.transform("v", lambda x: F.floor(x / F.col("scale") * 127))
+    quant = scaled.withColumn("q", q)
+    err = F.zip_with(
+        "v",
+        "q",
+        lambda x, qq: F.abs(x - qq * F.col("scale") / 127),
+    )
+    return quant.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e9).cast("bigint").alias("scale_e9"),
+        F.aggregate(
+            "q", F.lit(0).cast("bigint"), lambda acc, v_: acc + v_
+        ).alias("qsum"),
+        F.floor(F.array_max(err) * 1e9).cast("bigint").alias("maxerr_e9"),
+    )

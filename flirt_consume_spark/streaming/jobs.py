@@ -188,6 +188,52 @@ def stream_static_join(events: DataFrame, dim: DataFrame, key_expr) -> DataFrame
     return events.join(F.broadcast(dim), key_expr, "left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """T8: stream-stream interval join — right-side events joined to
+    left-side events of the same user that happened within
+    ``interval`` AFTER the left event (click attributed to a preceding
+    view, leg matched to its schedule publication in the reference's
+    domain).
+
+    Both sides are watermarked and the join condition carries the
+    time bound, which is what lets Spark purge join state: a buffered
+    left row can be dropped once the right watermark passes
+    l_ts + interval. Without the bound, 100 TB of stream history
+    accumulates in the state store. Inner join ⇒ matches emit as soon
+    as both rows arrive (append mode, no watermark wait). Works
+    identically on batch DataFrames (the equivalence test's oracle
+    path)."""
+    l = left.select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+        F.col("event_type").alias("l_type"),
+    )
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("r_type"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "l_user", "l_id", "r_id", "l_ts", "r_ts"
+    )
+
+
 # --- T6: custom stateful per-key logic -----------------------------------
 
 RUNNING_SCHEMA = StructType(

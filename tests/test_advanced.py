@@ -1,0 +1,126 @@
+"""Round-5 advanced ops: grid spatial join vs brute force, winsorize
+sanity, int8 quantization error bound."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.operators.spatial import grid_within_radius
+
+SF = "/root/testdata/sf0.001"
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    h = (
+        math.sin(dlat) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlon) ** 2
+    )
+    return 2 * 6371.0 * math.asin(min(1.0, math.sqrt(h)))
+
+
+_pts = st.lists(
+    st.tuples(
+        st.floats(min_value=-69.0, max_value=69.0, allow_nan=False),
+        st.floats(min_value=-180.0, max_value=179.999, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=_pts)
+def test_grid_join_matches_bruteforce(spark, pts):
+    """The grid candidate generator + exact verify must equal the
+    O(n²) brute force — including pairs straddling the ±180 dateline
+    (the wrap the naive grid loses)."""
+    rows = [(i, lat, lon) for i, (lat, lon) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "key long, lat double, lon double")
+    got = {
+        (r.key_a, r.key_b)
+        for r in grid_within_radius(
+            df, "key", "lat", "lon", radius_km=150.0, cell_deg=4.0,
+            max_abs_lat=70.0,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if _haversine(rows[i][1], rows[i][2], rows[j][1], rows[j][2])
+        <= 150.0
+    }
+    assert got == want
+
+
+def test_grid_join_finds_dateline_pair(spark):
+    """Two points 0.5° of longitude apart across ±180 are ~20 km apart
+    at lat 45 — a plain (non-wrapping) grid join would miss them."""
+    df = spark.createDataFrame(
+        [(1, 45.0, 179.8), (2, 45.0, -179.7)], "key long, lat double, lon double"
+    )
+    out = grid_within_radius(
+        df, "key", "lat", "lon", radius_km=150.0, cell_deg=4.0,
+        max_abs_lat=70.0,
+    ).collect()
+    assert [(r.key_a, r.key_b) for r in out] == [(1, 2)]
+    assert out[0].dist_km < 60.0
+
+
+def test_grid_join_cell_guard():
+    import pytest
+
+    # The covering-invariant guard fires before any DataFrame work.
+    with pytest.raises(ValueError, match="cannot cover"):
+        grid_within_radius(None, "k", "lat", "lon", 150.0, 1.0)
+
+
+def test_winsorize_bounds(spark):
+    """Capped sum is within [n*lo, n*hi] per group and never exceeds
+    the raw sum's magnitude spread; n_capped < n."""
+    from flirt_consume_spark.queries.advanced import agg_winsorize
+
+    rows = {r.o_orderstatus: r for r in agg_winsorize(spark, SF).collect()}
+    orders = load_table(spark, SF, "orders")
+    raw = {
+        r.o_orderstatus: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long")).alias(
+                "raw_cents"
+            ),
+        )
+        .collect()
+    }
+    for status, r in rows.items():
+        assert r.cnt == raw[status].n
+        assert 0 <= r.n_capped < r.cnt
+        # capping pulls tails inward: capped sum is bounded by the raw
+        # extremes times n, and within 2x of the raw sum here.
+        assert abs(r.capped_cents - raw[status].raw_cents) < abs(
+            raw[status].raw_cents
+        )
+
+
+def test_quantize_error_bound(spark):
+    """Reconstruction error of symmetric int8 is at most one
+    quantization step (scale/127) per element."""
+    from flirt_consume_spark.queries.advanced import emb_quantize
+
+    out = emb_quantize(spark, SF)
+    bad = out.filter(
+        F.col("maxerr_e9") / 1e9 > F.col("scale_e9") / 1e9 / 127 + 1e-9
+    ).count()
+    assert bad == 0
+    assert out.count() > 0

@@ -197,3 +197,30 @@ def test_stateful_transform_with_state(spark, source_dir, tmp_path):
     got_counts = {r.user_id: r.n_events for r in got.collect()}
     want_counts = {r.user_id: r.n for r in batch.collect()}
     assert got_counts == want_counts
+
+
+def test_stream_stream_interval_join_equals_batch(spark, source_dir, tmp_path):
+    """T8: view→click interval join under readStream == the same join
+    on the batch read of the same files."""
+    views_s = jobs.read_events_stream(spark, source_dir).filter(
+        F.col("event_type") == "view"
+    )
+    clicks_s = jobs.read_events_stream(spark, source_dir).filter(
+        F.col("event_type") == "click"
+    )
+    got = _drain(
+        spark,
+        jobs.stream_stream_join(views_s, clicks_s),
+        "t_ssjoin",
+        tmp_path,
+        "append",
+    )
+    ev = load_table(spark, SF, "events")
+    want = jobs.stream_stream_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    assert want.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
