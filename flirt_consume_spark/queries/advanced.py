@@ -227,6 +227,140 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_ITER_SQL = """
+  d{i} AS (
+    SELECT v.vec_id, c.cid,
+           SUM(CAST(floor((v.x - c.c) * (v.x - c.c) * 1e15) AS BIGINT)) AS dq
+    FROM vl v JOIN c{p} c USING (pos) GROUP BY v.vec_id, c.cid
+  ), a{i} AS (
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+      FROM d{i}
+    ) WHERE rn = 1
+  ), c{i} AS (
+    SELECT a.cid, v.pos,
+           CAST(SUM(CAST(floor(v.x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             / COUNT(*) AS c
+    FROM a{i} a JOIN vl v USING (vec_id) GROUP BY a.cid, v.pos
+  )"""
+
+
+@query(
+    "emb_kmeans",
+    oracle=(
+        """
+    WITH vl AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, pos, x AS c FROM vl WHERE vec_id < 5
+    ),"""
+        + _KM_ITER_SQL.format(i=1, p=0)
+        + ","
+        + _KM_ITER_SQL.format(i=2, p=1)
+        + """
+    SELECT a2.cid, COUNT(*) AS n_members,
+           CAST(SUM(s.sig) AS BIGINT) AS member_checksum
+    FROM a2 JOIN (
+      SELECT vec_id, SUM(CAST(floor(x * 1e6) AS BIGINT)) AS sig
+      FROM vl GROUP BY vec_id
+    ) s USING (vec_id)
+    GROUP BY a2.cid
+    """
+    ),
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: k-means (Lloyd's, k=5, 2 fixed iterations) over the
+    embedding corpus — the iterative clustering primitive behind IVF
+    index training and corpus diversity analysis, expressed entirely
+    in DataFrame joins/aggregations AND exactly oracle-checked (rare
+    for an iterative ML op):
+
+    - vectors live in LONG form (vec_id, pos, x) so every step is an
+      equi-join + hash agg on bounded keys — no vector broadcast, no
+      driver loop over data; k iterations = k passes, each shuffling
+      only (vec_id|cid,pos)-keyed aggregates. At 100 TB the long form
+      shuffles more bytes than a broadcast-centroid design but never
+      assumes centroids×dims fits anywhere, and each pass is AQE-
+      coalescible.
+    - determinism: squared-distance partial sums are floored into
+      1e-15-grain BIGINT units (order-independent integer addition —
+      double summation order would diverge between engines), argmin
+      ties break on cid, and centroid updates are exact fixed-point
+      means — so both engines walk IDENTICAL iterates and the final
+      membership hash-matches bit-for-bit.
+    - empty clusters drop out of the centroid table on both sides
+      identically (inner-join semantics).
+
+    Output: cluster id, member count, and an order-independent member
+    checksum (so the oracle verifies the exact partition of vectors,
+    not just sizes)."""
+    emb = t(spark, sf_dir, "embeddings")
+    vl = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ),
+        )
+        .select("vec_id", F.col("pos"), F.col("col").alias("x"))
+        # Reused by every stage of every iteration (distance join,
+        # centroid update, checksum): persist once instead of
+        # re-exploding the parquet scan 5x.
+        .persist()
+    )
+    cents = vl.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
+    )
+    for _ in range(2):
+        d = (
+            vl.join(cents, "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("x") - F.col("c"))
+                        * (F.col("x") - F.col("c"))
+                        * 1e15
+                    ).cast("long")
+                ).alias("dq")
+            )
+        )
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dq", "cid")
+        )
+        assign = (
+            d.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+                "vec_id", "cid"
+            )
+        )
+        cents = (
+            assign.join(vl, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * 1e9).cast("long")) / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+    sig = vl.groupBy("vec_id").agg(
+        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("sig")
+    )
+    return (
+        assign.join(sig, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("sig").cast("bigint").alias("member_checksum"),
+        )
+    )
+
+
 @query(
     "emb_quantize",
     oracle="""

@@ -332,6 +332,40 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS within_rank_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3b: sketch percentile (Greenwald-Khanna approx_percentile) —
+    the 100-TB path for quantiles (mergeable per-partition sketches,
+    no global sort). Checked like agg_approx_distinct: the sketch's
+    rank-error guarantee is verified Spark-side (the approx p50 must
+    sit between the exact p40 and p60 — rank error 1/accuracy = 0.01
+    ≪ 0.10 of tested slack) and the oracle pins the exact median +
+    TRUE, so a broken sketch breaks the hash while the estimate stays
+    the Spark-side artifact."""
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(100)).alias("ap50"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.percentile("value", F.lit(0.4)).alias("p40"),
+        F.percentile("value", F.lit(0.6)).alias("p60"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        (
+            (F.col("ap50") >= F.col("p40")) & (F.col("ap50") <= F.col("p60"))
+        ).alias("within_rank_tol"),
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

@@ -124,3 +124,53 @@ def test_quantize_error_bound(spark):
     ).count()
     assert bad == 0
     assert out.count() > 0
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Third, independent implementation: numpy Lloyd's with the same
+    fixed-point discipline must produce the identical partition."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+    ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    cents = {int(i): X[ids == i][0] for i in range(5)}
+    assign = None
+    for _ in range(2):
+        cids = sorted(cents)
+        # 1e-15-grain floored integer distance sums, ties -> lower cid
+        # (same discipline as the Spark/DuckDB pair).
+        D = np.stack(
+            [
+                np.floor((X - cents[c]) ** 2 * 1e15).astype(np.int64).sum(axis=1)
+                for c in cids
+            ],
+            axis=1,
+        )
+        assign = np.array(cids)[np.argmin(D, axis=1)]
+        cents = {}
+        for c in np.unique(assign):
+            M = X[assign == c]
+            cents[int(c)] = (
+                np.floor(M * 1e9).astype(np.int64).sum(axis=0) / 1e9 / len(M)
+            )
+    sig = np.floor(X * 1e6).astype(np.int64).sum(axis=1)
+    want = {
+        int(c): (
+            int((assign == c).sum()),
+            int(sig[assign == c].sum()),
+        )
+        for c in np.unique(assign)
+    }
+    from flirt_consume_spark.queries.advanced import emb_kmeans
+
+    got = {
+        int(r.cid): (int(r.n_members), int(r.member_checksum))
+        for r in emb_kmeans(spark, SF).collect()
+    }
+    assert got == want

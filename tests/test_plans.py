@@ -125,3 +125,26 @@ def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert pf and "month_key" in pf[0], p
     assert q.count() == ev.filter(F.col("month_key") == month).count()
+
+
+def test_geo_join_is_hash_join_not_cartesian(spark):
+    """J10: the grid join must plan as an equi (hash) join on cell
+    ids — never CartesianProduct/nested-loop over the points."""
+    p = plan_of(REGISTRY["join_geo"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_quantize_is_zero_shuffle(spark):
+    """L17: per-vector quantization is embarrassingly parallel."""
+    p = plan_of(REGISTRY["emb_quantize"].fn(spark, SF))
+    assert "Exchange" not in p, p
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    """A12: the tiny per-group percentile table must broadcast — the
+    fact side re-shuffles only for its own groupBy."""
+    p = plan_of(REGISTRY["agg_winsorize"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

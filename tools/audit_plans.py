@@ -66,11 +66,18 @@ ALLOW = {
     "llm_tfidf": {"nested_loop", "single_partition_window"},
     # 1-row min/max bounds broadcast for the Z-curve quantization.
     "sink_zorder": {"nested_loop"},
-    # Three 1-row funnel counters cross-joined into the single output
-    # row — each broadcast side is exactly one row.
-    "funnel_steps": {"nested_loop"},
+    # Heuristic false positive, same shape as llm_tfidf: the plan has
+    # BOTH a user_id-hashpartitioned Window (verified in the formatted
+    # plan) AND a legitimately-SinglePartition 1-row final aggregate;
+    # the flag cannot associate the two nodes.
+    "funnel_steps": {"nested_loop", "single_partition_window"},
+    "win_pattern": {"single_partition_window"},
     # 1-row min/max bounds broadcast for bucket assignment.
     "agg_histogram": {"nested_loop"},
+    # The dense bloom bitmap rides ONE broadcast row into a
+    # nested-loop (cross) join — constant size by construction
+    # (n_words longs), the same lazy-scalar shape as sink_zorder.
+    "join_bloom": {"nested_loop"},
 }
 
 
