@@ -227,6 +227,130 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: ORC scan — the other columnar format Spark reads natively
+    (vectorized reader, predicate pushdown, same scan surface as
+    parquet; mixed-format lakes are routine at 100 TB). Round-trips
+    the orders table through an ORC sink and aggregates the read-back;
+    the oracle runs the same aggregate on the parquet view, proving
+    the format round-trip lossless for the aggregated columns."""
+    orders = t(spark, sf_dir, "orders")
+    path = cache_path("orc", sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.coalesce(4).write.mode("overwrite").orc(path)
+    df = spark.read.orc(path)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+_PR_ITER_SQL = """
+  c{i} AS (
+    SELECT e.dst AS node,
+           CAST(SUM((r{p}.r * 85) // (100 * deg.d)) AS BIGINT) AS c
+    FROM e JOIN r{p} ON e.src = r{p}.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ), r{i} AS (
+    SELECT n.node, CAST(150000 + COALESCE(c{i}.c, 0) AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node
+  )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=(
+        """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+    ),"""
+        + _PR_ITER_SQL.format(i=1, p=0)
+        + ","
+        + _PR_ITER_SQL.format(i=2, p=1)
+        + """
+    SELECT node, r AS rank_micro FROM r2
+    """
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: PageRank (damping 0.85, 2 fixed iterations) over the
+    customer→supplier purchase graph — the canonical iterative graph
+    computation, expressed as per-iteration join+agg passes and
+    EXACTLY oracle-checked: ranks live in integer micro-units and
+    each contribution is the integer floor (r·85)/(100·deg), so
+    summation order cannot perturb results and both engines walk
+    identical iterates (the same determinism discipline as
+    emb_kmeans; public algorithm per Page et al. 1999, dangling
+    nodes contribute nothing — the standard simplification).
+
+    Scale shape: edges shuffle once per iteration on src (join with
+    the rank table) and once on dst (contribution agg) — bounded
+    passes, no broadcast of the rank vector, the plan a 100-TB edge
+    list needs. Ranks are per-node rows, never a driver structure."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    # Degree is static across iterations: attach it to the edge list
+    # ONCE (a window over the same src partitioning — no extra join)
+    # and persist; each iteration then needs only edges ⋈ ranks.
+    from pyspark.sql.window import Window
+
+    e_deg = e.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    r = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(2):
+        contrib = (
+            e_deg.join(r, e_deg["src"] == r["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("(r * 85) DIV (100 * d)"))
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+        r = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit(150_000) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return r.select("node", F.col("r").alias("rank_micro"))
+
+
 _KM_ITER_SQL = """
   d{i} AS (
     SELECT v.vec_id, c.cid,

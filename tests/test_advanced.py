@@ -174,3 +174,34 @@ def test_kmeans_matches_numpy_reference(spark):
         for r in emb_kmeans(spark, SF).collect()
     }
     assert got == want
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Independent driver-side reference: the same integer-arithmetic
+    PageRank over the same edge set must agree rank-for-rank."""
+    import collections
+
+    from flirt_consume_spark.queries.advanced import graph_pagerank
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    edges = {
+        (r[0], r[1] + 10_000_000)
+        for r in li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    deg = collections.Counter(u for u, _ in edges)
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(2):
+        contrib = collections.defaultdict(int)
+        for u, v in edges:
+            contrib[v] += (r[u] * 85) // (100 * deg[u])
+        r = {n: 150_000 + contrib.get(n, 0) for n in nodes}
+    got = {
+        row.node: row.rank_micro for row in graph_pagerank(spark, SF).collect()
+    }
+    assert got == r
+    # sanity: suppliers (in-degree > 0) outrank the teleport floor.
+    assert any(v > 150_000 for v in got.values())
