@@ -228,6 +228,198 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(o_custkey % 4999, l_suppkey * 13 % 4999) AS u,
+                      greatest(o_custkey % 4999, l_suppkey * 13 % 4999) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 400000 AND o_custkey % 4999 <> l_suppkey * 13 % 4999
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u
+                           JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: triangle counting — the clustering-coefficient primitive,
+    as the canonical two-join oriented-edge plan: edges directed
+    low→high id, so each triangle {a<b<c} is counted exactly once as
+    (a,b)+(b,c)+(a,c) — no /6 correction and the join fan-out is
+    bounded by out-degree of the LOW endpoint (the standard
+    degree-orientation trick that keeps hub nodes from exploding the
+    wedge join). High-value orders only, nodes folded into a
+    4999-bucket space: sparse enough that the wedge join stays
+    bounded, dense enough to close triangles."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = F.col("o_custkey") % 4999
+    b = F.col("l_suppkey") * 13 % 4999
+    e = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .filter((F.col("o_totalprice") > 400000) & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .persist()  # probed three times by the wedge + closure joins
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    return e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
+           CAST(GROUPING(event_type) * 2 + GROUPING(EXTRACT(year FROM ts))
+                AS BIGINT) AS gid,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (EXTRACT(year FROM ts)), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4b: explicit GROUPING SETS (the general form rollup/cube
+    specialize) through the SQL API — per-dimension marginals + grand
+    total in ONE pass (planned via Expand, not three scans). Also
+    exercises temp-view registration + spark.sql as a query surface."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(year(ts) AS BIGINT) AS yr,
+               CAST(grouping(event_type) * 2 + grouping(year(ts)) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS cnt
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (year(ts)), ())
+        """
+    )
+
+
+@query(
+    "time_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+             event_id
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), grouped AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_us, MAX(e) AS end_us,
+           COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, island
+    """,
+)
+def time_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: merge overlapping intervals (gaps-and-islands) — each event
+    spans [ts, ts+5min); intervals of the same user that overlap a
+    running island are merged. The classic one-window solution: a
+    strictly-preceding running MAX(end) marks island starts, a running
+    SUM numbers them — one shuffle on user_id, no self-join (the naive
+    interval-overlap join is quadratic per user). All arithmetic in
+    integer µs, so island boundaries are exact."""
+    from pyspark.sql.window import Window
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-(1 << 63)).cast("long")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = marked.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("bigint")
+    )
+    return grouped.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: mapInArrow — the zero-copy RecordBatch UDF surface (one
+    level below mapInPandas: no pandas conversion at all; the batch
+    stays Arrow end-to-end). Per-batch pyarrow.compute kernels emit
+    char + byte lengths; the oracle recomputes both in SQL. Closure
+    rules as everywhere: the batch fn ships by value."""
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_bytes"],
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        batches, "doc_id long, n_chars long, n_bytes long"
+    )
+
+
+@query(
     "scan_orc",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS cnt,

@@ -78,6 +78,9 @@ ALLOW = {
     # nested-loop (cross) join — constant size by construction
     # (n_words longs), the same lazy-scalar shape as sink_zorder.
     "join_bloom": {"nested_loop"},
+    # Final (n_edges × n_triangles) assembly: two 1-row aggregates
+    # cross-joined into the single output row.
+    "graph_triangles": {"nested_loop"},
 }
 
 
