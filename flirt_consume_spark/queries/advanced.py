@@ -228,6 +228,67 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_cume",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice,
+                 o_orderkey)
+    """,
+)
+def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: distribution ranks — percent_rank/cume_dist per status
+    (where does this fare sit in its class). Total order (price, key)
+    makes tie handling deterministic; both engines use the identical
+    rank-based definitions, so 6-decimal rounding hash-matches. One
+    shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "sql_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL API — Catalyst decorrelates
+    it into a left-semi hash join (no per-row subquery execution, the
+    rewrite that makes EXISTS usable at 100 TB). Complements J3's
+    DataFrame-API semi join with the SQL-surface form."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("od_ex")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_ex")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM od_ex o
+        WHERE EXISTS (
+          SELECT 1 FROM li_ex l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
     "graph_triangles",
     oracle="""
     WITH e AS (

@@ -110,6 +110,31 @@ def main() -> None:
         timed(f"merge_x{n}", _merge(od_n)),
         # Z-order layout: one tiny bounds agg + range partition + sort.
         timed(f"zorder_x{n}", _zorder(od_n)),
+        # Grid spatial join: candidates bounded per cell, never n².
+        # Radius AND cell shrink 1/sqrt(n) so pair density per point
+        # stays constant — the probe measures the plan at n-times
+        # points, not the quadratic pair growth denser data causes
+        # anywhere. Residual ~1.5x-vs-linear is the synthetic coord
+        # lattice ((key*7)%140 → only 50 400 distinct sites):
+        # multiplied points co-locate EXACTLY, and distance-0 pairs
+        # are output whatever the radius — the OUTPUT grows
+        # superlinearly, which no engine can avoid emitting.
+        timed(f"geo_x{n}", _geo(multiply(
+            load_table(spark, args.sf, "customer"), ["c_custkey"],
+            n, 10_000_000), radius_km=150.0 / (n ** 0.5),
+            cell_deg=4.0 / (n ** 0.5))),
+        # Iterative ops: per-iteration join+agg passes; cost must track
+        # the edge/vector count, not blow up with the key domain.
+        timed(f"pagerank_x{n}", _pagerank(li_n, od_n)),
+        timed(f"kmeans_x{n}", _kmeans(multiply(
+            load_table(spark, args.sf, "embeddings"), ["vec_id"],
+            n, 10_000_000))),
+        # Supplier ids multiply too (fresh edge-list copy): otherwise
+        # the fixed supplier side densifies and wedge counts grow
+        # quadratically — a data property, not a plan property.
+        timed(f"triangles_x{n}", _triangles(
+            multiply(li, ["l_orderkey", "l_suppkey"], n, 10_000_000),
+            od_n, mod=4999 * n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -129,13 +154,18 @@ def main() -> None:
         timed("snapdiff_x1", _snapdiff(od)),
         timed("merge_x1", _merge(od)),
         timed("zorder_x1", _zorder(od)),
+        timed("geo_x1", _geo(load_table(spark, args.sf, "customer"))),
+        timed("pagerank_x1", _pagerank(li, od)),
+        timed("kmeans_x1", _kmeans(load_table(spark, args.sf, "embeddings"))),
+        timed("triangles_x1", _triangles(li, od)),
     ]
     for r in results + base:
         print(json.dumps(r))
     by = {r["probe"]: r["sec"] for r in results + base}
     for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh",
                  "repetition", "sessionize", "chunk", "contaminate",
-                 "bloom", "snapdiff", "merge", "zorder"):
+                 "bloom", "snapdiff", "merge", "zorder",
+                 "geo", "pagerank", "kmeans", "triangles"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -227,6 +257,111 @@ def _zorder(od: DataFrame) -> DataFrame:
         "o_custkey",
         "o_totalprice",
     )
+
+
+def _geo(
+    cust: DataFrame, radius_km: float = 150.0, cell_deg: float = 4.0
+) -> DataFrame:
+    from flirt_consume_spark.functions import synth_coord
+    from flirt_consume_spark.operators.spatial import grid_within_radius
+
+    pts = cust.select(
+        F.col("c_custkey").alias("key"),
+        synth_coord(F.col("c_custkey"), 7, 140, 0.25).alias("lat"),
+        synth_coord(F.col("c_custkey"), 131, 360, 0.25).alias("lon"),
+    )
+    return grid_within_radius(
+        pts, "key", "lat", "lon", radius_km=radius_km, cell_deg=cell_deg,
+        max_abs_lat=70.0,
+    )
+
+
+def _pagerank(li: DataFrame, od: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    e_deg = e.withColumn(
+        "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    r = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(2):
+        contrib = (
+            e_deg.join(r, e_deg["src"] == r["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(r * 85) DIV (100 * d)")).cast("bigint").alias("c"))
+        )
+        r = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(150_000) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint").alias("r"),
+        )
+    return r
+
+
+def _kmeans(emb: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    vl = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+    ).select("vec_id", F.col("pos"), F.col("col").alias("x"))
+    cents = vl.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
+    )
+    for _ in range(2):
+        d = (
+            vl.join(cents, "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.floor(
+                (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1e15
+            ).cast("long")).alias("dq"))
+        )
+        rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("dq", "cid"))
+        assign = d.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "vec_id", "cid"
+        )
+        cents = (
+            assign.join(vl, "vec_id")
+            .groupBy("cid", "pos")
+            .agg((
+                F.sum(F.floor(F.col("x") * 1e9).cast("long")) / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("c"))
+        )
+    return assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _triangles(li: DataFrame, od: DataFrame, mod: int = 4999) -> DataFrame:
+    # mod scales with the input multiplier so average degree (and thus
+    # graph density) stays constant: the probe measures the PLAN at
+    # n-times the data, not the superlinear wedge growth a densifying
+    # graph would exhibit on any engine.
+    a = F.col("o_custkey") % mod
+    b = F.col("l_suppkey") * 13 % mod
+    e = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .filter((F.col("o_totalprice") > 400000) & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    tri = wedges.join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def _sess(ev: DataFrame) -> DataFrame:
