@@ -228,6 +228,60 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_colocated",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(l_extendedprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: co-located (bucketed) fact-fact join — THE shuffle
+    eliminator for repeated joins on the same key at 100 TB: both
+    tables are persisted hash-bucketed on the join key with the same
+    bucket count (operators/scale.write_bucketed — the Spark-native
+    analogue of the reference's secondary indexes), so the sort-merge
+    join reads bucket-aligned files with NO Exchange on either side
+    (plan-asserted in tests/test_scale.py). The oracle is the plain
+    join on the source views — bucketing must be result-invariant."""
+    from flirt_consume_spark.io import source_fingerprint
+    from flirt_consume_spark.operators.scale import write_bucketed
+
+    fp = source_fingerprint(sf_dir, "orders")[:8]
+    t_ord, t_li = f"colo_orders_{fp}", f"colo_lineitem_{fp}"
+    if not spark.catalog.tableExists(t_ord) or not spark.catalog.tableExists(
+        t_li
+    ):
+        write_bucketed(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+            t_ord,
+            ("o_orderkey",),
+            8,
+        )
+        write_bucketed(
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            t_li,
+            ("l_orderkey",),
+            8,
+        )
+    o, li = spark.table(t_ord), spark.table(t_li)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("l_extendedprice") * 1e2).cast("long"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+
+
+@query(
     "win_cume",
     oracle="""
     SELECT o_orderkey,
@@ -285,6 +339,67 @@ def sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY o_orderpriority
         """
+    )
+
+
+@query(
+    "scan_pyds",
+    oracle="""
+    SELECT (i * i) % 97 AS m, COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(i / 7.0 * 1e6) AS BIGINT)) AS BIGINT)
+             AS x_units
+    FROM range(0, 20000) t(i)
+    GROUP BY 1
+    """,
+)
+def scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: custom Python data source (the PySpark 4 DataSource API) —
+    the extension point for feeds Spark has no native reader for
+    (the reference's bespoke extract endpoints). A deterministic
+    arithmetic series source with real partition planning: the reader
+    declares 8 InputPartitions, each generating its own id range on
+    its executor — so a custom Python source parallelizes like any
+    file scan instead of funneling through the driver. Classes are
+    defined in function scope so cloudpickle ships them by value
+    (executors never import this package). Oracle replays the series
+    from DuckDB's range()."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    N, PARTS = 20_000, 8
+
+    class SeriesReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(PARTS)]
+
+        def read(self, partition):
+            per = N // PARTS
+            lo = partition.value * per
+            hi = N if partition.value == PARTS - 1 else lo + per
+            for k in range(lo, hi):
+                yield (k, (k * k) % 97, k / 7.0)
+
+    class SeriesSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "det_series"
+
+        def schema(self):
+            return "i long, m long, x double"
+
+        def reader(self, schema):
+            return SeriesReader()
+
+    spark.dataSource.register(SeriesSource)
+    df = spark.read.format("det_series").load()
+    return df.groupBy("m").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("x") * 1e6).cast("long"))
+        .cast("bigint")
+        .alias("x_units"),
     )
 
 
