@@ -193,6 +193,7 @@ def stream_stream_join(
     right: DataFrame,
     interval: str = "30 minutes",
     watermark: str = "60 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """T8: stream-stream interval join — right-side events joined to
     left-side events of the same user that happened within
@@ -205,9 +206,13 @@ def stream_stream_join(
     left row can be dropped once the right watermark passes
     l_ts + interval. Without the bound, 100 TB of stream history
     accumulates in the state store. Inner join ⇒ matches emit as soon
-    as both rows arrive (append mode, no watermark wait). Works
-    identically on batch DataFrames (the equivalence test's oracle
-    path)."""
+    as both rows arrive (append mode, no watermark wait).
+    ``how='left_outer'`` additionally emits null-matched left rows,
+    but only once the watermark passes the row's join window
+    (l_ts + interval) — before that a matching right row could still
+    arrive, so rows younger than the final watermark stay buffered,
+    NOT emitted (asserted in the eviction test). Works identically on
+    batch DataFrames (the equivalence tests' oracle path)."""
     l = left.select(
         F.col("user_id").alias("l_user"),
         F.col("ts").alias("l_ts"),
@@ -229,7 +234,7 @@ def stream_stream_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "l_user", "l_id", "r_id", "l_ts", "r_ts"
     )
 

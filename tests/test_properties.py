@@ -344,3 +344,31 @@ def test_histogram_invariants(spark, prices):
         assert sum(b.cnt for b in buckets) == len(prices)
         assert all(0 <= b.bucket <= 19 for b in buckets)
         assert any(b.bucket == 19 for b in buckets)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_event_rows)
+def test_time_islands_maximal_and_disjoint(spark, rows):
+    """E8 invariants: per user, islands are disjoint (no island's
+    start falls inside another), every island is maximal (gap > 0 to
+    the next island), island event counts sum to the event count, and
+    each island spans exactly [min start, max end] of its events."""
+    import tempfile
+
+    from flirt_consume_spark.queries.advanced import time_islands
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_events(spark, rows, d)
+        cells = time_islands(spark, d).collect()
+        assert sum(c.n_events for c in cells) == len(rows)
+        by_user: dict = {}
+        for c in cells:
+            by_user.setdefault(c.user_id, []).append(c)
+        for islands in by_user.values():
+            islands.sort(key=lambda c: c.start_us)
+            for a, b in zip(islands, islands[1:]):
+                assert a.end_us < b.start_us, "islands overlap or touch"
+            for c in islands:
+                assert c.start_us + 300_000_000 <= c.end_us or (
+                    c.n_events == 1 and c.end_us == c.start_us + 300_000_000
+                )

@@ -224,3 +224,53 @@ def test_stream_stream_interval_join_equals_batch(spark, source_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_stream_outer_join_eviction(spark, source_dir, tmp_path):
+    """T8 left-outer: null-matched views emit ONLY after the watermark
+    passes their join window. Emitted set = batch-unmatched views old
+    enough that no matching click can still arrive (l_ts + interval <
+    final watermark = max_ts - 60min); younger unmatched views stay
+    buffered and must NOT be emitted."""
+    import datetime
+
+    views_s = jobs.read_events_stream(spark, source_dir).filter(
+        F.col("event_type") == "view"
+    )
+    clicks_s = jobs.read_events_stream(spark, source_dir).filter(
+        F.col("event_type") == "click"
+    )
+    got = _drain(
+        spark,
+        jobs.stream_stream_join(views_s, clicks_s, how="left_outer"),
+        "t_ssouter",
+        tmp_path,
+        "append",
+    ).collect()
+    ev = load_table(spark, SF, "events")
+    want_inner = {
+        (r.l_id, r.r_id)
+        for r in jobs.stream_stream_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    got_inner = {(r.l_id, r.r_id) for r in got if r.r_id is not None}
+    assert got_inner == want_inner
+    # batch-unmatched views, split at the eviction boundary
+    batch_nulls = {
+        r.l_id: r.l_ts
+        for r in jobs.stream_stream_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+            how="left_outer",
+        ).collect()
+        if r.r_id is None
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    boundary = max_ts - datetime.timedelta(minutes=90)  # watermark+interval
+    evictable = {i for i, ts in batch_nulls.items() if ts < boundary}
+    got_nulls = {r.l_id for r in got if r.r_id is None}
+    assert evictable, "fixture too small: no evictable unmatched views"
+    assert got_nulls.issubset(set(batch_nulls))
+    assert evictable.issubset(got_nulls)
