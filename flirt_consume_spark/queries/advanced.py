@@ -228,6 +228,62 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dpp",
+    oracle="""
+    WITH f AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day_key, event_type, value
+      FROM events
+    ), sel AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day_key
+      FROM events
+      WHERE event_type = 'purchase' AND day(ts) IN (3, 17)
+    )
+    SELECT f.day_key, COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(f.value * 1e6) AS BIGINT)) AS BIGINT)
+             AS value_units
+    FROM f JOIN sel USING (day_key)
+    GROUP BY f.day_key
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: dynamic partition pruning — the day-partitioned event sink
+    joined to a selective dimension of days (derived from the data, so
+    Catalyst cannot fold it statically): Spark plans a dynamicpruning
+    subquery on the fact scan, and only the ~2 of ~30 partitions the
+    dim selects are READ (plan-asserted in tests/test_plans.py). At
+    100 TB this is the difference between scanning every partition
+    directory and scanning the two the dim names — static pruning's
+    runtime sibling, and the reason sinks partition by a date key in
+    the first place. The oracle replays the join unpartitioned;
+    identical results prove pruning is purely a scan optimization."""
+    ev = t(spark, sf_dir, "events")
+    root = cache_path("dpp", sf_dir, "events")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        ev.withColumn(
+            "day_key", F.date_format("ts", "yyyy-MM-dd")
+        ).write.mode("overwrite").partitionBy("day_key").parquet(root)
+    fact = spark.read.parquet(root)
+    sel = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.dayofmonth("ts").isin(3, 17)
+        )
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day_key"))
+        .distinct()
+    )
+    return (
+        fact.join(sel, "day_key")
+        .groupBy("day_key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("bigint")
+            .alias("value_units"),
+        )
+    )
+
+
+@query(
     "join_colocated",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS cnt,

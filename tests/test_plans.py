@@ -148,3 +148,11 @@ def test_winsorize_broadcasts_percentiles(spark):
     p = plan_of(REGISTRY["agg_winsorize"].fn(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """J12: the day-partitioned fact scan must carry a dynamicpruning
+    partition filter fed by the dim subquery — partitions the dim
+    doesn't select are never read."""
+    p = plan_of(REGISTRY["join_dpp"].fn(spark, SF))
+    assert "dynamicpruning" in p.lower(), p
