@@ -205,3 +205,91 @@ def test_pagerank_matches_python_reference(spark):
     assert got == r
     # sanity: suppliers (in-degree > 0) outrank the teleport floor.
     assert any(v > 150_000 for v in got.values())
+
+
+# --- regression tests for the round-4 ADVICE items -----------------------
+
+
+def test_bloom_rejects_mismatched_key_dtypes(spark):
+    """Equal values of different types can render differently ('1' vs
+    '1.0'), silently diverging bloom bit positions — the operator must
+    refuse rather than drop true matches."""
+    import pytest
+
+    from flirt_consume_spark.operators.scale import bloom_prefilter
+
+    big = spark.createDataFrame([(1,)], "k bigint")
+    small = spark.createDataFrame([(1.0,)], "k double")
+    with pytest.raises(ValueError, match="dtypes must match"):
+        bloom_prefilter(big, small, "k", "k")
+
+
+def test_bloom_semi_join_with_shared_column_name(spark):
+    """The probe side may carry a column with the small side's key
+    name; the join must still resolve to the small side's column."""
+    from flirt_consume_spark.operators.scale import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id bigint, k string"
+    )
+    small = spark.createDataFrame([(1,), (3,)], "id bigint")
+    got = sorted(r.id for r in bloom_semi_join(big, small, "id", "id").collect())
+    assert got == [1, 3]
+
+
+def test_merge_upsert_source_null_overwrites(spark):
+    """MERGE semantics: a matched source row replaces the WHOLE target
+    row — a NULL source column overwrites, never resurrects the old
+    value (the coalesce bug the round-4 advice flagged)."""
+    from flirt_consume_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    source = spark.createDataFrame([(1, None), (3, "new")], "k long, v string")
+    got = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: None, 2: "keep", 3: "new"}
+
+
+def test_merge_upsert_accepts_column_permutation(spark):
+    from flirt_consume_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    source = spark.createDataFrame([("b", 1)], "v string, k long")
+    got = [(r.k, r.v) for r in merge_upsert(target, source, ["k"]).collect()]
+    assert got == [(1, "b")]
+
+
+def test_snapshot_diff_null_natural_key(spark):
+    """A legitimate NULL key must classify by actual side presence
+    (full-outer join never matches NULL keys, so each side's NULL-key
+    row surfaces once — as removed/added, not misclassified)."""
+    from flirt_consume_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1), (1, 1)], "k long, v long")
+    new = spark.createDataFrame([(None, 2), (1, 1)], "k long, v long")
+    rows = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r.k)
+    assert by_status.get("unchanged") == [1]
+    # the NULL-key rows: one per side, never 'unchanged'/'changed'
+    assert by_status.get("removed") == [None]
+    assert by_status.get("added") == [None]
+
+
+def test_components_agree_on_self_pair_only_nodes(spark):
+    """Both CC algorithms must return the same node set when input
+    contains nodes appearing only as self-pairs (the size dispatch
+    must not change results)."""
+    from flirt_consume_spark.operators.dedup import (
+        alternating_star_components,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (9, 9)], "doc_a long, doc_b long"
+    )
+    prop = {r.node: r.comp for r in connected_components(pairs).collect()}
+    star = {
+        r.node: r.comp for r in alternating_star_components(pairs).collect()
+    }
+    assert prop == star == {1: 1, 2: 1, 7: 7, 9: 9}
