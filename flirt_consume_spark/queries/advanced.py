@@ -227,6 +227,66 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _card_oracle() -> str:
+    from flirt_consume_spark.operators import text as X
+
+    quality = rf"""(least(length(text) / 400.0, 1.0)
+         + least(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x IN {X.EN_STOPWORDS}))
+             / len(regexp_split_to_array(lower(trim(text)), '\s+')) * 4, 1.0)
+         + (1 - least(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      / length(text) * 10, 1.0))
+         + len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+             / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        ) / 4"""
+    return rf"""
+    WITH perdoc AS (
+      SELECT source, lang, text,
+             CAST(floor(({quality}) * 1e6) AS BIGINT) AS qu,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS ws
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dups,
+           CAST(SUM(qu) AS BIGINT) AS quality_units
+    FROM perdoc GROUP BY source
+    """
+
+
+@query("llm_dataset_card", oracle=_card_oracle())
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19: per-source dataset card — the one-scan corpus summary
+    every training-data drop ships with (docs, chars, whitespace
+    tokens, language spread, exact-dup count, integer-unit quality
+    mass), composing the text-analysis family (operators/text.py)
+    into a single groupBy. Dup counting is count minus distinct
+    md5(text) — the same content hash the exact-dedup key uses, so
+    the card's dup number is consistent with what L1 would remove."""
+    from flirt_consume_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    qu = F.floor(X.quality_score("text") * 1e6).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).cast("bigint").alias(
+            "total_chars"
+        ),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.sum(qu).cast("bigint").alias("quality_units"),
+    )
+
+
 @query(
     "join_dpp",
     oracle="""

@@ -126,3 +126,30 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, docs.collect())
     )
+
+
+def test_observation_metrics_piggyback_on_scan(spark):
+    """df.observe: pipeline health metrics (row count, null count,
+    value mass) computed DURING the action — no second scan. The
+    monitoring hook a 100-TB ingest wires into every stage."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from flirt_consume_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("ingest_health")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum(F.floor(F.col("value") * 1e2).cast("long")).alias("value_cents"),
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_null_value"] == 0
+    want_cents = ev.agg(
+        F.sum(F.floor(F.col("value") * 1e2).cast("long"))
+    ).collect()[0][0]
+    assert got["value_cents"] == want_cents
