@@ -227,6 +227,80 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_badrecords",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS n_good,
+           CAST(7 AS BIGINT) AS n_bad,
+           CAST((SELECT SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT))
+                 FROM orders WHERE o_orderkey % 2 = 0) AS BIGINT)
+             AS good_cents
+    """,
+)
+def scan_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: malformed-record quarantine — the PERMISSIVE ingest mode a
+    real feed needs when one bad line must not kill a 100-TB load
+    (FAILFAST, S2's mode, is for trusted extracts). The fixture is a
+    CSV of the even-key orders plus 7 deliberately corrupt lines; the
+    scan captures them in ``_corrupt_record`` instead of erroring,
+    and the key reports good/bad counts + the good rows' exact cents
+    — proving corrupt lines are isolated, not silently dropped or
+    miscounted. The oracle recomputes from the source view + the
+    fixture's known corruption count."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    root = cache_path("badcsv", sf_dir, "orders")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        good = (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .coalesce(1)
+        )
+        good.write.mode("overwrite").csv(root)
+        # 7 deterministic corrupt lines: wrong arity / non-numeric.
+        with open(os.path.join(root, "zz_corrupt.csv"), "w") as fh:
+            for i in range(7):
+                fh.write(f"corrupt,line,{i},###\n")
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(root + "/*.csv")
+        # corrupt-record column semantics: referencing it requires a
+        # materialization boundary (Spark disallows filtering the
+        # internal column directly on the scan)
+        .cache()
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum((~bad).cast("long")).cast("bigint").alias("n_good"),
+        F.sum(bad.cast("long")).cast("bigint").alias("n_bad"),
+        F.sum(
+            F.when(~bad, F.floor(F.col("o_totalprice") * 1e2).cast("long"))
+        )
+        .cast("bigint")
+        .alias("good_cents"),
+    )
+
+
 def _card_oracle() -> str:
     from flirt_consume_spark.operators import text as X
 
