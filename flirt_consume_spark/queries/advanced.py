@@ -301,10 +301,10 @@ def scan_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _card_oracle() -> str:
+def _quality_sql() -> str:
     from flirt_consume_spark.operators import text as X
 
-    quality = rf"""(least(length(text) / 400.0, 1.0)
+    return rf"""(least(length(text) / 400.0, 1.0)
          + least(len(list_filter(
                regexp_split_to_array(lower(trim(text)), '\s+'),
                x -> x IN {X.EN_STOPWORDS}))
@@ -314,6 +314,97 @@ def _card_oracle() -> str:
          + len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
              / len(regexp_split_to_array(lower(trim(text)), '\s+'))
         ) / 4"""
+
+
+def _pipeline_oracle() -> str:
+    quality = _quality_sql()
+    bucket = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+    return rf"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             floor(({quality}) * 1e6) / 1e6 AS q6
+      FROM documents
+    ), f AS (
+      SELECT * FROM scored WHERE q6 >= 0.5
+    ), d AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rnd
+        FROM f) WHERE rnd = 1
+    ), qt AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM d) WHERE rn <= 150
+    )
+    SELECT source,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+                AS BIGINT) AS ws_tokens
+    FROM qt GROUP BY 1, 2
+    """
+
+
+@query("llm_corpus_pipeline", oracle=_pipeline_oracle())
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: the corpus-prep pipeline END TO END in one plan — quality
+    filter (q >= 0.5, L4c's exact floored score) → exact dedup (keep
+    min doc_id per md5(text), L1's hash) → per-source quota (md5-
+    priority row_number <= 150, L16's rule) → deterministic 80/10/10
+    split (L7's bucket) → per-(source, split) doc/token counts. The
+    capstone proof that the stages COMPOSE: one oracle replays the
+    whole chain, so any stage interaction bug (dedup reordering
+    quota's priorities, quota starving a split...) breaks the hash.
+    Scale shape: the three windows partition by md5(text) / source —
+    bounded key domains; everything else is narrow."""
+    from pyspark.sql.window import Window
+
+    from flirt_consume_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    q6 = F.floor(X.quality_score("text") * 1e6) / F.lit(1e6)
+    f = docs.withColumn("_q6", q6).filter(F.col("_q6") >= 0.5)
+    d = (
+        f.withColumn("_h", F.md5("text"))
+        .withColumn(
+            "_rnd",
+            F.row_number().over(Window.partitionBy("_h").orderBy("doc_id")),
+        )
+        .filter(F.col("_rnd") == 1)
+    )
+    qt = (
+        d.withColumn("_pri", F.md5(F.col("doc_id").cast("string")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("_pri", "doc_id")
+            ),
+        )
+        .filter(F.col("_rn") <= 150)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    ws = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    return qt.select("source", split.alias("split"), ws.alias("_ws")).groupBy(
+        "source", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ws").cast("bigint").alias("ws_tokens"),
+    )
+
+
+def _card_oracle() -> str:
+    quality = _quality_sql()
     return rf"""
     WITH perdoc AS (
       SELECT source, lang, text,
