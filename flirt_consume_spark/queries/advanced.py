@@ -1,13 +1,20 @@
-"""Round-5 first-class additions: spatial radius join, winsorized
-aggregation, multi-step sequence patterns, schema-evolution scans,
-and int8 embedding quantization.
+"""Round-5 first-class additions.
 
-Each extends a SURVEY.md §2 family beyond its round-4 surface (J:
-spatial join; A: robust aggregation; W/E: ordered patterns; S: schema
-drift; K: embedding compression for the training-data pipeline), with
-full DuckDB oracles. Registered FIRST: none of these keys has an
-external verification row yet, so they take the head of the driver's
-50-key window.
+Joins: grid-bucketed spatial radius (J10), co-located bucketed (J11),
+dynamic-partition-pruned (J12). Scans: schema evolution (S7), ORC
+(S8), custom Python data source (S10), malformed-record quarantine
+(S11). Aggregation/windows: winsorize (A12), GROUPING SETS (A4b),
+sketch percentile pairing (A3b, in relational), sequence pattern
+(W7), distribution ranks (W8), interval islands (E8), correlated
+EXISTS (P5). Iterative/graph algorithms, all exactly oracle-checked
+via integer-grain arithmetic: k-means (L18), PageRank (G1), triangle
+counting (G2). Training-data pipeline: int8 quantization (L17),
+dataset card (L19), corpus-pipeline capstone (L20). UDF surface:
+mapInArrow (U5).
+
+Each carries a full DuckDB oracle. Registered FIRST: none of these
+keys had an external verification row when added, so they take the
+head of the driver's 50-key window.
 """
 
 from __future__ import annotations
