@@ -18,6 +18,9 @@ from flirt_consume_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 # last driver rows predate the round-4 loader changes — exactly filling
 # the 50-key window. The round-5 `advanced` keys are brand-new (zero
 # external rows) so they take the very front.
+from flirt_consume_spark.queries import mixture  # noqa: F401,E402
+from flirt_consume_spark.queries import lifecycle  # noqa: F401,E402
+from flirt_consume_spark.queries import sketches  # noqa: F401,E402
 from flirt_consume_spark.queries import advanced  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
 from flirt_consume_spark.queries import evolution  # noqa: F401,E402

@@ -135,6 +135,17 @@ def main() -> None:
         timed(f"triangles_x{n}", _triangles(
             multiply(li, ["l_orderkey", "l_suppkey"], n, 10_000_000),
             od_n, mod=4999 * n)),
+        # Token-rarity profile: vocab agg + join back on token. The
+        # multiplied corpus repeats the same vocabulary, so the freq
+        # table stays vocabulary-sized — as Zipf guarantees at scale.
+        timed(f"rarity_x{n}", _rarity(docs_n)),
+        # Inverted index: explode → distinct → one shuffle on token.
+        timed(f"invindex_x{n}", _invindex(docs_n)),
+        # Bitmap-exact distinct: shuffle carries one word per 64-id
+        # range, not raw ids — must scale with the scan.
+        timed(f"bitmap_x{n}", _bitmap(multiply(
+            load_table(spark, args.sf, "events"), ["event_id", "user_id"],
+            n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -158,6 +169,9 @@ def main() -> None:
         timed("pagerank_x1", _pagerank(li, od)),
         timed("kmeans_x1", _kmeans(load_table(spark, args.sf, "embeddings"))),
         timed("triangles_x1", _triangles(li, od)),
+        timed("rarity_x1", _rarity(docs)),
+        timed("invindex_x1", _invindex(docs)),
+        timed("bitmap_x1", _bitmap(load_table(spark, args.sf, "events"))),
     ]
     for r in results + base:
         print(json.dumps(r))
@@ -165,7 +179,8 @@ def main() -> None:
     for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh",
                  "repetition", "sessionize", "chunk", "contaminate",
                  "bloom", "snapdiff", "merge", "zorder",
-                 "geo", "pagerank", "kmeans", "triangles"):
+                 "geo", "pagerank", "kmeans", "triangles",
+                 "rarity", "invindex", "bitmap"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -379,6 +394,50 @@ def _sess(ev: DataFrame) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def _rarity(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators import text as X
+
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cf"))
+    return tok.join(freq, "token").groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cf") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_hapax"),
+        F.min("cf").cast("bigint").alias("min_cf"),
+    )
+
+
+def _invindex(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators import text as X
+
+    pairs = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    ).distinct()
+    head = F.slice(F.array_sort(F.collect_set("doc_id")), 1, 8)
+    return pairs.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.concat_ws(",", F.transform(head, lambda x: x.cast("string")))
+        .alias("postings_head"),
+    ).filter(F.col("df") >= 5)
+
+
+def _bitmap(ev: DataFrame) -> DataFrame:
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 64).cast("bigint").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users")
     )
 
 
