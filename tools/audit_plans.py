@@ -81,6 +81,17 @@ ALLOW = {
     # Final (n_edges × n_triangles) assembly: two 1-row aggregates
     # cross-joined into the single output row.
     "graph_triangles": {"nested_loop"},
+    # nested_loop: 1-row corpus-total broadcast for the quota
+    # arithmetic (lazy-scalar shape). single_partition_window is the
+    # llm_tfidf/funnel_steps heuristic false positive: the plan holds
+    # BOTH a lang-hashpartitioned Window (verified in the formatted
+    # plan: Exchange hashpartitioning(lang) feeds it) AND the count
+    # agg's legitimate 1-row SinglePartition exchange.
+    "sample_mixture": {"nested_loop", "single_partition_window"},
+    # The per-bucket prefix max is a broadcast triangular join over
+    # the |buckets|-row maxima table — constant in data size, the
+    # same shape as sort_global's offset prefix-sum.
+    "pareto_frontier": {"nested_loop"},
 }
 
 
