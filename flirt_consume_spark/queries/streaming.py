@@ -114,6 +114,41 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.session_agg(t(spark, sf_dir, "events"))
 
 
+_BAR_US = 900 * 1_000_000  # 15-minute OHLC bars, epoch-aligned
+
+
+@query(
+    "stream_ohlc",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             epoch_us(ts) // {_BAR_US} AS bar,
+             CAST(floor(value * 1e6) AS BIGINT) AS vq,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events)
+    SELECT strftime(TIMESTAMP '1970-01-01'
+             + bar * 900 * INTERVAL 1 SECOND,
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           arg_min(vq, k) AS open_q,
+           CAST(MAX(vq) AS BIGINT) AS high_q,
+           CAST(MIN(vq) AS BIGINT) AS low_q,
+           arg_max(vq, k) AS close_q,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM v GROUP BY bar, event_type
+    """,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-family batch analogue of the streaming OHLC job: 15-minute
+    tumbling bars with open/close chosen by min_by/max_by on a total
+    (µs, event_id) key — the unified-op property (min_by partial
+    state merges associatively) is what makes the SAME code correct
+    per micro-batch; tests/test_streaming.py asserts stream == batch
+    on identical files."""
+    return jobs.ohlc_agg(t(spark, sf_dir, "events"))
+
+
 # Same literal dim as tests/test_streaming.py's T7 case; expressed as
 # VALUES in the oracle so both engines join against identical rows.
 _WEIGHTS = [("click", 1.0), ("purchase", 5.0), ("error", 0.0)]

@@ -174,6 +174,46 @@ def session_agg(
     )
 
 
+def ohlc_agg(
+    events: DataFrame, width: str = "15 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T1-family: OHLC bars per (tumbling window, series) — open/close
+    picked by min_by/max_by on a fixed-width total (µs, event_id) key
+    INSIDE the windowed aggregation. min_by's partial state is one
+    (value, key) pair and merges associatively, so the same code
+    converges identically whether micro-batches arrive in order, late
+    (within the watermark), or all at once in batch — the unified-op
+    property the batch-analogue key + stream==batch test pin."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    vq = F.floor(F.col("value") * 1e6).cast("bigint")
+    step = src.select("ts", "event_type", vq.alias("_vq"), key.alias("_k"))
+    return (
+        step.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.min_by("_vq", "_k").alias("open_q"),
+            F.max("_vq").alias("high_q"),
+            F.min("_vq").alias("low_q"),
+            F.max_by("_vq", "_k").alias("close_q"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "open_q",
+            "high_q",
+            "low_q",
+            "close_q",
+            "n_ticks",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T5: exactly-once by natural key — watermarked dropDuplicates;
     state for keys older than the watermark is purged (the reference's

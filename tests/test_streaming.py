@@ -36,6 +36,13 @@ def test_tumbling_stream_equals_batch(spark, source_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_ohlc_stream_equals_batch(spark, source_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, source_dir)
+    got = _drain(spark, jobs.ohlc_agg(stream), "t_ohlc", tmp_path, "complete")
+    want = jobs.ohlc_agg(load_table(spark, SF, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_session_stream_equals_batch(spark, source_dir, tmp_path):
     stream = jobs.read_events_stream(spark, source_dir)
     got = _drain(spark, jobs.session_agg(stream), "t_sess", tmp_path, "complete")
