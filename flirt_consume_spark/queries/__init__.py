@@ -21,6 +21,7 @@ from flirt_consume_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 from flirt_consume_spark.queries import mixture  # noqa: F401,E402
 from flirt_consume_spark.queries import lifecycle  # noqa: F401,E402
 from flirt_consume_spark.queries import sketches  # noqa: F401,E402
+from flirt_consume_spark.queries import robust  # noqa: F401,E402
 from flirt_consume_spark.queries import advanced  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
 from flirt_consume_spark.queries import evolution  # noqa: F401,E402
