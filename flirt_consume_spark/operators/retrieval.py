@@ -1,0 +1,192 @@
+"""Lexical retrieval / set-similarity operators.
+
+Two classic candidate-bounded algorithms, both expressed as pure
+DataFrame plans (no UDFs, no driver loops):
+
+- ``prefix_filtered_pairs``: the AllPairs/PPJoin prefix-filtering
+  set-similarity join (Bayardo, Ma, Srikant — WWW 2007; Xiao et al. —
+  WWW 2008). Unlike the MinHash-LSH path (operators/dedup.py), the
+  prefix filter is LOSSLESS: every pair with Jaccard >= tau shares at
+  least one token inside the other's prefix, so recall is exactly 1.0
+  by construction — the trade is a larger (still bounded) candidate
+  set instead of a probabilistic miss rate.
+
+- ``bm25_scores``: Okapi BM25 term-weighted ranking (Robertson &
+  Walker, SIGIR 1994), with the idf in its RATIONAL form
+  ``(N - df + 0.5) / (df + 0.5)`` — order-isomorphic to the usual
+  ``ln``-wrapped idf but free of libm, so DuckDB and the JVM compute
+  bit-identical doubles and the scores hash-match the oracle
+  (the same trick queries/corpus.py uses for tf-idf).
+
+All threshold tests are integer cross-multiplications
+(``den·inter >= num·union``), never float compares, so the decision
+boundary is exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prefix_filtered_pairs(
+    items: DataFrame,
+    id_col: str = "doc_id",
+    item_col: str = "shingle",
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard >= tau_num/tau_den
+    via prefix filtering.
+
+    ``items`` holds DISTINCT (id, item) pairs. Each record's items are
+    globally ordered by (ascending corpus frequency, item) — rare
+    items first — and only the first ``|T| - ceil(tau·|T|) + 1``
+    items (the *prefix*) participate in candidate generation: two
+    sets with Jaccard >= tau must overlap in >= ceil(tau·|T|) items,
+    so skipping the last ceil(tau·|T|) - 1 of either set cannot hide
+    all shared items (the pigeonhole that makes the filter lossless).
+    Ordering by rarity makes prefixes maximally selective: frequent
+    items land outside most prefixes and never generate candidates.
+
+    Plan shape (100-TB lens): one agg for frequencies, one per-id
+    window for prefix positions (partitioned by id — parallel, never
+    a global window), one equi-join ON THE PREFIX ITEMS ONLY for
+    candidates, then a candidate-bounded exact verify. No all-pairs
+    stage anywhere; the verify joins candidates back to the full item
+    table, so cost is O(candidates · avg set size), not O(n²).
+
+    Returns (id_a < id_b, n_inter, n_union, jaccard) for pairs
+    passing the EXACT integer threshold test
+    ``tau_den · inter >= tau_num · union``; ``jaccard`` is the
+    floor-to-1e-6 rational value (cross-engine-stable rounding).
+    """
+    # The item table feeds four plan legs (frequencies, prefix build,
+    # and both verify sides); persist it once instead of re-deriving
+    # the explode from source per leg — same build-once pattern as
+    # similarity.lsh_buckets.
+    items = items.persist()
+    freq = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("_freq"))
+    # One shuffle builds the rarity-ordered item array per id:
+    # array_sort on (freq, item) structs IS the global frequency order,
+    # so no row_number window and no separate size aggregate — set size
+    # and prefix both read off the array. Per-id arrays are bounded by
+    # record size (shingle count), not corpus size.
+    arr = (
+        items.join(freq, item_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_freq", item_col))
+            ).alias("_a")
+        )
+        .persist()  # read by sizes and by the prefix explode
+    )
+    # ceil(tau·n) in integers: ceil(a·n / b) = floor((a·n + b - 1)/b).
+    n_items = F.size("_a")
+    min_overlap = F.floor(
+        (F.lit(tau_num) * n_items + F.lit(tau_den - 1)) / F.lit(tau_den)
+    ).cast("int")
+    sizes = arr.select(id_col, n_items.alias("_n_items"))
+    prefixed = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.slice(F.col("_a"), F.lit(1), n_items - min_overlap + 1)
+        ).alias("_s"),
+    ).select(id_col, F.col(f"_s.{item_col}").alias(item_col))
+    cand = (
+        prefixed.select(F.col(id_col).alias("id_a"), item_col)
+        .join(
+            prefixed.select(F.col(id_col).alias("id_b"), item_col), item_col
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = items.select(F.col(id_col).alias("id_a"), item_col)
+    b = items.select(F.col(id_col).alias("id_b"), item_col)
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, [item_col, "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n_items").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n_items").alias("_nb"))
+    verified = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_union", F.col("_na") + F.col("_nb") - F.col("n_inter"))
+        .filter(
+            F.lit(tau_den) * F.col("n_inter")
+            >= F.lit(tau_num) * F.col("n_union")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        (F.floor(F.col("n_inter") / F.col("n_union") * 1e6) / F.lit(1e6)).alias(
+            "jaccard"
+        ),
+    )
+
+
+def bm25_scores(
+    tok_stream: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a fixed query term set, rational-idf
+    variant (module docstring). ``tok_stream`` is the NON-distinct
+    (id, token) stream: tf needs multiplicity.
+
+    One pass computes doc lengths (every doc), a second filtered pass
+    computes per-(doc, term) tf — the filter on the tiny term set is
+    pushed into the scan, so the tf aggregation only shuffles matching
+    tokens. N and avgdl ride on one broadcast row. The per-term
+    contribution
+    ``idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+    is pure IEEE +,-,·,/ on integer-derived doubles — deterministic on
+    both engines — and the per-doc sum over terms is the exact
+    integer-unit sum (1e-9 units), so the total is order-independent.
+
+    Returns (id, bm25) for every doc containing >= 1 query term.
+    """
+    dl = tok_stream.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_tot_dl"),
+    )
+    tf = (
+        tok_stream.filter(F.col(token_col).isin(*terms))
+        .groupBy(id_col, token_col)
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    df_ = tf.groupBy(token_col).agg(F.count(F.lit(1)).alias("_df"))
+    avgdl = F.col("_tot_dl").cast("double") / F.col("_n_docs")
+    idf = (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (
+        F.col("_df") + F.lit(0.5)
+    )
+    contrib = idf * (
+        (F.col("_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), token_col)
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib.alias("_s"))
+    )
+    return scored.groupBy(id_col).agg(
+        (F.sum(F.floor(F.col("_s") * 1e9).cast("long")) / F.lit(1e9))
+        .cast("double")
+        .alias("bm25")
+    )

@@ -331,3 +331,62 @@ def salted_join(
     small_s = small.withColumn("_salt", F.explode(salts))
     joined = big_s.join(small_s, [key, "_salt"], how)
     return joined.drop("_salt")
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Distributed running sum over a global total order — the prefix-
+    sum sibling of ``global_rank`` (same mechanics, summing a value
+    instead of counting rows). A partition-less ``SUM() OVER (ORDER
+    BY ...)`` plans as a single reducer holding the whole table; this
+    stays parallel end to end.
+
+    Mechanics: range-repartition on the sort key, sort within
+    partitions, take the WITHIN-partition running sum with a window
+    partitioned by ``spark_partition_id()`` (parallel — each task owns
+    one contiguous key range), then add each partition's preceding
+    total via a broadcast triangular join over the tiny (pid → sum)
+    table. ``value_col`` must be integral (LONG): integer addition is
+    associative, so the result is exact and identical at any
+    parallelism — float running sums would be partitioning-dependent.
+
+    ``order_cols`` must be a total order (unique key); ties would make
+    any global prefix sum nondeterministic.
+    """
+    from pyspark.sql.window import Window
+
+    vt = df.schema[value_col].dataType.simpleString()
+    if vt not in ("int", "bigint", "smallint", "tinyint"):
+        raise ValueError(
+            f"global_cumsum needs an integral value column, got "
+            f"{value_col}: {vt} — float prefix sums are order-dependent"
+        )
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_lcum", F.sum(value_col).over(local_w))
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    prev = totals.select(
+        F.col("_pid").alias("_ppid"), F.col("_ptot").alias("_pprev")
+    )
+    offs = (
+        totals.join(F.broadcast(prev), F.col("_ppid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pprev"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(cum_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
+    )

@@ -26,6 +26,12 @@ from flirt_consume_spark.queries import advanced  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
 from flirt_consume_spark.queries import evolution  # noqa: F401,E402
 from flirt_consume_spark.queries import analytics  # noqa: F401,E402
+
+# Round-5 late additions: registered AFTER the 50-key driver window
+# (which this round must spend on the 12 corpus/evolution/analytics
+# keys plus the early round-5 batch) — these rotate forward next round.
+from flirt_consume_spark.queries import retrieval  # noqa: F401,E402
+from flirt_consume_spark.queries import governance  # noqa: F401,E402
 from flirt_consume_spark.queries import relational  # noqa: F401,E402
 from flirt_consume_spark.queries import temporal  # noqa: F401,E402
 from flirt_consume_spark.queries import scalar  # noqa: F401,E402

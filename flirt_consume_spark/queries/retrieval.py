@@ -1,0 +1,150 @@
+r"""Lexical-retrieval query keys: exact prefix-filtered set-similarity
+join, BM25 ranking, and Gini–Simpson lexical diversity.
+
+These complete the similarity ladder in queries/llm.py from the other
+direction: MinHash-LSH (L2) trades recall for a bounded candidate set;
+``join_setsim`` keeps recall = 1.0 exactly (the prefix filter is
+lossless — operators/retrieval.py) while still never going all-pairs,
+and ``bm25_rank`` is the scoring half of a retrieval stack (dedup and
+retrieval share the same inverted-index shape). All arithmetic is
+integer or rational-from-integer, so every key hash-matches its DuckDB
+oracle bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.operators import dedup as D
+from flirt_consume_spark.operators import retrieval as R
+from flirt_consume_spark.operators.text import tokens
+from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.llm import _SH_CTE
+
+_TOK_STREAM = (
+    r"SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),"
+    r" '\s+')) AS token FROM documents"
+)
+
+
+@query(
+    "join_setsim",
+    oracle=_SH_CTE
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           sa.n + sb.n - n_inter AS n_union,
+           floor(CAST(n_inter AS DOUBLE)
+                 / (sa.n + sb.n - n_inter) * 1e6) / 1e6 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * n_inter >= (sa.n + sb.n - n_inter)
+    """,
+)
+def join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (shingle Jaccard >= 0.5) via
+    AllPairs/PPJoin prefix filtering — recall 1.0 by construction,
+    unlike the probabilistic LSH rung (llm_minhash_dedup). The oracle
+    is the brute-force pairwise join: at sf0.01 that is cheap; the
+    Spark plan is the one that survives 100 TB (candidates only from
+    rare-first prefixes, verify bounded to candidates). Threshold is
+    the integer test 2·inter >= union — no float compare at the
+    decision boundary."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"))
+    return R.prefix_filtered_pairs(
+        sh, id_col="doc_id", item_col="shingle", tau_num=1, tau_den=2
+    )
+
+
+_BM25_TERMS = ("dup", "spark", "merge")
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "bm25_rank",
+    oracle=f"""
+    WITH tokstream AS ({_TOK_STREAM}),
+    dl AS (SELECT doc_id, COUNT(*) AS _dl FROM tokstream GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS _n_docs, CAST(SUM(_dl) AS BIGINT) AS _tot
+              FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS _tf FROM tokstream
+      WHERE token IN ('dup', 'spark', 'merge') GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS _df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id,
+             ((_n_docs - _df + 0.5) / (_df + 0.5))
+             * ((_tf * {_K1 + 1.0}) /
+                (_tf + {_K1} * ({1.0 - _B} + {_B}
+                 * (_dl / (CAST(_tot AS DOUBLE) / _n_docs))))) AS _s
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(CAST(floor(_s * 1e9) AS BIGINT)) AS DOUBLE)
+                / 1e9 AS DOUBLE) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed 3-term query (one rare
+    term, two common — the rare term's rational idf dominates, which
+    is the point of BM25). Scoring math in operators/retrieval.py;
+    top-k is orderBy+limit = TakeOrdered (per-partition heaps, no
+    global sort shuffle). Ties broken by doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    stream = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    scored = R.bm25_scores(stream, _BM25_TERMS, k1=_K1, b=_B)
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+@query(
+    "llm_simpson",
+    oracle=f"""
+    WITH tokstream AS ({_TOK_STREAM}),
+    counts AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tokstream
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             AS simpson
+    FROM counts GROUP BY doc_id
+    """,
+)
+def llm_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gini–Simpson lexical diversity 1 - Σp_i² — the
+    rational (libm-free) cousin of token entropy, used as a quality
+    signal for repetitive/template text (low diversity ⇒ boilerplate).
+    Two hash aggs, no window, no UDF; Σc and Σc² are integer sums so
+    the final division is one deterministic IEEE op on both engines."""
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (n.cast("double") * n.cast("double"))
+        ).alias("simpson"),
+    )

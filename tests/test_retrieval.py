@@ -1,0 +1,137 @@
+"""Invariant tests for the retrieval/governance round-5 additions:
+prefix-filtering losslessness, BM25 ranking sanity, the distributed
+prefix sum, and determinism of the weighted sample.
+
+Oracle hash-parity for every key is covered by test_oracle_parity; the
+tests here pin the ALGORITHMIC claims the oracles can't express
+(recall == 1.0 vs brute force, scale-path == single-reducer result).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.operators import dedup as D
+from flirt_consume_spark.operators import retrieval as R
+from flirt_consume_spark.operators.scale import global_cumsum
+from flirt_consume_spark.queries import REGISTRY
+from flirt_consume_spark.queries.base import t
+
+
+def test_prefix_filter_lossless(spark, sf_dir):
+    """The prefix filter must find EXACTLY the brute-force pair set —
+    recall 1.0 (the lossless claim) and precision 1.0 (exact verify)."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"))
+    got = {
+        (r.id_a, r.id_b, r.n_inter, r.n_union)
+        for r in R.prefix_filtered_pairs(sh, tau_num=2, tau_den=5).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    brute = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(5 * F.col("n_inter") >= 2 * F.col("n_union"))
+    )
+    want = {
+        (r.id_a, r.id_b, r.n_inter, r.n_union) for r in brute.collect()
+    }
+    assert got == want
+    assert len(got) > 0  # non-vacuous: sf0.001 has near-dup docs
+
+
+def test_bm25_rare_term_dominates(spark, sf_dir):
+    """A doc containing the rare query term must outscore every doc
+    containing only the common terms (rational idf ordering)."""
+    docs = t(spark, sf_dir, "documents")
+    from flirt_consume_spark.operators.text import tokens
+
+    stream = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    scored = R.bm25_scores(stream, ("dup", "spark", "merge")).collect()
+    has_rare = {
+        r.doc_id
+        for r in stream.filter(F.col("token") == "dup")
+        .select("doc_id").distinct().collect()
+    }
+    if not has_rare:
+        pytest.skip("no rare-term docs at this sf")
+    best_without = max(
+        (r.bm25 for r in scored if r.doc_id not in has_rare), default=0.0
+    )
+    worst_with = min(r.bm25 for r in scored if r.doc_id in has_rare)
+    assert worst_with > best_without
+
+
+def test_global_cumsum_matches_single_reducer(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderkey").alias("v")
+    )
+    got = global_cumsum(
+        orders, "v", [F.col("v").desc(), F.col("o_orderkey")]
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("v").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = orders.withColumn("cum", F.sum("v").over(w))
+    assert {(r.o_orderkey, r.cum) for r in got.collect()} == {
+        (r.o_orderkey, r.cum) for r in want.collect()
+    }
+
+
+def test_global_cumsum_rejects_float():
+    import pandas as pd
+    from flirt_consume_spark.session import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]}))
+    with pytest.raises(ValueError, match="integral"):
+        global_cumsum(df, "v", [F.col("k")])
+
+
+def test_sample_weighted_deterministic(spark, sf_dir):
+    fn = REGISTRY["sample_weighted"].fn
+    a = [(r.o_orderkey, r.priority) for r in fn(spark, sf_dir).collect()]
+    b = [(r.o_orderkey, r.priority) for r in fn(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) > 0 and len(a) <= 100
+
+
+def test_agg_abc_partitions_revenue(spark, sf_dir):
+    rows = REGISTRY["agg_abc"].fn(spark, sf_dir).collect()
+    classes = {r.abc_class for r in rows}
+    assert classes <= {"A", "B", "C"}
+    li = t(spark, sf_dir, "lineitem")
+    total_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows) == total_parts
+
+
+def test_attribution_models_agree_on_total(spark, sf_dir):
+    rows = REGISTRY["attribution_touch"].fn(spark, sf_dir).collect()
+    first = [r for r in rows if r.model == "first_touch"]
+    last = [r for r in rows if r.model == "last_touch"]
+    assert abs(
+        sum(r.revenue for r in first) - sum(r.revenue for r in last)
+    ) < 1e-6
+    assert sum(r.n_conversions for r in first) == sum(
+        r.n_conversions for r in last
+    )
+
+
+def test_audit_fk_clean_on_fixture(spark, sf_dir):
+    rows = REGISTRY["audit_fk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    # the synthetic TPC-H-ish fixture is referentially intact
+    assert all(r.n_orphans == 0 for r in rows)
+    assert all(r.n_rows > 0 for r in rows)

@@ -92,6 +92,20 @@ ALLOW = {
     # the |buckets|-row maxima table — constant in data size, the
     # same shape as sort_global's offset prefix-sum.
     "pareto_frontier": {"nested_loop"},
+    # nested_loop: the 1-row grand-total broadcast for the class
+    # boundaries plus global_cumsum's triangular (pid → offset) join —
+    # both constant-size sides (sort_global shape).
+    # single_partition_window is the llm_tfidf heuristic false
+    # positive: the plan holds BOTH the total's legitimate 1-row
+    # SinglePartition agg AND a window hash-partitioned by _pid
+    # (verified in the formatted plan: windowspecdefinition(_pid, ...)).
+    "agg_abc": {"nested_loop", "single_partition_window"},
+    # Four (1-row n_rows) × (1-row n_orphans) cross products — the
+    # report assembly, constant size.
+    "audit_fk": {"nested_loop"},
+    # 1-row (N, total_dl) corpus-stats broadcast for the idf/avgdl
+    # arithmetic — the same lazy-scalar shape as llm_tfidf.
+    "bm25_rank": {"nested_loop"},
 }
 
 
