@@ -241,3 +241,62 @@ def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.select(
         F.lit("first_touch").alias("model"), "*"
     ).unionByName(last.select(F.lit("last_touch").alias("model"), "*"))
+
+
+@query(
+    "agg_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderdate AS d, 1 AS delta, o_orderkey FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 7 DAY AS d, -1 AS delta, o_orderkey
+      FROM orders
+    ), swept AS (
+      SELECT d, delta,
+             CAST(SUM(delta) OVER (ORDER BY d, delta, o_orderkey)
+                  AS BIGINT) AS cur
+      FROM pts
+    )
+    SELECT strftime(d, '%Y-%m') AS month_key,
+           CAST(MAX(cur) AS BIGINT) AS peak_active
+    FROM swept GROUP BY 1
+    """,
+)
+def agg_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per month via a distributed sweep
+    line: each order contributes an 'active' interval
+    [orderdate, orderdate+7d); starts emit +1, (exclusive) ends emit
+    -1, and the running sum of deltas over the global (time, delta,
+    key) order IS the number of concurrently-active intervals at each
+    boundary — the classic sweep-line reduction of interval overlap
+    counting, which never materializes overlapping PAIRS (quadratic)
+    at all.
+
+    The running sum is ``operators/scale.global_cumsum`` (range
+    partition + per-partition window + broadcast offsets — no
+    single-reducer stage), so the sweep scales to any interval count.
+    Ordering (-1 before +1 at equal timestamps) makes ends free their
+    slot before same-instant starts, matching the exclusive end.
+    """
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    orders = t(spark, sf_dir, "orders")
+    starts = orders.select(
+        F.col("o_orderdate").alias("d"),
+        F.lit(1).alias("delta"),
+        "o_orderkey",
+    )
+    ends = orders.select(
+        F.date_add("o_orderdate", 7).alias("d"),
+        F.lit(-1).alias("delta"),
+        "o_orderkey",
+    )
+    swept = global_cumsum(
+        starts.unionByName(ends),
+        "delta",
+        [F.col("d"), F.col("delta"), F.col("o_orderkey")],
+        cum_col="cur",
+    )
+    return swept.groupBy(
+        F.date_format("d", "yyyy-MM").alias("month_key")
+    ).agg(F.max("cur").cast("bigint").alias("peak_active"))

@@ -148,3 +148,114 @@ def llm_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n.cast("double") * n.cast("double"))
         ).alias("simpson"),
     )
+
+
+_GRAM_N = 8
+_HOT_GRAM_CAP = 20
+
+# 8-token gram stream WITH positions (i is the 1-based start token).
+_GRAM_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 8
+), grams AS (
+  SELECT doc_id, i,
+         tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]
+         || ' ' || tok[i+4] || ' ' || tok[i+5] || ' ' || tok[i+6]
+         || ' ' || tok[i+7] AS gram
+  FROM (SELECT doc_id, tok,
+               unnest(generate_series(1, len(tok) - 7)) AS i
+        FROM toks)
+), kept AS (
+  SELECT g.* FROM grams g
+  JOIN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20) f
+    ON f.gram = g.gram
+)
+"""
+
+
+@query(
+    "llm_dupspans",
+    oracle=_GRAM_CTE
+    + """
+    , matches AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.i AS pa, b.i AS pb, b.i - a.i AS d
+      FROM kept a JOIN kept b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                     ORDER BY pa) AS grp, d
+      FROM matches
+    )
+    SELECT doc_a, doc_b,
+           MIN(pa) AS start_a, MIN(pb) AS start_b,
+           COUNT(*) + 7 AS len_tokens
+    FROM runs GROUP BY doc_a, doc_b, d, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage detection (the exact-substring half of
+    training-data dedup, cf. Lee et al., 'Deduplicating Training Data
+    Makes Language Models Better', ACL 2022): maximal shared token
+    runs >= 9 tokens between document pairs, found as diagonal islands
+    in 8-gram match space — consecutive matches on the same offset
+    diagonal d = pos_b - pos_a collapse to one span via the classic
+    gaps-and-islands grouping (pos - row_number).
+
+    Scale shape: the only join is the 8-gram equi-join, and grams
+    occurring more than {cap} times corpus-wide are dropped FIRST via
+    a broadcast anti-join against the (tiny) hot-gram set — the
+    boilerplate-gram guard that bounds join fanout at 100 TB the same
+    way llm_contaminate caps benchmark grams. The islands window is
+    partitioned per (pair, diagonal) — parallel everywhere.
+    """
+    from flirt_consume_spark.operators.text import shingles, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("_tok")).filter(
+        F.size("_tok") >= _GRAM_N
+    )
+    grams = toks.select(
+        "doc_id", F.posexplode(shingles("_tok", _GRAM_N)).alias("_p0", "gram")
+    ).select("doc_id", (F.col("_p0") + 1).alias("i"), "gram")
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > _HOT_GRAM_CAP)
+        .select("gram")
+    )
+    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("pa"), "gram"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("pb"), "gram"
+    )
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("d"))
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    )
+    runs = matches.withColumn("grp", F.col("pa") - rn)
+    return (
+        runs.groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + 7).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= 9)
+        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    )
+
+
+llm_dupspans.__doc__ = llm_dupspans.__doc__.format(cap=_HOT_GRAM_CAP)

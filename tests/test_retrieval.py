@@ -135,3 +135,59 @@ def test_audit_fk_clean_on_fixture(spark, sf_dir):
     # the synthetic TPC-H-ish fixture is referentially intact
     assert all(r.n_orphans == 0 for r in rows)
     assert all(r.n_rows > 0 for r in rows)
+
+
+def test_dupspans_spans_are_maximal_and_real(spark, sf_dir):
+    """Every reported span must be reproducible from the raw token
+    arrays: tokens[start_a : start_a+len] == tokens[start_b : ...]."""
+    from flirt_consume_spark.operators.text import tokens
+
+    docs = {
+        r.doc_id: r.tok
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tok"))
+        .collect()
+    }
+    rows = REGISTRY["llm_dupspans"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        a = docs[r.doc_a][r.start_a - 1 : r.start_a - 1 + r.len_tokens]
+        b = docs[r.doc_b][r.start_b - 1 : r.start_b - 1 + r.len_tokens]
+        assert a == b and len(a) == r.len_tokens >= 9
+
+
+def test_concurrency_bounds(spark, sf_dir):
+    """Peak concurrency is positive and never exceeds the number of
+    intervals alive in that month's 7-day reach."""
+    rows = REGISTRY["agg_concurrency"].fn(spark, sf_dir).collect()
+    total = t(spark, sf_dir, "orders").count()
+    assert len(rows) > 0
+    assert all(0 < r.peak_active <= total for r in rows)
+    # sweep conservation: the running count never dips below zero and
+    # returns to exactly zero after the last boundary (every +1 start
+    # is matched by its -1 end).
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    orders = t(spark, sf_dir, "orders")
+    starts = orders.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"), "o_orderkey"
+    )
+    ends = orders.select(
+        F.date_add("o_orderdate", 7).alias("d"),
+        F.lit(-1).alias("delta"),
+        "o_orderkey",
+    )
+    swept = global_cumsum(
+        starts.unionByName(ends),
+        "delta",
+        [F.col("d"), F.col("delta"), F.col("o_orderkey")],
+        cum_col="cur",
+    )
+    assert swept.agg(F.min("cur")).collect()[0][0] >= 0
+    last = (
+        swept.orderBy(F.col("d").desc(), F.col("delta").desc(),
+                      F.col("o_orderkey").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert last.cur == 0

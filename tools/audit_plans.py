@@ -106,6 +106,9 @@ ALLOW = {
     # 1-row (N, total_dl) corpus-stats broadcast for the idf/avgdl
     # arithmetic — the same lazy-scalar shape as llm_tfidf.
     "bm25_rank": {"nested_loop"},
+    # global_cumsum's triangular (pid → offset) broadcast join —
+    # num_partitions rows, constant in data size (sort_global shape).
+    "agg_concurrency": {"nested_loop"},
 }
 
 
