@@ -190,3 +190,75 @@ def bm25_scores(
         .cast("double")
         .alias("bm25")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+    hot_cap: int = 20,
+    min_tokens: int = 9,
+) -> DataFrame:
+    """Maximal shared token runs (>= ``min_tokens``) between document
+    pairs — the exact-substring half of training-data dedup (Lee et
+    al., ACL 2022) — found as diagonal islands in gram match space.
+
+    Consecutive ``gram_n``-gram matches at the same offset diagonal
+    d = pos_b - pos_a are one shared substring; the classic
+    gaps-and-islands grouping (pos - row_number over the diagonal)
+    collapses them to (start_a, start_b, length) spans without any
+    per-row iteration.
+
+    Scale shape: the only join is the gram equi-join, and grams
+    occurring more than ``hot_cap`` times corpus-wide are dropped
+    FIRST via a broadcast anti-join against the (tiny) hot-gram set —
+    the boilerplate-gram guard that bounds join fanout at 100 TB. The
+    islands window partitions per (pair, diagonal) — parallel
+    everywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from flirt_consume_spark.operators.text import shingles, tokens
+
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tok")
+    ).filter(F.size("_tok") >= gram_n)
+    grams = toks.select(
+        F.col(id_col), F.posexplode(shingles("_tok", gram_n)).alias("_p0", "gram")
+    ).select(id_col, (F.col("_p0") + 1).alias("i"), "gram")
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_cap)
+        .select("gram")
+    )
+    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = kept.select(
+        F.col(id_col).alias("doc_a"), F.col("i").alias("pa"), "gram"
+    )
+    b = kept.select(
+        F.col(id_col).alias("doc_b"), F.col("i").alias("pb"), "gram"
+    )
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb",
+            (F.col("pb") - F.col("pa")).alias("d"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    )
+    runs = matches.withColumn("grp", F.col("pa") - rn)
+    return (
+        runs.groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + (gram_n - 1)).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    )

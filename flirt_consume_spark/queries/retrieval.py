@@ -213,48 +213,11 @@ def llm_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
     way llm_contaminate caps benchmark grams. The islands window is
     partitioned per (pair, diagonal) — parallel everywhere.
     """
-    from flirt_consume_spark.operators.text import shingles, tokens
-
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("_tok")).filter(
-        F.size("_tok") >= _GRAM_N
-    )
-    grams = toks.select(
-        "doc_id", F.posexplode(shingles("_tok", _GRAM_N)).alias("_p0", "gram")
-    ).select("doc_id", (F.col("_p0") + 1).alias("i"), "gram")
-    hot = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > _HOT_GRAM_CAP)
-        .select("gram")
-    )
-    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("i").alias("pa"), "gram"
-    )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("i").alias("pb"), "gram"
-    )
-    matches = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("d"))
-    )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
-    )
-    runs = matches.withColumn("grp", F.col("pa") - rn)
-    return (
-        runs.groupBy("doc_a", "doc_b", "d", "grp")
-        .agg(
-            F.min("pa").alias("start_a"),
-            F.min("pb").alias("start_b"),
-            (F.count(F.lit(1)) + 7).alias("len_tokens"),
-        )
-        .filter(F.col("len_tokens") >= 9)
-        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    return R.duplicate_spans(
+        t(spark, sf_dir, "documents"),
+        gram_n=_GRAM_N,
+        hot_cap=_HOT_GRAM_CAP,
+        min_tokens=9,
     )
 
 

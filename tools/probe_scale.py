@@ -146,6 +146,18 @@ def main() -> None:
         timed(f"bitmap_x{n}", _bitmap(multiply(
             load_table(spark, args.sf, "events"), ["event_id", "user_id"],
             n, 10_000_000))),
+        # Prefix-filtered set-similarity join & duplicate-span
+        # detection: candidates bounded by rare-prefix / hot-gram
+        # caps. Salted copies (see salt_docs) keep pair structure
+        # per-copy; growth beyond linear would mean the candidate
+        # stage degrades with corpus size.
+        timed(f"setsim_x{n}", _setsim(salt_docs(docs, n, 10_000_000))),
+        timed(f"dupspans_x{n}", _dupspans(salt_docs(docs, n, 10_000_000))),
+        # Distributed prefix sum + sweep-line concurrency: range
+        # partition + per-partition window; no single-reducer stage,
+        # so time must track rows.
+        timed(f"cumsum_x{n}", _cumsum(od_n)),
+        timed(f"sweep_x{n}", _sweep(od_n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -172,6 +184,10 @@ def main() -> None:
         timed("rarity_x1", _rarity(docs)),
         timed("invindex_x1", _invindex(docs)),
         timed("bitmap_x1", _bitmap(load_table(spark, args.sf, "events"))),
+        timed("setsim_x1", _setsim(salt_docs(docs, 1, 10_000_000))),
+        timed("dupspans_x1", _dupspans(salt_docs(docs, 1, 10_000_000))),
+        timed("cumsum_x1", _cumsum(od)),
+        timed("sweep_x1", _sweep(od)),
     ]
     for r in results + base:
         print(json.dumps(r))
@@ -180,7 +196,8 @@ def main() -> None:
                  "repetition", "sessionize", "chunk", "contaminate",
                  "bloom", "snapdiff", "merge", "zorder",
                  "geo", "pagerank", "kmeans", "triangles",
-                 "rarity", "invindex", "bitmap"):
+                 "rarity", "invindex", "bitmap",
+                 "setsim", "dupspans", "cumsum", "sweep"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -438,6 +455,78 @@ def _bitmap(ev: DataFrame) -> DataFrame:
     )
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).cast("bigint").alias("n_users")
+    )
+
+
+
+
+def salt_docs(docs: DataFrame, n: int, stride: int) -> DataFrame:
+    """Doc multiplication for TEXT-similarity probes: keys shift AND
+    every word gets a per-copy suffix, so copies of the same doc do
+    NOT match each other across copies. Plain multiply() would make
+    each doc an exact duplicate of its n-1 copies and the pair count
+    would grow quadratically — a data property, not a plan property;
+    salting keeps each copy family's pair structure identical to x1,
+    so measured growth is the plan's."""
+    copies = []
+    for i in range(n):
+        copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
+            .withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1c{i}"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _setsim(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators import dedup as D
+    from flirt_consume_spark.operators.retrieval import prefix_filtered_pairs
+
+    return prefix_filtered_pairs(D.shingle_table(docs), tau_num=1, tau_den=2)
+
+
+def _dupspans(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.retrieval import duplicate_spans
+
+    return duplicate_spans(docs)
+
+
+def _cumsum(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    cents = od.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return global_cumsum(
+        cents, "cents", [F.col("cents").desc(), F.col("o_orderkey")]
+    )
+
+
+def _sweep(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    starts = od.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"), "o_orderkey"
+    )
+    ends = od.select(
+        F.date_add("o_orderdate", 7).alias("d"),
+        F.lit(-1).alias("delta"),
+        "o_orderkey",
+    )
+    swept = global_cumsum(
+        starts.unionByName(ends),
+        "delta",
+        [F.col("d"), F.col("delta"), F.col("o_orderkey")],
+        cum_col="cur",
+    )
+    return swept.groupBy(F.date_format("d", "yyyy-MM").alias("m")).agg(
+        F.max("cur").alias("peak")
     )
 
 
