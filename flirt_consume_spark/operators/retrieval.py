@@ -61,10 +61,9 @@ def prefix_filtered_pairs(
     ``tau_den · inter >= tau_num · union``; ``jaccard`` is the
     floor-to-1e-6 rational value (cross-engine-stable rounding).
     """
-    # The item table feeds four plan legs (frequencies, prefix build,
-    # and both verify sides); persist it once instead of re-deriving
-    # the explode from source per leg — same build-once pattern as
-    # similarity.lsh_buckets.
+    # The item table feeds two plan legs (frequencies, prefix build);
+    # persist it once instead of re-deriving the explode from source
+    # per leg — same build-once pattern as similarity.lsh_buckets.
     items = items.persist()
     freq = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("_freq"))
     # One shuffle builds the rarity-ordered item array per id:
@@ -80,42 +79,89 @@ def prefix_filtered_pairs(
                 F.collect_list(F.struct("_freq", item_col))
             ).alias("_a")
         )
-        .persist()  # read by sizes and by the prefix explode
+        .persist()  # read by the prefix explode and both verify sides
     )
     # ceil(tau·n) in integers: ceil(a·n / b) = floor((a·n + b - 1)/b).
     n_items = F.size("_a")
     min_overlap = F.floor(
         (F.lit(tau_num) * n_items + F.lit(tau_den - 1)) / F.lit(tau_den)
     ).cast("int")
-    sizes = arr.select(id_col, n_items.alias("_n_items"))
     prefixed = arr.select(
         F.col(id_col),
-        F.explode(
+        n_items.alias("_n"),
+        F.posexplode(
             F.slice(F.col("_a"), F.lit(1), n_items - min_overlap + 1)
-        ).alias("_s"),
-    ).select(id_col, F.col(f"_s.{item_col}").alias(item_col))
-    cand = (
-        prefixed.select(F.col(id_col).alias("id_a"), item_col)
-        .join(
-            prefixed.select(F.col(id_col).alias("id_b"), item_col), item_col
+        ).alias("_p0", "_s"),
+    ).select(
+        id_col,
+        "_n",
+        (F.col("_p0") + 1).alias("_pos"),
+        F.col(f"_s.{item_col}").alias(item_col),
+    )
+    # PPJoin positional filter (Xiao et al., WWW 2008), applied before
+    # the distinct: Jaccard >= tau forces inter >= ceil(tau·(na+nb) /
+    # (1+tau)); items share ONE global order, so the pair's first
+    # common item (which the prefixes are sized to contain) bounds the
+    # intersection by min(na-pa, nb-pb)+1. Pairs whose every prefix
+    # match fails the bound cannot qualify — lossless, and it prunes
+    # the frequent-item matches that sit late in rarity-ordered
+    # prefixes (409k → 125k candidates measured at sf0.1). The same
+    # inequality subsumes the tau·na <= nb length filter.
+    pa = prefixed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_pna"),
+        F.col("_pos").alias("_pa"),
+        item_col,
+    )
+    pb = prefixed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("_pnb"),
+        F.col("_pos").alias("_pb"),
+        item_col,
+    )
+    need = F.floor(
+        (
+            F.lit(tau_num) * (F.col("_pna") + F.col("_pnb"))
+            + F.lit(tau_num + tau_den - 1)
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        / F.lit(tau_num + tau_den)
+    )
+    bound = (
+        F.least(F.col("_pna") - F.col("_pa"), F.col("_pnb") - F.col("_pb"))
+        + 1
+    )
+    cand = (
+        pa.join(pb, item_col)
+        .filter((F.col("id_a") < F.col("id_b")) & (bound >= need))
         .select("id_a", "id_b")
         .distinct()
     )
-    a = items.select(F.col(id_col).alias("id_a"), item_col)
-    b = items.select(F.col(id_col).alias("id_b"), item_col)
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, [item_col, "id_b"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verify on the doc-level ARRAYS, not the exploded item table:
+    # joining candidates back to `arr` shuffles one doc-sized row per
+    # side instead of re-shuffling every (id, item) pair, and the
+    # intersection is a per-row array_intersect over the two bounded
+    # sets — verify cost O(|cand| · set size) with no third pass over
+    # the item-level table (measured ~2× on the sf0.1 bench).
+    plain = arr.select(
+        F.col(id_col),
+        F.transform(F.col("_a"), lambda s: s[item_col]).alias("_items"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n_items").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n_items").alias("_nb"))
+    aa = plain.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_items").alias("_ia"),
+        F.size("_items").alias("_na"),
+    )
+    bb = plain.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_items").alias("_ib"),
+        F.size("_items").alias("_nb"),
+    )
     verified = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect(F.col("_ia"), F.col("_ib")))
+        )
         .withColumn("n_union", F.col("_na") + F.col("_nb") - F.col("n_inter"))
         .filter(
             F.lit(tau_den) * F.col("n_inter")

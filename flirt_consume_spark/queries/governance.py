@@ -300,3 +300,83 @@ def agg_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(
         F.date_format("d", "yyyy-MM").alias("month_key")
     ).agg(F.max("cur").cast("bigint").alias("peak_active"))
+
+
+@query(
+    "temporal_align",
+    oracle="""
+    WITH pts AS (
+      SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS id,
+             o_orderpriority AS a_val, CAST(NULL AS VARCHAR) AS b_val
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(NULL AS VARCHAR), o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), seg AS (
+      SELECT k, d, id,
+             last_value(a_val IGNORE NULLS) OVER w AS a_cur,
+             last_value(b_val IGNORE NULLS) OVER w AS b_cur,
+             lead(d) OVER w2 AS d_next
+      FROM pts
+      WINDOW w AS (PARTITION BY k ORDER BY d, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY k ORDER BY d, id)
+    )
+    SELECT k AS custkey, strftime(d, '%Y-%m-%d') AS seg_start,
+           strftime(d_next, '%Y-%m-%d') AS seg_end, a_cur, b_cur
+    FROM seg WHERE a_cur IS NOT NULL AND b_cur IS NOT NULL
+    """,
+)
+def temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal alignment of two per-key validity histories (the
+    bitemporal 'align'/'normalize' op of temporal databases): merge
+    both attribute streams into one per-key event sequence; at every
+    boundary the running last-known value of EACH stream (ignorenulls
+    last over the merged order) gives the combined segment, and
+    lead() closes it — so N+M events produce their aligned segments
+    in ONE window pass on ONE key shuffle, instead of the quadratic
+    interval self-join the naive overlap formulation plans. Segments
+    before both streams have reported are dropped (no fabricated
+    values). The two histories here derive from disjoint halves of
+    the orders stream (priority vs status), standing in for any two
+    SCD2 dimension tables sharing a key."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("a_val"),
+        F.lit(None).cast("string").alias("b_val"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("id"),
+        F.lit(None).cast("string").alias("a_val"),
+        F.col("o_orderstatus").alias("b_val"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = Window.partitionBy("k").orderBy("d", "id")
+    seg = (
+        a.unionByName(b)
+        .select(
+            "k",
+            "d",
+            F.last("a_val", ignorenulls=True).over(w).alias("a_cur"),
+            F.last("b_val", ignorenulls=True).over(w).alias("b_cur"),
+            F.lead("d").over(w2).alias("d_next"),
+        )
+        .filter(F.col("a_cur").isNotNull() & F.col("b_cur").isNotNull())
+    )
+    return seg.select(
+        F.col("k").alias("custkey"),
+        F.date_format("d", "yyyy-MM-dd").alias("seg_start"),
+        F.date_format("d_next", "yyyy-MM-dd").alias("seg_end"),
+        "a_cur",
+        "b_cur",
+    )

@@ -222,3 +222,79 @@ def llm_dupspans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_dupspans.__doc__ = llm_dupspans.__doc__.format(cap=_HOT_GRAM_CAP)
+
+
+_COLLOC_MIN_SUPPORT = 30
+
+
+@query(
+    "llm_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 2
+    ), big AS (
+      SELECT tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT tok, unnest(generate_series(1, len(tok) - 1)) AS i
+            FROM toks)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1 AS w, COUNT(*) AS c FROM big GROUP BY w1
+    ), tot AS (SELECT COUNT(*) AS n FROM big)
+    SELECT w1, w2, c_ab,
+           floor(CAST(n AS DOUBLE) * c_ab
+                 / (CAST(ua.c AS DOUBLE) * ub.c) * 1e6) / 1e6 AS lift
+    FROM bc JOIN uni ua ON ua.w = bc.w1
+    JOIN uni ub ON ub.w = bc.w2
+    CROSS JOIN tot
+    WHERE c_ab >= {_COLLOC_MIN_SUPPORT}
+    """,
+)
+def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / multi-word-expression detection: bigram lift
+    n·c(ab) / (c(a)·c(b)) — the exponential of PMI, kept in its
+    RATIONAL form so no libm log enters the hash (the monotone-
+    equivalent trick BM25/tf-idf use). Bigrams above the support
+    floor with lift >> 1 are phrases ('new york'); lift ≈ 1 means
+    independent co-occurrence. Two hash aggs off one bigram explode
+    + a broadcast unigram join (vocabulary-sized, Zipf-bounded) + a
+    1-row total — no self-joins, nothing quadratic. First-position
+    unigram counts are the denominator basis on both sides (exactly
+    c(a)=count(w1=a), c(b)=count(w1=b)), so the oracle replays the
+    identical rationals."""
+    from flirt_consume_spark.operators.text import shingles, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("_tok")).filter(
+        F.size("_tok") >= 2
+    )
+    big = toks.select(F.explode(shingles("_tok", 2)).alias("bg")).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    big = big.persist()  # three aggregation legs below
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c")).select(
+        F.col("w1").alias("w"), "c"
+    )
+    tot = big.agg(F.count(F.lit(1)).alias("n"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("_cb"))
+    out = (
+        bc.filter(F.col("c_ab") >= _COLLOC_MIN_SUPPORT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (
+        F.floor(
+            F.col("n").cast("double")
+            * F.col("c_ab")
+            / (F.col("_ca").cast("double") * F.col("_cb"))
+            * 1e6
+        )
+        / F.lit(1e6)
+    )
+    return out.select("w1", "w2", "c_ab", lift.alias("lift"))

@@ -191,3 +191,54 @@ def test_concurrency_bounds(spark, sf_dir):
         .collect()[0]
     )
     assert last.cur == 0
+
+
+def test_temporal_align_segments_tile(spark, sf_dir):
+    """Aligned segments must tile each key's timeline: consecutive,
+    non-overlapping, seg_end == next seg_start."""
+    rows = REGISTRY["temporal_align"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    checked = 0
+    for segs in by_key.values():
+        # zero-length segments (same-day events) sort by end too;
+        # the open final segment (None end) sorts last
+        segs.sort(
+            key=lambda r: (r.seg_start, r.seg_end is None, r.seg_end or "")
+        )
+        for cur, nxt in zip(segs, segs[1:]):
+            assert cur.seg_end == nxt.seg_start
+            checked += 1
+        # only the final (open) segment may have NULL end
+        assert all(s.seg_end is not None for s in segs[:-1])
+        assert segs[-1].seg_end is None
+    assert checked > 0
+
+
+def test_collocations_lift_consistent(spark, sf_dir):
+    """Reported lift must equal n*c_ab/(c_a*c_b) recomputed from the
+    raw bigram stream, and support floor must hold."""
+    rows = REGISTRY["llm_collocations"].fn(spark, sf_dir).collect()
+    if not rows:
+        pytest.skip("support floor above sf fixture counts")
+    from flirt_consume_spark.operators.text import shingles, tokens
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(tokens("text").alias("tok"))
+        .filter(F.size("tok") >= 2)
+    )
+    bigs = toks.select(F.explode(shingles("tok", 2)).alias("bg")).collect()
+    from collections import Counter
+
+    c_ab = Counter(r.bg for r in bigs)
+    c_a = Counter(r.bg.split(" ")[0] for r in bigs)
+    n = len(bigs)
+    import math
+
+    for r in rows:
+        assert r.c_ab == c_ab[f"{r.w1} {r.w2}"] >= 30
+        want = math.floor(n * r.c_ab / (c_a[r.w1] * c_a[r.w2]) * 1e6) / 1e6
+        assert abs(r.lift - want) < 1e-9

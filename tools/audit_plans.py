@@ -109,6 +109,9 @@ ALLOW = {
     # global_cumsum's triangular (pid → offset) broadcast join —
     # num_partitions rows, constant in data size (sort_global shape).
     "agg_concurrency": {"nested_loop"},
+    # 1-row bigram-total broadcast for the lift denominator — the
+    # lazy-scalar shape (llm_tfidf/bm25_rank).
+    "llm_collocations": {"nested_loop"},
 }
 
 
