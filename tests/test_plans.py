@@ -156,3 +156,34 @@ def test_dpp_prunes_fact_partitions(spark):
     doesn't select are never read."""
     p = plan_of(REGISTRY["join_dpp"].fn(spark, SF))
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_setsim_no_cartesian_anywhere(spark):
+    """Prefix-filtered set-similarity join: candidates only via the
+    prefix equi-join — no CartesianProduct, no nested loop anywhere."""
+    p = plan_of(REGISTRY["join_setsim"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dupspans_hot_gram_cap_is_broadcast_anti(spark):
+    """The hot-gram guard must be a broadcast LeftAnti join (tiny hot
+    set shipped to the gram stream), and nothing may plan cartesian."""
+    p = plan_of(REGISTRY["llm_dupspans"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin LeftAnti" in p) or (
+        "LeftAnti, BuildRight" in p
+    ), p
+
+
+def test_global_cumsum_windows_are_partitioned(spark):
+    """agg_abc and agg_concurrency run on global_cumsum: every Window
+    node must carry a partition spec (the _pid clause) — a
+    partition-less window would serialize the whole table through one
+    reducer."""
+    import re
+
+    for key in ("agg_abc", "agg_concurrency"):
+        p = plan_of(REGISTRY[key].fn(spark, SF))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            assert m.group(1).strip().startswith("_pid"), (key, m.group(0))

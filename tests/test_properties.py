@@ -372,3 +372,92 @@ def test_time_islands_maximal_and_disjoint(spark, rows):
                 assert c.start_us + 300_000_000 <= c.end_us or (
                     c.n_events == 1 and c.end_us == c.start_us + 300_000_000
                 )
+
+
+_sets = st.lists(
+    st.lists(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=_sets, tau=st.sampled_from([(1, 3), (1, 2), (2, 3), (4, 5)]))
+def test_prefix_filter_lossless_random_sets(spark, raw, tau):
+    """prefix_filtered_pairs == brute-force pairwise Jaccard on
+    arbitrary random set families at several thresholds — the
+    losslessness of prefix + positional filtering holds for every
+    input, not just the doc fixture."""
+    from flirt_consume_spark.operators.retrieval import prefix_filtered_pairs
+
+    tn, td = tau
+    sets = [sorted(set(s)) for s in raw]
+    rows = [
+        (i, f"t{v}") for i, s in enumerate(sets) for v in s
+    ]
+    items = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r.id_a, r.id_b, r.n_inter, r.n_union)
+        for r in prefix_filtered_pairs(items, tau_num=tn, tau_den=td).collect()
+    }
+    want = set()
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(set(sets[a]) & set(sets[b]))
+            union = len(set(sets[a]) | set(sets[b]))
+            if td * inter >= tn * union:
+                want.add((a, b, inter, union))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=40))
+def test_global_cumsum_random(spark, vals):
+    """Distributed prefix sum == Python itertools.accumulate on the
+    same total order, including negative values (the sweep-line case)."""
+    from itertools import accumulate
+
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, "v", [F.col("k")]).collect()
+    }
+    want = dict(zip(range(len(vals)), accumulate(vals)))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sweep_line_matches_naive_overlap_count(spark, spans):
+    """Sweep-line peak concurrency == naive per-day membership count
+    on random interval families."""
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    rows = [(i, s, s + d) for i, (s, d) in enumerate(spans)]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    starts = df.select(F.col("s").alias("p"), F.lit(1).alias("delta"), "id")
+    ends = df.select(F.col("e").alias("p"), F.lit(-1).alias("delta"), "id")
+    swept = global_cumsum(
+        starts.unionByName(ends),
+        "delta",
+        [F.col("p"), F.col("delta"), F.col("id")],
+        cum_col="cur",
+    )
+    got_peak = swept.agg(F.max("cur")).collect()[0][0]
+    # naive: count active intervals [s, e) at every start point
+    want_peak = max(
+        sum(1 for (s2, d2) in spans if s2 <= s < s2 + d2)
+        for (s, _d) in spans
+    )
+    assert got_peak == want_peak
