@@ -270,9 +270,18 @@ def duplicate_spans(
     toks = docs.select(
         F.col(id_col), tokens(text_col).alias("_tok")
     ).filter(F.size("_tok") >= gram_n)
-    grams = toks.select(
-        F.col(id_col), F.posexplode(shingles("_tok", gram_n)).alias("_p0", "gram")
-    ).select(id_col, (F.col("_p0") + 1).alias("i"), "gram")
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(shingles("_tok", gram_n)).alias("_p0", "gram"),
+        )
+        .select(id_col, (F.col("_p0") + 1).alias("i"), "gram")
+        # The HOF gram-string construction (gram_n element_ats +
+        # concat per position) dominates this operator's cost; it
+        # feeds both the hot-set aggregate and the match join, so
+        # build it once.
+        .persist()
+    )
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_n"))

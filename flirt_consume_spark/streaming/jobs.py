@@ -441,3 +441,88 @@ def user_running_totals_tws(events: DataFrame, watermark: str = "60 minutes") ->
         outputMode="Update",
         timeMode="None",
     )
+
+
+CDC_LOG_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("op", StringType()),  # 'U' upsert / 'D' delete
+        StructField("price_cents", LongType()),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def apply_cdc_stream(
+    spark: SparkSession, source_dir: str, state_path: str, checkpoint: str
+) -> None:
+    """T10: streaming CDC apply — the incremental twin of the batch
+    `cdc_apply` key. A file-arrival stream of change-log records
+    (Debezium→lake shape) folds into a standing snapshot via
+    foreachBatch MERGE:
+
+    1. compact the micro-batch to latest-per-key (one window inside
+       the batch — batches are small, the window is per-key);
+    2. union with the standing state and take latest-per-key again —
+       versions are carried IN the state, so merge order between
+       state and batch is decided by the data, not arrival time;
+    3. rewrite the state atomically (write-new → swap), because
+       overwriting a parquet dir while reading it is undefined.
+
+    Deletes are kept as TOMBSTONES in the state (op='D' rows) rather
+    than dropped: a late lower-version upsert for a deleted key must
+    NOT resurrect it, and only the tombstone's version can prove
+    that. Readers take `op != 'D'`. At scale, tombstones age out with
+    a retention pass (the standard Delta/Hudi vacuum contract);
+    blindly dropping them here would trade correctness for state
+    size. Exactly-once: the checkpoint makes each source file
+    contribute to exactly one batch, and re-running a batch recomputes
+    the same deterministic merge.
+    """
+    import os
+    import shutil
+
+    log = spark.readStream.schema(CDC_LOG_SCHEMA).parquet(source_dir)
+
+    def latest_wins(df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy(
+            F.col("version").desc(),
+            F.col("price_cents").desc(),
+            F.col("op").desc(),
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        compacted = latest_wins(batch_df)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            state = batch_df.sparkSession.read.parquet(state_path)
+            compacted = latest_wins(state.unionByName(compacted))
+        tmp = state_path + ".new"
+        compacted.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    q = (
+        log.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cdc_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current-state view over the CDC state: live keys only."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("op") != "D")
+        .select("key", "price_cents")
+    )
