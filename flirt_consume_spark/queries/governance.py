@@ -380,3 +380,246 @@ def temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_cur",
         "b_cur",
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH x AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), r AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, o_orderkey) AS rnk
+      FROM x
+    )
+    SELECT segment, COUNT(*) AS n_orders,
+           floor(CAST(2 * SUM(rnk * cents) - (COUNT(*) + 1) * SUM(cents)
+                      AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(cents)) * 1e6) / 1e6
+             AS gini
+    FROM r GROUP BY segment
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficient of order-value concentration —
+    the standard inequality readout (0 = uniform, →1 = concentrated),
+    computed from the rank formulation
+    G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) in exact integer cents.
+
+    The per-group rank does NOT use a per-group window (one reducer
+    per group — a serialized stage when a group is huge). Instead:
+    ONE `global_rank` over the total order (segment, cents, key),
+    then per-segment ranks fall out by subtracting each segment's
+    min global rank (a tiny broadcast join) — every stage range/hash
+    partitioned, no group ever serializes."""
+    from flirt_consume_spark.operators.scale import global_rank
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    x = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        x, [F.col("segment"), F.col("cents"), F.col("o_orderkey")]
+    )
+    base = ranked.groupBy("segment").agg(F.min("rnk").alias("_r0"))
+    r = ranked.join(F.broadcast(base), "segment").select(
+        "segment",
+        "cents",
+        (F.col("rnk") - F.col("_r0") + 1).cast("long").alias("rnk"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("cents")
+    srx = F.sum(F.col("rnk") * F.col("cents"))
+    return r.groupBy("segment").agg(
+        n.alias("n_orders"),
+        (
+            F.floor(
+                (2 * srx - (n + 1) * sx).cast("double")
+                / (n.cast("double") * sx)
+                * 1e6
+            )
+            / F.lit(1e6)
+        ).alias("gini"),
+    )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH pnl AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(floor(value * 1e6) AS BIGINT) - 50000000)
+               OVER w AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), dd AS (
+      SELECT user_id,
+             MAX(cum) OVER w2 - cum AS drawdown
+      FROM pnl
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(CAST(MAX(drawdown) AS DOUBLE) / 1e6 AS DOUBLE)
+             AS max_drawdown
+    FROM dd GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the centered value stream
+    (value − 50 as a signed PnL): running sum, running max of that
+    sum, max gap — the canonical risk statistic, and a window
+    composition (cumsum → running max → agg) Spark executes in ONE
+    per-user sort. Exact 1e-6 integer units end to end; both windows
+    share the user_id partitioning so the stream shuffles once."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pnl = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(
+            F.floor(F.col("value") * 1e6).cast("long") - F.lit(50000000)
+        )
+        .over(w)
+        .alias("cum"),
+    )
+    dd = pnl.select(
+        "user_id", (F.max("cum").over(w) - F.col("cum")).alias("drawdown")
+    )
+    return dd.groupBy("user_id").agg(
+        (F.max("drawdown").cast("double") / 1e6).alias("max_drawdown")
+    )
+
+
+_DS_BUCKETS = 50
+
+
+@query(
+    "time_downsample",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS xs,
+             CAST(floor(value * 1e6) AS BIGINT) AS yl, event_id
+      FROM events
+    ), n AS (SELECT event_type, COUNT(*) AS cnt FROM pts GROUP BY 1),
+    rk AS (
+      SELECT p.*, row_number() OVER (PARTITION BY p.event_type
+                                     ORDER BY xs, event_id) AS r, cnt
+      FROM pts p JOIN n USING (event_type)
+    ), bk AS (
+      SELECT *, ((r - 1) * {_DS_BUCKETS}) // cnt AS b FROM rk
+    ), bm AS (
+      SELECT event_type, b,
+             CAST(SUM(xs) AS DOUBLE) / COUNT(*) AS mx,
+             CAST(SUM(yl) AS DOUBLE) / COUNT(*) AS my
+      FROM bk GROUP BY event_type, b
+    ), anchors AS (
+      SELECT event_type, b,
+             coalesce(lag(mx)  OVER w, mx) AS px,
+             coalesce(lag(my)  OVER w, my) AS py,
+             coalesce(lead(mx) OVER w, mx) AS nx,
+             coalesce(lead(my) OVER w, my) AS ny
+      FROM bm WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    ), scored AS (
+      SELECT bk.event_type, bk.b, bk.xs, bk.yl, bk.event_id,
+             abs((px - nx) * (bk.yl - py) - (px - bk.xs) * (ny - py))
+               AS area
+      FROM bk JOIN anchors ON bk.event_type = anchors.event_type
+                          AND bk.b = anchors.b
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, b
+                                   ORDER BY area DESC, event_id) AS pr
+      FROM scored
+    )
+    SELECT event_type, b AS bucket, xs AS ts_sec,
+           CAST(CAST(yl AS DOUBLE) / 1e6 AS DOUBLE) AS value
+    FROM pick WHERE pr = 1
+    """,
+)
+def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling for visualization, LTTB-style
+    (largest-triangle-three-buckets, Steinarsson 2013) with FIXED
+    bucket-mean anchors: per series, points fall into {nb} equal-count
+    buckets; each bucket keeps the point forming the largest triangle
+    against the neighboring buckets' mean points. The fixed-anchor
+    variant drops LTTB's sequential previous-selected-point dependency
+    — every bucket scores independently, so the whole downsample is
+    joins + windows, embarrassingly parallel across series AND buckets
+    (true LTTB is an inherently serial scan per series).
+
+    Determinism: coordinates are integer (epoch seconds, 1e-6 value
+    units); bucket index is pure integer math ((r−1)·nb DIV n); anchor
+    means are integer-sum/count doubles; triangle areas are IEEE
+    products of identical doubles on both engines; bucket winners
+    order by (area DESC, event_id)."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        F.floor(F.col("value") * 1e6).cast("long").alias("yl"),
+        "event_id",
+    )
+    n = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    r = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("xs", "event_id")
+    )
+    bk = (
+        pts.join(F.broadcast(n), "event_type")
+        .withColumn("r", r)
+        .withColumn(
+            "b", F.expr(f"((r - 1) * {_DS_BUCKETS}) div cnt")
+        )
+    )
+    bm = bk.groupBy("event_type", "b").agg(
+        (F.sum("xs").cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum("yl").cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("b")
+    anchors = bm.select(
+        "event_type",
+        "b",
+        F.coalesce(F.lag("mx").over(wb), F.col("mx")).alias("px"),
+        F.coalesce(F.lag("my").over(wb), F.col("my")).alias("py"),
+        F.coalesce(F.lead("mx").over(wb), F.col("mx")).alias("nx"),
+        F.coalesce(F.lead("my").over(wb), F.col("my")).alias("ny"),
+    )
+    scored = bk.join(anchors, ["event_type", "b"]).withColumn(
+        "area",
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("yl") - F.col("py"))
+            - (F.col("px") - F.col("xs")) * (F.col("ny") - F.col("py"))
+        ),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("event_type", "b").orderBy(
+            F.col("area").desc(), "event_id"
+        )
+    )
+    return (
+        scored.withColumn("pr", pick)
+        .filter(F.col("pr") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            F.col("xs").alias("ts_sec"),
+            (F.col("yl").cast("double") / 1e6).alias("value"),
+        )
+    )
+
+
+time_downsample.__doc__ = time_downsample.__doc__.format(nb=_DS_BUCKETS)

@@ -242,3 +242,75 @@ def test_collocations_lift_consistent(spark, sf_dir):
         assert r.c_ab == c_ab[f"{r.w1} {r.w2}"] >= 30
         want = math.floor(n * r.c_ab / (c_a[r.w1] * c_a[r.w2]) * 1e6) / 1e6
         assert abs(r.lift - want) < 1e-9
+
+
+def test_gini_matches_direct_formula(spark, sf_dir):
+    rows = REGISTRY["agg_gini"].fn(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r.gini < 1.0 for r in rows)
+    # recompute one segment driver-side from raw data
+    import math
+
+    seg = rows[0].segment
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == seg)
+    xs = sorted(
+        (int(r[0]), r[1])
+        for r in orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        )
+        .selectExpr("CAST(floor(o_totalprice*100) AS LONG)", "o_orderkey")
+        .collect()
+    )
+    xs = [v for v, _k in sorted(xs, key=lambda t_: (t_[0], t_[1]))]
+    n, sx = len(xs), sum(xs)
+    srx = sum((i + 1) * v for i, v in enumerate(xs))
+    want = math.floor((2 * srx - (n + 1) * sx) / (n * sx) * 1e6) / 1e6
+    got = [r.gini for r in rows if r.segment == seg][0]
+    assert abs(got - want) < 1e-9
+
+
+def test_drawdown_matches_naive(spark, sf_dir):
+    rows = {
+        r.user_id: r.max_drawdown
+        for r in REGISTRY["win_drawdown"].fn(spark, sf_dir).collect()
+    }
+    assert rows and all(v >= 0 for v in rows.values())
+    ev = sorted(
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    from collections import defaultdict
+
+    import math
+
+    series = defaultdict(list)
+    for r in ev:
+        series[r.user_id].append(math.floor(r.value * 1e6) - 50_000_000)
+
+    for uid, vals in series.items():
+        cum, peak, worst = 0, None, 0
+        for v in vals:
+            cum += v
+            peak = cum if peak is None else max(peak, cum)
+            worst = max(worst, peak - cum)
+        assert abs(rows[uid] - worst / 1e6) < 1e-6, uid
+
+
+def test_downsample_picks_real_points(spark, sf_dir):
+    got = REGISTRY["time_downsample"].fn(spark, sf_dir).collect()
+    assert got
+    ev = t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "unix_micros(ts) div 1000000 AS xs",
+        "CAST(floor(value*1e6) AS LONG) AS yl",
+    ).collect()
+    pts = {(r.event_type, r.xs, r.yl) for r in ev}
+    per_series = {}
+    for r in got:
+        assert (r.event_type, r.ts_sec, int(round(r.value * 1e6))) in pts
+        per_series.setdefault(r.event_type, set()).add(r.bucket)
+    # each series covered by the full bucket range (n >> NB here)
+    for btk in per_series.values():
+        assert btk == set(range(50))

@@ -112,6 +112,9 @@ ALLOW = {
     # 1-row bigram-total broadcast for the lift denominator — the
     # lazy-scalar shape (llm_tfidf/bm25_rank).
     "llm_collocations": {"nested_loop"},
+    # global_rank's triangular (pid → offset) broadcast join —
+    # num_partitions rows, constant in data size (sort_global shape).
+    "agg_gini": {"nested_loop"},
 }
 
 
