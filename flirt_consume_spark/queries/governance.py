@@ -623,3 +623,96 @@ def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 time_downsample.__doc__ = time_downsample.__doc__.format(nb=_DS_BUCKETS)
+
+
+@query(
+    "agg_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN day(ts) <= 15
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN day(ts) > 15
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), pooled AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM per_user
+    ), arms AS (
+      SELECT arm, COUNT(*) AS an,
+             CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, an AS n_users,
+           floor(CAST(ay AS DOUBLE) / an / 100 * 1e6) / 1e6 AS mean_y,
+           floor((CAST(ay AS DOUBLE) / an
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * (CAST(ax AS DOUBLE) / an - CAST(sx AS DOUBLE) / n))
+                 / 100 * 1e6) / 1e6 AS mean_y_cuped
+    FROM arms CROSS JOIN pooled
+    """,
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) for an A/B
+    readout: per-user pre-period value (x, days 1–15) predicts the
+    post-period metric (y, days 16+); the adjusted metric
+    y − θ(x − x̄) with θ = cov(x,y)/var(x) removes the predictable
+    variance so arm deltas need far less traffic to resolve.
+
+    Everything reduces to ONE per-user aggregation pass + two tiny
+    aggregates over the 150-row user table: θ and the per-arm
+    adjusted means are pure algebra over exact integer moments
+    (Σx, Σy, Σxy, Σx² in cents), so no second pass over raw events
+    and no per-row adjustment materialization — and the doubles
+    derived from those integers are bit-identical on both engines.
+    Arms are the deterministic user_id parity."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("an"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    theta = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    mean_y = F.col("ay").cast("double") / F.col("an")
+    mean_x = F.col("ax").cast("double") / F.col("an")
+    pooled_x = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        "arm",
+        F.col("an").alias("n_users"),
+        (F.floor(mean_y / 100 * 1e6) / F.lit(1e6)).alias("mean_y"),
+        (
+            F.floor(
+                (mean_y - theta * (mean_x - pooled_x)) / 100 * 1e6
+            )
+            / F.lit(1e6)
+        ).alias("mean_y_cuped"),
+    )

@@ -526,3 +526,46 @@ def read_cdc_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("key", "price_cents")
     )
+
+
+def read_series_stream(spark: SparkSession, total: int = 6000, chunk: int = 1000) -> DataFrame:
+    """S12: custom STREAMING Python data source (PySpark 4
+    SimpleDataSourceStreamReader) — the extension point for feeds with
+    no native streaming reader (polled HTTP endpoints, bespoke
+    queues). A deterministic arithmetic series arrives in
+    ``chunk``-sized micro-batches up to ``total`` rows; offsets are
+    plain row counters, so the engine's offset log replays exactly
+    and a restart resumes mid-series (same checkpoint contract as any
+    file source). Classes are function-scoped so cloudpickle ships
+    them by value. The batch twin of this source is scan_pyds."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SeriesStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            lo = start["pos"]
+            hi = min(lo + chunk, total)
+            rows = [(k, (k * k) % 97, k / 7.0) for k in range(lo, hi)]
+            return (iter(rows), {"pos": hi})
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (k, (k * k) % 97, k / 7.0)
+                for k in range(start["pos"], end["pos"])
+            )
+
+    class SeriesStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "det_series_stream"
+
+        def schema(self):
+            return "i long, m long, x double"
+
+        def simpleStreamReader(self, schema):
+            return SeriesStreamReader()
+
+    spark.dataSource.register(SeriesStreamSource)
+    return spark.readStream.format("det_series_stream").load()

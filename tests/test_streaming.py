@@ -365,3 +365,49 @@ def test_cdc_stream_equals_batch(spark, tmp_path):
         for r in read_cdc_snapshot(spark, state).collect()
     }
     assert again == want
+
+
+def test_python_stream_source_emits_series(spark, tmp_path):
+    """The custom streaming Python data source must deliver the exact
+    deterministic series across micro-batches (offset bookkeeping
+    included) — streamed aggregate == closed-form batch answer."""
+    import time
+
+    from flirt_consume_spark.streaming.jobs import read_series_stream
+
+    total = 6000
+    sdf = read_series_stream(spark, total=total, chunk=1000)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyseries")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.table("pyseries").count() >= total:
+            break
+        time.sleep(1)
+    q.stop()
+    got = spark.table("pyseries")
+    assert got.count() == total
+    agg = {
+        r.m: (r.cnt, r.xu)
+        for r in got.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("xu"),
+        )
+        .collect()
+    }
+    import collections
+    import math
+
+    want = collections.defaultdict(lambda: [0, 0])
+    for k in range(total):
+        m = (k * k) % 97
+        want[m][0] += 1
+        want[m][1] += math.floor(k / 7.0 * 1e6)
+    assert agg == {m: tuple(v) for m, v in want.items()}
