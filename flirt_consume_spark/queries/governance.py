@@ -716,3 +716,166 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("mean_y_cuped"),
     )
+
+
+@query(
+    "win_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           floor(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type) * 1e6) / 1e6
+             AS prob
+    FROM c
+    """,
+)
+def win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next | prev) with rational row-normalized
+    probabilities — the sequence-model readout behind journey
+    analysis and synthetic-session generation. One lag window on the
+    user_id shuffle + one hash agg; the row normalization is a window
+    over the |types|² count table (tiny), not over events."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.floor(F.col("n").cast("double") / F.sum("n").over(tot) * 1e6)
+            / F.lit(1e6)
+        ).alias("prob"),
+    )
+
+
+# Benford expected first-digit shares, precomputed as literals so no
+# libm log10 enters either engine (floor to 1e-6 of log10(1 + 1/d)).
+_BENFORD = {
+    1: 0.301029, 2: 0.176091, 3: 0.124938, 4: 0.096910, 5: 0.079181,
+    6: 0.066946, 7: 0.057991, 8: 0.051152, 9: 0.045757,
+}
+
+
+@query(
+    "audit_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, COUNT(*) AS n,
+           floor(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM d) * 1e6) / 1e6 AS share,
+           CASE digit """
+    + " ".join(f"WHEN {k} THEN {v}" for k, v in _BENFORD.items())
+    + """ END AS expected
+    FROM d GROUP BY digit
+    """,
+)
+def audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order values — the standard
+    anomaly/fraud screen for 'organic' numeric populations. The first
+    digit comes from the STRING form of exact integer cents (never
+    log10: decimal float formatting differs across engines, integer
+    formatting does not). Expected shares are precomputed literals;
+    observed shares are rational. One narrow projection + one tiny
+    agg + a 1-row total broadcast."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("_t"))
+    expected = F.when(F.col("digit") == 1, F.lit(_BENFORD[1]))
+    for k in range(2, 10):
+        expected = expected.when(F.col("digit") == k, F.lit(_BENFORD[k]))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.floor(F.col("n").cast("double") / F.col("_t") * 1e6) / 1e6)
+            .alias("share"),
+            expected.alias("expected"),
+        )
+    )
+
+
+@query(
+    "audit_srm",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ), c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM u
+    )
+    SELECT n_a, n_b,
+           floor(((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                  / ((n_a + n_b) / 2.0)
+                  + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                  / ((n_a + n_b) / 2.0)) * 1e6) / 1e6 AS chi2,
+           CAST((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                  / ((n_a + n_b) / 2.0)
+                  + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                  / ((n_a + n_b) / 2.0) > 3.841459 AS BOOLEAN) AS srm
+    FROM c
+    """,
+)
+def audit_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of every A/B
+    readout (a skewed split invalidates the experiment before any
+    metric is read): chi-square of observed arm counts against the
+    50/50 design, flagged above the p=0.05 critical value 3.841459
+    (a literal — no CDF evaluation in-engine). Pure integer counts
+    into a fixed IEEE expression; pairs with agg_cuped."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).alias("arm")
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / F.lit(2.0)
+    chi2 = (F.col("n_a") - e) * (F.col("n_a") - e) / e + (
+        F.col("n_b") - e
+    ) * (F.col("n_b") - e) / e
+    return c.select(
+        "n_a",
+        "n_b",
+        (F.floor(chi2 * 1e6) / F.lit(1e6)).alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("srm"),
+    )

@@ -298,3 +298,65 @@ def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1e6)
     )
     return out.select("w1", "w2", "c_ab", lift.alias("lift"))
+
+
+_WINNOW_W = 4
+
+
+@query(
+    "llm_winnow",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+    ), hashed AS (
+      SELECT doc_id, i, md5(shingle) AS h
+      FROM (SELECT doc_id, i,
+                   tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+            FROM (SELECT doc_id, tok,
+                         unnest(generate_series(1, len(tok) - 2)) AS i
+                  FROM toks))
+    ), wins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashed
+    )
+    SELECT doc_id, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS fp_min
+    FROM wins GROUP BY doc_id
+    """,
+)
+def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS algorithm): the minimum gram hash in every
+    sliding window of {w} positions. The winnowing guarantee: any
+    shared substring of >= w + gram - 1 tokens yields at least one
+    IDENTICAL selected fingerprint in both documents, while only
+    ~2/(w+1) of positions are kept — the principled density/recall
+    trade that plain min-hashing (llm_fingerprint) lacks. One
+    per-doc position window (parallel across docs) over md5 hashes;
+    output is the per-doc fingerprint-set profile."""
+    from flirt_consume_spark.operators.text import shingles, tokens
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("_tok")).filter(
+        F.size("_tok") >= 3
+    )
+    hashed = toks.select(
+        "doc_id", F.posexplode(shingles("_tok", 3)).alias("_p0", "sh")
+    ).select("doc_id", (F.col("_p0") + 1).alias("i"), F.md5("sh").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    wins = hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+    return wins.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fp"), F.min("fp").alias("fp_min")
+    )
+
+
+llm_winnow.__doc__ = llm_winnow.__doc__.format(w=_WINNOW_W)

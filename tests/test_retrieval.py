@@ -314,3 +314,58 @@ def test_downsample_picks_real_points(spark, sf_dir):
     # each series covered by the full bucket range (n >> NB here)
     for btk in per_series.values():
         assert btk == set(range(50))
+
+
+def test_transitions_rows_normalize(spark, sf_dir):
+    rows = REGISTRY["win_transitions"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 <= r.prob <= 1.0
+        by_prev[r.prev_type] += r.prob
+    # floor-rounding loses < 1e-6 per cell; rows sum to ~1
+    assert all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["audit_benford"].fn(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.expected for r in rows if r.expected) - 1.0) < 1e-4
+
+
+def test_srm_statistic_nonnegative(spark, sf_dir):
+    r = REGISTRY["audit_srm"].fn(spark, sf_dir).collect()[0]
+    assert r.chi2 >= 0 and r.n_a + r.n_b > 0
+    # parity split of user ids is balanced on the fixture
+    assert r.srm is False
+
+
+def test_winnow_guarantee(spark, sf_dir):
+    """Winnowing guarantee: two docs sharing a substring of
+    >= w + gram - 1 tokens share at least one selected fingerprint.
+    The dup-family pairs found by llm_dupspans (>= 9 shared tokens,
+    gram=3, w=4 => threshold 6) must overlap in fingerprints."""
+    from pyspark.sql.window import Window as W2
+
+    from flirt_consume_spark.operators.text import shingles, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("_tok")).filter(
+        F.size("_tok") >= 3
+    )
+    hashed = toks.select(
+        "doc_id", F.posexplode(shingles("_tok", 3)).alias("_p0", "sh")
+    ).select("doc_id", F.col("_p0").alias("i"), F.md5("sh").alias("h"))
+    w = W2.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    fps = {}
+    for r in hashed.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    pairs = REGISTRY["llm_dupspans"].fn(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert fps[p.doc_a] & fps[p.doc_b], (p.doc_a, p.doc_b)

@@ -115,6 +115,11 @@ ALLOW = {
     # global_rank's triangular (pid → offset) broadcast join —
     # num_partitions rows, constant in data size (sort_global shape).
     "agg_gini": {"nested_loop"},
+    # 1-row pooled-moments broadcast (n, Σx, Σy, Σxy, Σx²) joined to
+    # the per-arm rows — the lazy-scalar shape.
+    "agg_cuped": {"nested_loop"},
+    # 1-row total-count broadcast for the digit shares — lazy scalar.
+    "audit_benford": {"nested_loop"},
 }
 
 
