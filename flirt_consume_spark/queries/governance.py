@@ -879,3 +879,149 @@ def audit_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(chi2 * 1e6) / F.lit(1e6)).alias("chi2"),
         (chi2 > F.lit(3.841459)).alias("srm"),
     )
+
+
+_ANC_DEPTH = 8
+
+
+@query(
+    "graph_ancestors",
+    oracle=f"""
+    WITH RECURSIVE parents AS (
+      SELECT p_partkey + 1 AS node,
+             ('0x' || substr(md5(CAST(p_partkey + 1 AS VARCHAR)), 1, 8))::BIGINT
+               % (p_partkey + 1) AS parent
+      FROM part
+    ), anc AS (
+      SELECT node, parent AS ancestor, 1 AS depth
+      FROM parents WHERE parent > 0
+      UNION ALL
+      SELECT a.node, p.parent, a.depth + 1
+      FROM anc a JOIN parents p ON p.node = a.ancestor
+      WHERE p.parent > 0 AND a.depth < {_ANC_DEPTH}
+    )
+    SELECT node, ancestor, depth FROM anc
+    """,
+)
+def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth ancestor closure over a DAG (BOM explosion / org
+    roll-up shape): parent(p) = md5-uniform in [0, p) — strictly
+    decreasing, so the parent map is a guaranteed DAG with ~log-depth
+    chains — and the closure is {d} unrolled frontier⋈parent equi-join
+    hops (the dataflow form of WITH RECURSIVE ... depth <= {d}).
+    Each hop shuffles only the LIVE frontier (chains that hit the
+    root drop out), so cost tracks the surviving-path count, not
+    nodes × depth. The same md5 arithmetic replays in DuckDB's
+    recursive CTE, making an iterative graph traversal
+    hash-checkable end to end."""
+    part = t(spark, sf_dir, "part")
+    # p_partkey is 0-based; shift to 1-based node ids so parent =
+    # hash % node is well-defined (mod 0 is an ANSI error) and every
+    # chain terminates at the virtual root 0.
+    node = F.col("p_partkey") + 1
+    parents = part.select(
+        node.alias("node"),
+        (
+            F.conv(
+                F.substring(F.md5(node.cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % node
+        ).alias("parent"),
+    )
+    pmap = parents.filter(F.col("parent") > 0)
+    frontier = pmap.select(
+        "node", F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
+    )
+    out = frontier
+    for d in range(2, _ANC_DEPTH + 1):
+        nxt = pmap.select(
+            F.col("node").alias("_pn"), F.col("parent").alias("_pp")
+        )
+        frontier = (
+            frontier.join(nxt, frontier["ancestor"] == nxt["_pn"])
+            .select(
+                "node", F.col("_pp").alias("ancestor"), F.lit(d).alias("depth")
+            )
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+graph_ancestors.__doc__ = graph_ancestors.__doc__.format(d=_ANC_DEPTH)
+
+
+@query(
+    "alloc_remainder",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), w AS (
+      SELECT l_orderkey, l_linenumber, q, total,
+             CAST(SUM(q) OVER (PARTITION BY l_orderkey) AS BIGINT) AS qq
+      FROM li
+    ), base AS (
+      SELECT *, total * q // qq AS b, (total * q) % qq AS frac
+      FROM w
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY frac DESC, l_linenumber) AS rk,
+             total - CAST(SUM(b) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS r
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(b + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM ranked
+    """,
+)
+def alloc_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional allocation with largest-remainder rounding (the
+    Hamilton apportionment used for invoice line splits, cost
+    allocation, budget sharing): each order's exact cent total is
+    distributed over its lineitems by quantity so that per-line cents
+    are integers AND they sum EXACTLY to the order total — floor the
+    proportional share, then hand the leftover cents to the largest
+    fractional remainders (ties by line number). 100% integer
+    arithmetic; the per-order windows ride one l_orderkey shuffle and
+    groups are bounded by lines-per-order."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("total"),
+    )
+    wk = Window.partitionBy("l_orderkey")
+    base = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total",
+        F.expr("total * q div sum(q) OVER (PARTITION BY l_orderkey)")
+        .alias("b"),
+        ((F.col("total") * F.col("q")) % F.sum("q").over(wk)).alias("frac"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.col("frac").desc(), "l_linenumber"
+        )
+    )
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "b",
+        rk.alias("rk"),
+        (F.col("total") - F.sum("b").over(wk)).alias("r"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("b") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_cents"),
+    )

@@ -369,3 +369,40 @@ def test_winnow_guarantee(spark, sf_dir):
     assert pairs
     for p in pairs:
         assert fps[p.doc_a] & fps[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_alloc_sums_exactly_to_totals(spark, sf_dir):
+    """The allocation invariant largest-remainder exists for: per
+    order, allocated cents sum EXACTLY to the order's cent total."""
+    rows = REGISTRY["alloc_remainder"].fn(spark, sf_dir)
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("total"),
+    )
+    per_order = rows.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("s")
+    )
+    bad = (
+        per_order.join(orders, "l_orderkey")
+        .filter(F.col("s") != F.col("total"))
+        .count()
+    )
+    assert bad == 0
+    assert rows.filter(F.col("alloc_cents") < 0).count() == 0
+
+
+def test_ancestors_chains_are_consistent(spark, sf_dir):
+    """Every depth-d ancestor must be reachable by composing d
+    single-parent hops (checked by rebuilding chains driver-side)."""
+    rows = REGISTRY["graph_ancestors"].fn(spark, sf_dir).collect()
+    assert rows
+    parents = {}
+    for r in rows:
+        if r.depth == 1:
+            parents[r.node] = r.ancestor
+    for r in rows:
+        cur = r.node
+        for _ in range(r.depth):
+            assert cur in parents, (r.node, r.depth)
+            cur = parents[cur]
+        assert cur == r.ancestor, (r.node, r.depth, r.ancestor)
