@@ -360,3 +360,87 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_winnow.__doc__ = llm_winnow.__doc__.format(w=_WINNOW_W)
+
+
+@query(
+    "emb_covariance",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, i, CAST(floor(embedding[i] * 1e6) AS BIGINT) AS xl
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ), moments AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(a.xl * b.xl) AS BIGINT) AS sxy
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), sums AS (
+      SELECT i, CAST(SUM(xl) AS BIGINT) AS sx, COUNT(*) AS n
+      FROM xs GROUP BY i
+    )
+    SELECT m.i, m.j,
+           floor((CAST(m.sxy AS DOUBLE) / sa.n / 1e12
+                  - (CAST(sa.sx AS DOUBLE) / sa.n / 1e6)
+                    * (CAST(sb.sx AS DOUBLE) / sb.n / 1e6)) * 1e9) / 1e9
+             AS cov
+    FROM moments m
+    JOIN sums sa ON sa.i = m.i
+    JOIN sums sb ON sb.i = m.j
+    """,
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding columns — the aggregation
+    behind PCA / whitening / Mahalanobis pipelines — as ONE
+    distributed pass: per vector, the upper-triangle products
+    x_i·x_j are generated JVM-side (posexplode + an indexed
+    ``transform`` over the suffix slice — no self-join, no UDF),
+    then a 64·65/2-group hash agg folds them; cov_ij =
+    E[x_i x_j] − E[x_i]E[x_j] by the moment identity, so no second
+    centering pass over the data. All sums are exact 1e-6-unit
+    integers; the output is a constant-size (dim²) table however many
+    vectors stream through — exactly the shape that feeds a
+    driver/BLAS eigensolve at any scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))"
+        ).alias("xl"),
+    )
+    pairs = xs.select(
+        F.posexplode("xl").alias("_i0", "xi"), F.col("xl")
+    ).select(
+        (F.col("_i0") + 1).alias("i"),
+        F.explode(
+            F.expr(
+                "transform(slice(xl, _i0 + 1, size(xl) - _i0), "
+                "(xj, k) -> struct(_i0 + 1 + k AS j, xi * xj AS p))"
+            )
+        ).alias("_s"),
+    ).select("i", F.col("_s.j").alias("j"), F.col("_s.p").alias("p"))
+    moments = pairs.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    sums = (
+        xs.select(F.posexplode("xl").alias("_i0", "xi"))
+        .select((F.col("_i0") + 1).alias("i"), "xi")
+        .groupBy("i")
+        .agg(F.sum("xi").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    sa = sums.select(
+        F.col("i"), F.col("sx").alias("_sxa"), F.col("n").alias("_na")
+    )
+    sb = sums.select(
+        F.col("i").alias("j"), F.col("sx").alias("_sxb"), F.col("n").alias("_nb")
+    )
+    cov = (
+        F.col("sxy").cast("double") / F.col("_na") / 1e12
+        - (F.col("_sxa").cast("double") / F.col("_na") / 1e6)
+        * (F.col("_sxb").cast("double") / F.col("_nb") / 1e6)
+    )
+    return (
+        moments.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i", "j", (F.floor(cov * 1e9) / F.lit(1e9)).alias("cov")
+        )
+    )

@@ -406,3 +406,27 @@ def test_ancestors_chains_are_consistent(spark, sf_dir):
             assert cur in parents, (r.node, r.depth)
             cur = parents[cur]
         assert cur == r.ancestor, (r.node, r.depth, r.ancestor)
+
+
+def test_covariance_psd_diagonal_and_symmetry_slice(spark, sf_dir):
+    """Variances (diagonal) are non-negative, and the matrix agrees
+    with numpy's covariance on the raw vectors (up to the declared
+    1e-9 floor grid)."""
+    import numpy as np
+
+    rows = REGISTRY["emb_covariance"].fn(spark, sf_dir).collect()
+    cov = {(r.i, r.j): r.cov for r in rows}
+    assert all(cov[(i, i)] >= 0 for i in range(1, 65))
+    vecs = np.array(
+        [
+            r.embedding
+            for r in t(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    xl = np.floor(vecs * 1e6) / 1e6
+    n = xl.shape[0]
+    want = (xl.T @ xl) / n - np.outer(xl.mean(axis=0), xl.mean(axis=0))
+    for (i, j), got in cov.items():
+        assert abs(got - want[i - 1, j - 1]) < 2e-9, (i, j)
