@@ -1,14 +1,23 @@
-"""Data-governance / warehouse-utility query keys: referential-
-integrity audit, ABC (Pareto-class) contribution analysis on a
-distributed running sum, deterministic weighted sampling, and
-first/last-touch revenue attribution.
+"""Governance / analytics / experimentation query keys.
+
+Four families:
+- data governance: referential-integrity audit, Benford first-digit
+  screen, snapshot-style checks (`audit_*`);
+- contribution & risk analytics: ABC Pareto classes, Gini
+  concentration, maximum drawdown, sweep-line interval concurrency,
+  LTTB downsampling, Markov transitions, largest-remainder
+  allocation, bounded ancestor closure;
+- experimentation: CUPED variance reduction and the
+  sample-ratio-mismatch gate;
+- sampling & temporal plumbing: A-ES weighted sampling, touch
+  attribution, SCD2 temporal alignment.
 
 Scale notes per key are in the docstrings; the shared theme is that
-nothing here introduces a serialized stage — the ABC cumulative share
-runs on ``operators/scale.global_cumsum`` (range-partitioned prefix
-sum, no single-reducer window), the attribution windows are
-partitioned per user, and the weighted sample is a TakeOrdered top-k
-on a hash-derived priority, not a global sort.
+nothing here introduces a serialized stage — running totals/ranks go
+through ``operators/scale.global_cumsum`` / ``global_rank``
+(range-partition + per-partition window + broadcast offsets, no
+single-reducer window), per-entity windows ride their natural key
+shuffle, and top-k selections are TakeOrdered, not global sorts.
 """
 
 from __future__ import annotations
@@ -1024,4 +1033,96 @@ def alloc_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
         .cast("long")
         .alias("alloc_cents"),
+    )
+
+
+@query(
+    "time_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+               AS dow,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), dowm AS (
+      SELECT dow, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS dow_mean
+      FROM daily GROUP BY dow
+    ), resid AS (
+      SELECT d, daily.dow, cents, dow_mean,
+             cents - dow_mean AS r
+      FROM daily JOIN dowm ON daily.dow = dowm.dow
+    ), sigma AS (
+      SELECT sqrt(
+               CAST(SUM(CAST(floor(r * r) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*)
+               - (CAST(SUM(CAST(floor(r * 1e3) AS BIGINT)) AS DOUBLE)
+                  / 1e3 / COUNT(*))
+                 * (CAST(SUM(CAST(floor(r * 1e3) AS BIGINT)) AS DOUBLE)
+                    / 1e3 / COUNT(*))
+             ) AS sd
+      FROM resid
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(CAST(cents AS DOUBLE) / 100 AS DOUBLE) AS daily_value,
+           dow,
+           floor(dow_mean / 100 * 1e6) / 1e6 AS expected,
+           floor(r / 100 * 1e6) / 1e6 AS residual,
+           CAST(abs(r) > 3 * sd AS BOOLEAN) AS is_anomaly
+    FROM resid CROSS JOIN sigma
+    """,
+)
+def time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly screen (the additive-decomposition
+    core of STL-style monitoring): daily totals vs their day-of-week
+    mean; residuals beyond 3σ flag anomalies. Day-of-week is computed
+    as days-since-a-Monday-anchor mod 7 — NOT the engines'
+    dayofweek(), whose 0/1-based Sunday conventions differ. One daily
+    aggregation (exact integer cents), a 7-row seasonal-mean join
+    back, and a 1-row pooled σ broadcast; σ's variance comes from
+    floored integer-unit sums of the (cross-engine-identical)
+    residual doubles, and sqrt is IEEE exactly-rounded, so even the
+    3σ decision boundary is deterministic."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dowm = daily.groupBy("dow").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    )
+    resid = daily.join(F.broadcast(dowm), "dow").withColumn(
+        "r", F.col("cents") - F.col("dow_mean")
+    )
+    mean_r = (
+        F.sum(F.floor(F.col("r") * 1e3).cast("long")).cast("double")
+        / 1e3
+        / F.count(F.lit(1))
+    )
+    sigma = resid.agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("r") * F.col("r")).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            - mean_r * mean_r
+        ).alias("sd")
+    )
+    return resid.crossJoin(F.broadcast(sigma)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("cents").cast("double") / 100).alias("daily_value"),
+        "dow",
+        (F.floor(F.col("dow_mean") / 100 * 1e6) / 1e6).alias("expected"),
+        (F.floor(F.col("r") / 100 * 1e6) / 1e6).alias("residual"),
+        (F.abs(F.col("r")) > 3 * F.col("sd")).alias("is_anomaly"),
     )

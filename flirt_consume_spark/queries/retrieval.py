@@ -1,14 +1,18 @@
-r"""Lexical-retrieval query keys: exact prefix-filtered set-similarity
-join, BM25 ranking, and Gini–Simpson lexical diversity.
+r"""Lexical-retrieval / corpus-forensics query keys: exact
+prefix-filtered set-similarity join, BM25 ranking, Gini–Simpson
+lexical diversity, duplicate-passage spans, collocation detection,
+winnowing fingerprints, and the embedding covariance aggregation.
 
 These complete the similarity ladder in queries/llm.py from the other
 direction: MinHash-LSH (L2) trades recall for a bounded candidate set;
-``join_setsim`` keeps recall = 1.0 exactly (the prefix filter is
-lossless — operators/retrieval.py) while still never going all-pairs,
-and ``bm25_rank`` is the scoring half of a retrieval stack (dedup and
-retrieval share the same inverted-index shape). All arithmetic is
-integer or rational-from-integer, so every key hash-matches its DuckDB
-oracle bit for bit.
+``join_setsim`` keeps recall = 1.0 exactly (prefix + positional
+filtering is lossless — operators/retrieval.py) while still never
+going all-pairs; ``llm_dupspans`` is the exact-substring half of
+training-data dedup; ``llm_winnow`` is the principled
+density/recall fingerprint (MOSS); ``bm25_rank`` is the scoring half
+of a retrieval stack. All arithmetic is integer or
+rational-from-integer (rational idf, rational PMI, integer-unit
+moments), so every key hash-matches its DuckDB oracle bit for bit.
 """
 
 from __future__ import annotations
@@ -444,3 +448,117 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "j", (F.floor(cov * 1e9) / F.lit(1e9)).alias("cov")
         )
     )
+
+
+_POWER_ITERS = 3
+
+
+def _cov_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (mirrored) covariance matrix in long form, from the
+    upper-triangle emb_covariance result."""
+    upper = emb_covariance(spark, sf_dir)
+    lower = upper.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    )
+    return upper.unionByName(lower)
+
+
+@query(
+    "emb_power_iteration",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, i, CAST(floor(embedding[i] * 1e6) AS BIGINT) AS xl
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ), moments AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.xl * b.xl) AS BIGINT) AS sxy
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), sums AS (
+      SELECT i, CAST(SUM(xl) AS BIGINT) AS sx, COUNT(*) AS n
+      FROM xs GROUP BY i
+    ), cov_u AS (
+      SELECT m.i, m.j,
+             floor((CAST(m.sxy AS DOUBLE) / sa.n / 1e12
+                    - (CAST(sa.sx AS DOUBLE) / sa.n / 1e6)
+                      * (CAST(sb.sx AS DOUBLE) / sb.n / 1e6)) * 1e9) / 1e9
+               AS cov
+      FROM moments m JOIN sums sa ON sa.i = m.i JOIN sums sb ON sb.i = m.j
+    ), cov AS (
+      SELECT i, j, cov FROM cov_u
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cov_u WHERE i <> j
+    ), w1 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.cov * 1e15) AS BIGINT)) AS DOUBLE)
+               / 1e15 AS w
+      FROM cov c GROUP BY c.i
+    ), w2 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.cov * w1.w * 1e18) AS BIGINT)) AS DOUBLE)
+               / 1e18 AS w
+      FROM cov c JOIN w1 ON w1.i = c.j GROUP BY c.i
+    ), w3 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.cov * w2.w * 1e18) AS BIGINT)) AS DOUBLE)
+               / 1e18 AS w
+      FROM cov c JOIN w2 ON w2.i = c.j GROUP BY c.i
+    )
+    SELECT i, floor(w / (SELECT MAX(abs(w)) FROM w3) * 1e9) / 1e9 AS v
+    FROM w3
+    """,
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k} power-method iterations toward the top principal
+    direction of the embedding covariance — an exactly-oracle-checked
+    iterative eigensolve KERNEL (the PCA sibling of the
+    exactly-checked k-means/PageRank family). Each iterate is one
+    tiny (dim² ⋈ dim) equi-join + hash agg over the CONSTANT-size
+    covariance table from emb_covariance — the data itself is scanned
+    exactly once, however many iterations run. Convergence to the
+    eigenvector is spectrum-dependent (rate (λ2/λ1)^k; the synthetic
+    fixture is near-isotropic, so these iterations demonstrate and
+    verify the kernel, not a converged eigenvector — production use
+    raises the iteration count, at constant per-iteration cost).
+    Numerical discipline that makes cross-engine exactness possible:
+    every iterate is floored to the 1e-9 grid and normalized by the
+    MAX-ABS component (a division — IEEE-exact) instead of the L2
+    norm, whose sqrt-of-sum would accumulate order-dependent error;
+    the max itself rides a 1-row broadcast. Σ over 64 products per
+    row is the exact integer-unit sum."""
+    cov = _cov_long(spark, sf_dir).persist()
+    # Iterate WITHOUT intermediate normalization: |cov| <= ~1, so 3
+    # un-normalized iterates stay well inside double range, and
+    # skipping the per-step max-abs rescale removes two broadcast
+    # jobs per iteration — ONE normalization at the end fixes the
+    # scale. First iterate is C·1 = row sums (no join needed).
+    w = cov.groupBy("i").agg(
+        (F.sum(F.floor(F.col("cov") * 1e15).cast("long")) / F.lit(1e15))
+        .alias("w")
+    )
+    for _ in range(_POWER_ITERS - 1):
+        vr = w.select(F.col("i").alias("j"), F.col("w").alias("v"))
+        w = (
+            cov.join(F.broadcast(vr), "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("cov") * F.col("v") * 1e18).cast(
+                            "long"
+                        )
+                    )
+                    / F.lit(1e18)
+                ).alias("w")
+            )
+        )
+    mx = w.agg(F.max(F.abs(F.col("w"))).alias("_m"))
+    return w.crossJoin(F.broadcast(mx)).select(
+        "i", (F.floor(F.col("w") / F.col("_m") * 1e9) / 1e9).alias("v")
+    )
+
+
+emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(
+    k=_POWER_ITERS
+)

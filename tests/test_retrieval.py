@@ -430,3 +430,63 @@ def test_covariance_psd_diagonal_and_symmetry_slice(spark, sf_dir):
     want = (xl.T @ xl) / n - np.outer(xl.mean(axis=0), xl.mean(axis=0))
     for (i, j), got in cov.items():
         assert abs(got - want[i - 1, j - 1]) < 2e-9, (i, j)
+
+
+def test_power_iteration_matches_numpy_kernel(spark, sf_dir):
+    """The distributed 3-iteration power-method kernel must agree with
+    an independent numpy replication of the same algebra (to the
+    declared floor grids), and its iterates must obey the PSD
+    invariant: the Rayleigh quotient is non-decreasing step to step —
+    true for ANY spectrum, unlike eigenvector alignment, which
+    depends on the data's spectral gap (the fixture's is ~0.93, far
+    too flat for 3 iterations to converge — that trade is documented
+    on the key)."""
+    import numpy as np
+
+    got = {
+        r.i: r.v
+        for r in REGISTRY["emb_power_iteration"].fn(spark, sf_dir).collect()
+    }
+    v = np.array([got[i] for i in range(1, 65)])
+    vecs = np.array(
+        [
+            r.embedding
+            for r in t(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    xl = np.floor(vecs * 1e6) / 1e6
+    n = xl.shape[0]
+    # the same floored covariance the engine computes
+    cov = np.floor(
+        ((xl.T @ xl) / n - np.outer(xl.mean(axis=0), xl.mean(axis=0))) * 1e9
+    ) / 1e9
+    w1 = np.floor(cov.sum(axis=1) * 1e15) / 1e15
+    w2 = np.floor(cov @ w1 * 1e18) / 1e18
+    w3 = np.floor(cov @ w2 * 1e18) / 1e18
+    want = np.floor(w3 / np.abs(w3).max() * 1e9) / 1e9
+    assert np.max(np.abs(v - want)) < 1e-6, np.max(np.abs(v - want))
+
+    def rayleigh(x):
+        return (x @ cov @ x) / (x @ x)
+
+    assert rayleigh(w2) >= rayleigh(w1) - 1e-12
+    assert rayleigh(w3) >= rayleigh(w2) - 1e-12
+
+
+def test_seasonal_residuals_center_and_flags(spark, sf_dir):
+    rows = REGISTRY["time_seasonal"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_dow = defaultdict(list)
+    for r in rows:
+        by_dow[r.dow].append(r.residual)
+        assert abs((r.daily_value - r.expected) - r.residual) < 2e-6
+    # residuals average ~0 within each day-of-week group (mean removed)
+    for dow, rs in by_dow.items():
+        assert abs(sum(rs) / len(rs)) < 1e-3, dow
+    # 3-sigma flags are rare by construction
+    flagged = sum(1 for r in rows if r.is_anomaly)
+    assert flagged <= max(1, len(rows) // 5)

@@ -120,6 +120,11 @@ ALLOW = {
     "agg_cuped": {"nested_loop"},
     # 1-row total-count broadcast for the digit shares — lazy scalar.
     "audit_benford": {"nested_loop"},
+    # 1-row max-abs broadcast for the final iterate normalization —
+    # lazy scalar over the constant-size (dim) vector.
+    "emb_power_iteration": {"nested_loop"},
+    # 1-row pooled-sigma broadcast for the 3σ flags — lazy scalar.
+    "time_seasonal": {"nested_loop"},
 }
 
 
