@@ -158,6 +158,22 @@ def main() -> None:
         # so time must track rows.
         timed(f"cumsum_x{n}", _cumsum(od_n)),
         timed(f"sweep_x{n}", _sweep(od_n)),
+        # Per-group Gini on global_rank + offsets: every stage range/
+        # hash partitioned, so time must track rows not group sizes.
+        timed(f"gini_x{n}", _gini(od_n, multiply(
+            load_table(spark, args.sf, "customer"), ["c_custkey"],
+            n, 10_000_000))),
+        # Bounded ancestor closure: 8 frontier hops; live frontier
+        # shrinks as chains hit the root, so growth is sublinear in
+        # depth and linear in nodes.
+        timed(f"ancestors_x{n}", _ancestors(multiply(
+            load_table(spark, args.sf, "part"), ["p_partkey"],
+            n, 10_000_000))),
+        # Covariance: dim^2-group agg — output constant, time must
+        # track the vector count.
+        timed(f"cov_x{n}", _cov(multiply(
+            load_table(spark, args.sf, "embeddings"), ["vec_id"],
+            n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -188,6 +204,9 @@ def main() -> None:
         timed("dupspans_x1", _dupspans(salt_docs(docs, 1, 10_000_000))),
         timed("cumsum_x1", _cumsum(od)),
         timed("sweep_x1", _sweep(od)),
+        timed("gini_x1", _gini(od, load_table(spark, args.sf, "customer"))),
+        timed("ancestors_x1", _ancestors(load_table(spark, args.sf, "part"))),
+        timed("cov_x1", _cov(load_table(spark, args.sf, "embeddings"))),
     ]
     for r in results + base:
         print(json.dumps(r))
@@ -197,7 +216,8 @@ def main() -> None:
                  "bloom", "snapdiff", "merge", "zorder",
                  "geo", "pagerank", "kmeans", "triangles",
                  "rarity", "invindex", "bitmap",
-                 "setsim", "dupspans", "cumsum", "sweep"):
+                 "setsim", "dupspans", "cumsum", "sweep",
+                 "gini", "ancestors", "cov"):
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -528,6 +548,70 @@ def _sweep(od: DataFrame) -> DataFrame:
     return swept.groupBy(F.date_format("d", "yyyy-MM").alias("m")).agg(
         F.max("cur").alias("peak")
     )
+
+
+
+def _gini(od: DataFrame, cu: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import global_rank
+
+    x = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        x, [F.col("segment"), F.col("cents"), F.col("o_orderkey")]
+    )
+    base = ranked.groupBy("segment").agg(F.min("rnk").alias("r0"))
+    r = ranked.join(F.broadcast(base), "segment").select(
+        "segment", "cents",
+        (F.col("rnk") - F.col("r0") + 1).cast("long").alias("rnk"),
+    )
+    n = F.count("*")
+    return r.groupBy("segment").agg(
+        ((2 * F.sum(F.col("rnk") * F.col("cents")) - (n + 1) * F.sum("cents"))
+         .cast("double") / (n.cast("double") * F.sum("cents"))).alias("g")
+    )
+
+
+def _ancestors(part: DataFrame) -> DataFrame:
+    node = F.col("p_partkey") + 1
+    parents = part.select(
+        node.alias("node"),
+        (F.conv(F.substring(F.md5(node.cast("string")), 1, 8), 16, 10)
+         .cast("long") % node).alias("parent"),
+    ).filter(F.col("parent") > 0)
+    frontier = parents.select(
+        "node", F.col("parent").alias("anc"), F.lit(1).alias("d")
+    )
+    out = frontier
+    for d in range(2, 9):
+        nxt = parents.select(
+            F.col("node").alias("pn"), F.col("parent").alias("pp")
+        )
+        frontier = frontier.join(nxt, frontier["anc"] == nxt["pn"]).select(
+            "node", F.col("pp").alias("anc"), F.lit(d).alias("d")
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+def _cov(emb: DataFrame) -> DataFrame:
+    xs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))")
+        .alias("xl"),
+    )
+    pairs = xs.select(
+        F.posexplode("xl").alias("_i0", "xi"), F.col("xl")
+    ).select(
+        (F.col("_i0") + 1).alias("i"),
+        F.explode(F.expr(
+            "transform(slice(xl, _i0 + 1, size(xl) - _i0), "
+            "(xj, k) -> struct(_i0 + 1 + k AS j, xi * xj AS p))"
+        )).alias("s"),
+    ).select("i", F.col("s.j").alias("j"), F.col("s.p").alias("p"))
+    return pairs.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
 
 
 if __name__ == "__main__":
