@@ -4,6 +4,9 @@ scan, U3 pandas UDAF, U4 Python UDTF."""
 from __future__ import annotations
 
 import os
+from typing import Iterator, Tuple  # noqa: UP035 — pyspark resolves
+# postponed (stringified) UDF type hints in MODULE globals, so the
+# iterator-UDF signature names must live here, not in the closure
 
 import pandas as pd
 
@@ -503,4 +506,46 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "udf_scalar_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e2)
+             / 1e2 AS charge
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1b: SCALAR_ITER pandas UDF — the iterator form of the Arrow
+    batch path, completing the Python-UDF API matrix (SCALAR,
+    SCALAR_ITER, GROUPED_MAP, GROUPED_AGG, UDTF, mapInPandas,
+    mapInArrow). The iterator form exists for expensive per-worker
+    initialization (model load, dictionary mmap): setup runs ONCE per
+    python worker, then streams every Arrow batch through — here the
+    'model' is the literal charge coefficients, and the arithmetic is
+    the same floor-to-cents expression as udf_scalar so the oracle is
+    shared logic. Closure-scoped, as all UDFs in this package."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def charge_iter(
+        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        one = 1.0  # per-worker init happens here, once
+        for ep, disc, tax in batches:
+            c = (
+                ep.to_numpy()
+                * (one - disc.to_numpy())
+                * (one + tax.to_numpy())
+            )
+            yield pd.Series(np.floor(c * 100.0) / 100.0)
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge_iter("l_extendedprice", "l_discount", "l_tax").alias("charge"),
     )

@@ -1126,3 +1126,84 @@ def time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("r") / 100 * 1e6) / 1e6).alias("residual"),
         (F.abs(F.col("r")) > 3 * F.col("sd")).alias("is_anomaly"),
     )
+
+
+# Point-in-polygon ray cast over the quarter-grid synthetic coords,
+# scaled x4 so every coordinate and every cross product is an exact
+# integer. The polygon is a fixed irregular quadrilateral (no
+# horizontal edges — the ray-cast degenerate case); per-edge crossing
+# conditions are generated ONCE here with the division removed by
+# cross-multiplication (inequality direction baked per edge sign), and
+# the IDENTICAL SQL string evaluates in Spark (F.expr) and DuckDB.
+_PIP_POLY = ((-400, -200), (400, -240), (520, 160), (-360, 240))
+
+
+def _pip_inside_sql() -> str:
+    terms = []
+    n = len(_PIP_POLY)
+    for k in range(n):
+        x1, y1 = _PIP_POLY[k]
+        x2, y2 = _PIP_POLY[(k + 1) % n]
+        d = y2 - y1
+        op = "<" if d > 0 else ">"
+        xcond = (
+            f"((lon4 - ({x1})) * ({d}) {op} ({x2 - x1}) * (lat4 - ({y1})))"
+        )
+        terms.append(
+            f"(CASE WHEN ((({y1}) > lat4) <> (({y2}) > lat4)) AND {xcond}"
+            " THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+_PIP_COORDS = """
+      SELECT c_custkey, c_mktsegment,
+             CAST(((c_custkey * 131) % 360 - 180) * 4 + 1 AS BIGINT)
+               AS lon4,
+             CAST(((c_custkey * 7) % 140 - 70) * 4 + 1 AS BIGINT) AS lat4
+      FROM customer
+"""
+
+
+@query(
+    "join_pointpoly",
+    oracle=f"""
+    WITH pts AS ({_PIP_COORDS}),
+    flagged AS (
+      SELECT c_mktsegment AS segment,
+             CAST({_pip_inside_sql()} AS BOOLEAN) AS inside
+      FROM pts
+    )
+    SELECT segment, inside, COUNT(*) AS n_customers
+    FROM flagged GROUP BY segment, inside
+    """,
+)
+def join_pointpoly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon classification (geofencing / service-area
+    assignment) by ray casting — the scan-side geo primitive the
+    radius join (join_geo) doesn't cover. The polygon is a broadcast-
+    free LITERAL: each point evaluates a fixed per-edge crossing
+    expression with the division replaced by sign-adjusted integer
+    cross-multiplication, so the whole test is exact integer
+    arithmetic inside whole-stage codegen — zero joins, zero shuffle
+    before the final tiny aggregate, and the identical SQL text runs
+    on DuckDB (single source of truth for the geometry). At scale the
+    same construction extends to polygon SETS via a grid-cell
+    broadcast (spatial.grid_within_radius's bucketing)."""
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_mktsegment",
+        (((F.col("c_custkey") * 131) % 360 - 180) * 4 + 1)
+        .cast("long")
+        .alias("lon4"),
+        (((F.col("c_custkey") * 7) % 140 - 70) * 4 + 1)
+        .cast("long")
+        .alias("lat4"),
+    )
+    flagged = pts.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_pip_inside_sql()).cast("boolean").alias("inside"),
+    )
+    return flagged.groupBy("segment", "inside").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

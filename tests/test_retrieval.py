@@ -490,3 +490,38 @@ def test_seasonal_residuals_center_and_flags(spark, sf_dir):
     # 3-sigma flags are rare by construction
     flagged = sum(1 for r in rows if r.is_anomaly)
     assert flagged <= max(1, len(rows) // 5)
+
+
+def test_pointpoly_matches_python_raycast(spark, sf_dir):
+    """The SQL ray cast must agree with an independent Python
+    implementation on every customer point."""
+    from flirt_consume_spark.queries.governance import _PIP_POLY
+
+    rows = REGISTRY["join_pointpoly"].fn(spark, sf_dir).collect()
+    got = {(r.segment, r.inside): r.n_customers for r in rows}
+
+    def inside(x, y):
+        n = len(_PIP_POLY)
+        c = 0
+        for k in range(n):
+            x1, y1 = _PIP_POLY[k]
+            x2, y2 = _PIP_POLY[(k + 1) % n]
+            if (y1 > y) != (y2 > y):
+                d = y2 - y1
+                lhs, rhs = (x - x1) * d, (x2 - x1) * (y - y1)
+                if (lhs < rhs) if d > 0 else (lhs > rhs):
+                    c += 1
+        return c % 2 == 1
+
+    from collections import Counter
+
+    want = Counter()
+    for r in t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect():
+        k = r.c_custkey
+        lon4 = ((k * 131) % 360 - 180) * 4 + 1
+        lat4 = ((k * 7) % 140 - 70) * 4 + 1
+        want[(r.c_mktsegment, inside(lon4, lat4))] += 1
+    assert got == dict(want)
+    assert any(k[1] for k in got) and any(not k[1] for k in got)
