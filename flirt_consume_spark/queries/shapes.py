@@ -218,3 +218,193 @@ def shape_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("low_count"),
         )
     )
+
+
+@query(
+    "shape_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 'revenue', 6)}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def shape_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume
+    between two nations by ship year. Exercises a 4-fact/dim join
+    chain with TWO roles for the same dimension (nation joined twice
+    under different keys) and a disjunctive cross-nation predicate
+    that must not defeat join planning — the nation pair filter
+    applies after both broadcast enrichments, everything else stays a
+    fact-side pipeline."""
+    sup = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        sup.join(li, sup.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(dsum(vol, "revenue", 6))
+
+
+@query(
+    "shape_market_share",
+    oracle="""
+    SELECT o_year,
+           floor(CAST(nation_cents AS DOUBLE) / total_cents * 1e6) / 1e6
+             AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) ELSE 0 END) AS nation_cents,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS total_cents
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      GROUP BY o_year
+    ) all_years
+    """,
+)
+def shape_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of a region's ECONOMY-part revenue per order year. The
+    conditional-numerator-over-total pattern computes the share in
+    ONE aggregation pass (no self-join of the filtered against the
+    unfiltered stream); six dims join around the lineitem spine, the
+    region/type filters prune before the aggregate, and the share is
+    an exact integer-cent rational."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn"), F.col("n_regionkey").alias("_crk")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("_sname")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        F.broadcast(part)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cn"))
+        .join(
+            F.broadcast(region), F.col("_crk") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sn"))
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("_sname") == "NATION_3", cents).otherwise(0)
+        ).alias("_nat"),
+        F.sum(cents).alias("_tot"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.floor(F.col("_nat").cast("double") / F.col("_tot") * 1e6)
+            / 1e6
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "shape_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount', 'sum_profit', 4)}
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * 0.1 * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_brand = 'Brand#1'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def shape_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier-nation,
+    per-year profit on one brand's parts — revenue minus a
+    retail-price-derived unit cost (the fixture has no partsupp
+    table, so ps_supplycost becomes 10% of p_retailprice; the join
+    topology is Q9's). The brand filter broadcasts into the lineitem
+    spine; profit aggregates with the exact integer-unit sum at 1e-4
+    (the subtraction makes magnitudes larger than the revenue-only
+    shapes)."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    j = (
+        F.broadcast(part)
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(dsum(amount, "sum_profit", 4))
