@@ -1207,3 +1207,87 @@ def join_pointpoly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("segment", "inside").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "agg_ols",
+    oracle="""
+    WITH xy AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(c_acctbal) AS BIGINT) AS x,
+             CAST(floor(o_totalprice) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), m AS (
+      SELECT segment, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy GROUP BY segment
+    )
+    SELECT segment, n,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 1e9) / 1e9 AS slope,
+           floor((CAST(sy AS DOUBLE) / n
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * (CAST(sx AS DOUBLE) / n)) * 1e6) / 1e6
+             AS intercept,
+           floor(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1e6) / 1e6 AS r2
+    FROM m
+    """,
+)
+def agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (order value on customer
+    balance, per market segment): slope, intercept, and R² from ONE
+    pass of exact integer moments (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    closed-form OLS every warehouse needs before reaching for MLlib,
+    and the same moment-algebra trick as agg_cuped: no residual
+    second pass, doubles derived from exact integers are bit-identical
+    cross-engine, outputs on floor grids. R² = corr² =
+    (nΣxy−ΣxΣy)² / ((nΣxx−Σx²)(nΣyy−Σy²)) — one rational.
+
+    Units: moments accumulate in WHOLE currency units, not cents —
+    Σy² capacity is 9.2e18 / y_max² rows, and cent-units (y ≤ 5e7)
+    would overflow LONG at ~3.7k rows per group worst-case (measured
+    2.5e19 at sf0.1); dollar units hold to ~3.7e7 rows worst-case and
+    far beyond for realistic value distributions. Past that, promote
+    the two squared moments to DECIMAL(38,0) per call site."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    xy = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal")).cast("long").alias("x"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("y"),
+    )
+    m = xy.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * F.col("sy")
+    var_x = nd * F.col("sxx") - sxd * F.col("sx")
+    var_y = nd * F.col("syy") - syd * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "segment",
+        "n",
+        (F.floor(slope * 1e9) / 1e9).alias("slope"),
+        (
+            F.floor((syd / F.col("n") - slope * (sxd / F.col("n"))) * 1e6)
+            / 1e6
+        ).alias("intercept"),
+        (F.floor(cov_n * cov_n / (var_x * var_y) * 1e6) / 1e6).alias("r2"),
+    )

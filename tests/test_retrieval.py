@@ -525,3 +525,31 @@ def test_pointpoly_matches_python_raycast(spark, sf_dir):
         want[(r.c_mktsegment, inside(lon4, lat4))] += 1
     assert got == dict(want)
     assert any(k[1] for k in got) and any(not k[1] for k in got)
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    rows = REGISTRY["agg_ols"].fn(spark, sf_dir).collect()
+    assert rows
+    import numpy as np
+
+    data = t(spark, sf_dir, "orders").join(
+        t(spark, sf_dir, "customer"),
+        F.expr("o_custkey = c_custkey"),
+    ).selectExpr(
+        "c_mktsegment AS segment",
+        "CAST(floor(c_acctbal) AS LONG) AS x",
+        "CAST(floor(o_totalprice) AS LONG) AS y",
+    ).collect()
+    from collections import defaultdict
+
+    by_seg = defaultdict(list)
+    for r in data:
+        by_seg[r.segment].append((r.x, r.y))
+    for r in rows:
+        xs, ys = zip(*by_seg[r.segment])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r.slope - slope) < 1e-6
+        assert abs(r.intercept - intercept) < 1e-2  # intercept ~1e5 scale
+        cc = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r.r2 - cc * cc) < 1e-5
+        assert 0.0 <= r.r2 <= 1.0
