@@ -549,3 +549,41 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         charge_iter("l_extendedprice", "l_discount", "l_tax").alias("charge"),
     )
+
+
+@query(
+    "scan_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                          % 2 = 0
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS even_k_sum,
+           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.missing')
+                                AS BIGINT) IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_missing_field
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the Spark 4 VARIANT semi-structured type — ``parse_json``
+    once into an open-schema binary-encoded column, then typed
+    ``variant_get``/``try_variant_get`` path extraction. Unlike
+    from_json (map_ops) the schema is NOT declared up front — the
+    right model for evolving event payloads where new fields appear
+    without a migration; extraction stays JVM-side and pushes into
+    codegen. try_variant_get on an absent path returns NULL instead
+    of failing, which the n_missing_field probe pins (0 everywhere —
+    counted, not errored)."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vp")
+    )
+    k = F.variant_get(F.col("vp"), "$.k", "bigint")
+    missing = F.try_variant_get(F.col("vp"), "$.missing", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(F.when(k % 2 == 0, k).otherwise(0))
+        .cast("bigint")
+        .alias("even_k_sum"),
+        F.count(missing).cast("bigint").alias("n_missing_field"),
+    )
