@@ -1291,3 +1291,63 @@ def agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         (F.floor(cov_n * cov_n / (var_x * var_y) * 1e6) / 1e6).alias("r2"),
     )
+
+
+@query(
+    "time_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ), mean AS (
+      SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu FROM daily
+    ), dev AS (
+      SELECT d, CAST(floor((cents - mu) * 1e3) AS BIGINT) AS dv
+      FROM daily CROSS JOIN mean
+    ), cusum AS (
+      SELECT d, CAST(SUM(dv) OVER (ORDER BY d) AS BIGINT) AS cs
+      FROM dev
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(CAST(cs AS DOUBLE) / 1e3 / 100 AS DOUBLE) AS cusum,
+           CAST(abs(cs) = (SELECT MAX(abs(cs)) FROM cusum) AS BOOLEAN)
+             AS is_changepoint
+    FROM cusum
+    """,
+)
+def time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization (Page 1954, the classic
+    mean-shift detector): cumulative sum of daily deviations from the
+    series mean; the |CUSUM| peak estimates where the level shifted.
+    The running sum is ``global_cumsum`` over integer milli-cent
+    deviations (range partition + per-partition window — no
+    single-reducer stage however long the series), the mean and the
+    peak are 1-row broadcasts, and the peak flag compares exact
+    integers so the argmax is deterministic (equal-|CUSUM| ties all
+    flag, identically on both engines)."""
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    mean = daily.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mean)).select(
+        "d",
+        F.floor((F.col("cents") - F.col("mu")) * 1e3)
+        .cast("long")
+        .alias("dv"),
+    )
+    cusum = global_cumsum(dev, "dv", [F.col("d")], cum_col="cs")
+    peak = cusum.agg(F.max(F.abs(F.col("cs"))).alias("_pk"))
+    return cusum.crossJoin(F.broadcast(peak)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("cs").cast("double") / 1e3 / 100).alias("cusum"),
+        (F.abs(F.col("cs")) == F.col("_pk")).alias("is_changepoint"),
+    )

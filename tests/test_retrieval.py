@@ -553,3 +553,36 @@ def test_ols_matches_numpy(spark, sf_dir):
         cc = np.corrcoef(xs, ys)[0, 1]
         assert abs(r.r2 - cc * cc) < 1e-5
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_cusum_walk_and_single_peak(spark, sf_dir):
+    """CUSUM must equal the Python prefix walk, and exactly the
+    max-|cusum| day(s) carry the changepoint flag."""
+    import math
+
+    rows = sorted(
+        REGISTRY["time_cusum"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    daily = sorted(
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(ts AS DATE) AS d",
+            "CAST(floor(value*100) AS LONG) AS c",
+        )
+        .groupBy("d")
+        .sum("c")
+        .collect(),
+        key=lambda r: str(r.d),
+    )
+    cents = [r["sum(c)"] for r in daily]
+    mu = sum(cents) / len(cents)
+    cs, walk = 0, []
+    for c in cents:
+        cs += math.floor((c - mu) * 1e3)
+        walk.append(cs)
+    peak = max(abs(v) for v in walk)
+    for r, v in zip(rows, walk):
+        assert abs(r.cusum - v / 1e3 / 100) < 1e-6
+        assert r.is_changepoint == (abs(v) == peak)
+    assert sum(1 for r in rows if r.is_changepoint) >= 1

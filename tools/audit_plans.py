@@ -125,6 +125,12 @@ ALLOW = {
     "emb_power_iteration": {"nested_loop"},
     # 1-row pooled-sigma broadcast for the 3σ flags — lazy scalar.
     "time_seasonal": {"nested_loop"},
+    # nested_loop: 1-row mean + 1-row peak broadcasts plus
+    # global_cumsum's triangular offsets join (all constant-size).
+    # single_partition_window is the llm_tfidf heuristic false
+    # positive: the plan holds the legitimately-SinglePartition 1-row
+    # scalar aggs AND a window hash-partitioned by _pid.
+    "time_cusum": {"nested_loop", "single_partition_window"},
 }
 
 
