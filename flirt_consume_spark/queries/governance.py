@@ -1351,3 +1351,45 @@ def time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cs").cast("double") / 1e3 / 100).alias("cusum"),
         (F.abs(F.col("cs")) == F.col("_pk")).alias("is_changepoint"),
     )
+
+
+@query(
+    "agg_bucketed",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(floor(l_extendedprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free aggregation on a pre-bucketed table — the
+    aggregation twin of J11's co-located join: a table hash-bucketed
+    on the grouping key satisfies the aggregate's clustering
+    requirement from LAYOUT, so the per-key rollup plans with NO
+    Exchange at all (asserted in tests) — at 100 TB this turns every
+    repeated per-key aggregation over a standing fact table into a
+    scan-side map pass. Reuses J11's bucketed lineitem table (same
+    fingerprint cache); the oracle aggregates the plain source view,
+    proving bucketing is result-invariant."""
+    from flirt_consume_spark.io import source_fingerprint
+    from flirt_consume_spark.operators.scale import write_bucketed
+
+    fp = source_fingerprint(sf_dir, "orders")[:8]
+    t_li = f"colo_lineitem_{fp}"
+    if not spark.catalog.tableExists(t_li):
+        write_bucketed(
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            t_li,
+            ("l_orderkey",),
+            8,
+        )
+    li = spark.table(t_li)
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 1e2).cast("long"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )

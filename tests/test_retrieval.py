@@ -586,3 +586,16 @@ def test_cusum_walk_and_single_peak(spark, sf_dir):
         assert abs(r.cusum - v / 1e3 / 100) < 1e-6
         assert r.is_changepoint == (abs(v) == peak)
     assert sum(1 for r in rows if r.is_changepoint) >= 1
+
+
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """The bucketed-table aggregation must plan WITHOUT any Exchange:
+    the layout satisfies the clustering requirement."""
+    import contextlib
+    import io as _io
+
+    df = REGISTRY["agg_bucketed"].fn(spark, sf_dir)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
