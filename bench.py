@@ -82,6 +82,10 @@ def main() -> None:
         else:
             timings[key] = -1.0
             minimums[key] = -1.0
+    assert len(timings) == len(REGISTRY), (
+        f"bench covered {len(timings)} keys but REGISTRY holds "
+        f"{len(REGISTRY)} — per-key coverage must never drift"
+    )
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     full = {
         "metric": "total_query_sec",

