@@ -55,6 +55,42 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def colo_table(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str,
+    columns: tuple[str, ...],
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Shared cached bucketed projection of a source table.
+
+    ``join_colocated`` (J11) and ``agg_bucketed`` (A23) both consume a
+    bucketed LINEITEM; this helper is the single owner of the cache
+    name, fingerprint, column selection, and bucket count, so two keys
+    can never create the same table with divergent schemas, and the
+    fingerprint is of the table actually being bucketed — regenerating
+    lineitem invalidates the cache even when other tables are
+    unchanged. The cache name carries the column list so a future
+    caller needing a different projection gets its own table instead
+    of silently consuming a narrower one."""
+    import hashlib
+
+    from flirt_consume_spark.io import load_table, source_fingerprint
+
+    fp = source_fingerprint(sf_dir, source)[:8]
+    colsig = hashlib.md5(",".join(columns).encode()).hexdigest()[:6]
+    name = f"colo_{source}_{colsig}_{fp}"
+    if not spark.catalog.tableExists(name):
+        write_bucketed(
+            load_table(spark, sf_dir, source).select(*columns),
+            name,
+            (bucket_col,),
+            n_buckets,
+        )
+    return spark.table(name)
+
+
 def zorder_value(
     x: Column,
     y: Column,
@@ -252,6 +288,32 @@ def bloom_semi_join(
     return probe.join(small, probe[big_key] == small[small_key], "left_semi")
 
 
+def _pin_ranged(ranged: DataFrame) -> DataFrame:
+    """Materialize the range-partitioned subtree ONCE before
+    global_rank / global_cumsum fan multiple plan legs out of it.
+
+    Both operators bake the physical layout into data (``_pid`` from
+    spark_partition_id, ``_loc`` from monotonically_increasing_id)
+    and then join per-partition offsets back on ``_pid`` — correct
+    only if every leg sees the IDENTICAL partition layout. Without
+    materialization that does NOT hold: column pruning pushes
+    different projections below each leg's copy of the exchange, so
+    the subtrees are canonically different (no ReusedExchange — plan-
+    verified), each leg re-samples its own range boundaries, and AQE
+    coalesces each leg independently by its own byte size. At tested
+    scales every leg happens to coalesce identically; at intermediate
+    sizes the layouts diverge and rows are silently dropped or
+    mis-summed.
+
+    A lazy local checkpoint fixes the layout for every consumer: the
+    RDD's blocks are computed once (block-level locking under
+    concurrent stages), all legs read the same frozen partitions, the
+    ContextCleaner reclaims the blocks when the RDD is unreferenced,
+    and a lost block fails the job loudly rather than recomputing a
+    possibly-different layout."""
+    return ranged.localCheckpoint(eager=False)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,
@@ -277,7 +339,7 @@ def global_rank(
     order (full unique key — ties would make any global rank
     nondeterministic anyway).
     """
-    ranged = (
+    ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -365,7 +427,7 @@ def global_cumsum(
             f"global_cumsum needs an integral value column, got "
             f"{value_col}: {vt} — float prefix sums are order-dependent"
         )
-    ranged = (
+    ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())

@@ -532,31 +532,23 @@ def join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket count (operators/scale.write_bucketed — the Spark-native
     analogue of the reference's secondary indexes), so the sort-merge
     join reads bucket-aligned files with NO Exchange on either side
-    (plan-asserted in tests/test_scale.py). The oracle is the plain
-    join on the source views — bucketing must be result-invariant."""
-    from flirt_consume_spark.io import source_fingerprint
-    from flirt_consume_spark.operators.scale import write_bucketed
+    (plan-asserted in tests/test_scale.py). Both bucketed tables come
+    from operators/scale.colo_table (the single owner of each cache's
+    name/fingerprint/schema — A23 shares the lineitem one). The oracle
+    is the plain join on the source views — bucketing must be
+    result-invariant."""
+    from flirt_consume_spark.operators.scale import colo_table
 
-    fp = source_fingerprint(sf_dir, "orders")[:8]
-    t_ord, t_li = f"colo_orders_{fp}", f"colo_lineitem_{fp}"
-    if not spark.catalog.tableExists(t_ord) or not spark.catalog.tableExists(
-        t_li
-    ):
-        write_bucketed(
-            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
-            t_ord,
-            ("o_orderkey",),
-            8,
-        )
-        write_bucketed(
-            t(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice"
-            ),
-            t_li,
-            ("l_orderkey",),
-            8,
-        )
-    o, li = spark.table(t_ord), spark.table(t_li)
+    o = colo_table(
+        spark, sf_dir, "orders", ("o_orderkey", "o_orderstatus"), "o_orderkey"
+    )
+    li = colo_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+    )
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderstatus")

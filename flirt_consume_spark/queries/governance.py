@@ -150,9 +150,9 @@ _SAMPLE_K = 100
     oracle=f"""
     WITH keyed AS (
       SELECT o_orderkey, o_totalprice,
-             floor(ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
-                        1, 8))::BIGINT + 0.5) / 4294967296.0)
-                   / o_totalprice * 1e9) / 1e9 AS priority
+             CAST(floor(o_totalprice * 100) AS BIGINT) * 8589934592 //
+               (2 * ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                     1, 8))::BIGINT + 1) AS priority
       FROM orders WHERE o_totalprice > 0
     )
     SELECT o_orderkey, o_totalprice, priority
@@ -160,27 +160,37 @@ _SAMPLE_K = 100
     """,
 )
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement (Efraimidis–Spirakis
-    A-ES, IPL 2006): each row gets priority u^(1/w) with u uniform in
-    (0,1); the k largest priorities are a proper weighted sample. We
-    rank by the monotone-equivalent ln(u)/w, with u derived from an
-    md5 slice of the key — deterministic, so retries/backfills resample
-    identically and the oracle replays the construction. The ONLY
-    transcendental is ln(); selection and output both use the
-    floor-to-1e-9 value, so a last-ulp libm difference between engines
-    cannot flip the top-k boundary unless two priorities collide
-    within 1e-9 — and then the o_orderkey tiebreak still agrees.
+    """Weighted sampling without replacement by priority sampling
+    (Duffield–Lund–Thorup, JACM 2007): each row gets priority w/u
+    with u uniform in (0,1); the k largest priorities are a weighted
+    sample favouring heavy rows. u comes from an md5 slice of the key
+    — deterministic, so retries/backfills resample identically and
+    the oracle replays the construction.
+
+    No transcendentals, no doubles: u = N/2^33 with N = 2·md5_32+1
+    (odd, nonzero), w = integer cents, and the emitted priority is
+    floor(w·2^33 / N) computed with 64-bit integer multiply + integer
+    division (max product ~5e17 < 2^63). Both engines perform the
+    identical exact integer arithmetic — no libm ulp or float-grid
+    boundary can flip a value, unlike the previous ln(u)/w ranking
+    where floor(ln(u)/w·1e9) could land within an ulp of a grid line.
     Top-k is orderBy+limit = TakeOrdered: per-partition heaps of k,
     no global sort."""
     orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    u = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
-               16, 10).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    priority = F.floor(F.log(u) / F.col("o_totalprice") * 1e9) / F.lit(1e9)
+    m = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    n_odd = (F.lit(2) * m + F.lit(1)).alias("n_odd")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    keyed = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        (cents * F.lit(8589934592)).alias("scaled"),
+        n_odd,
+    )
+    priority = F.expr("scaled div n_odd").alias("priority")
     return (
-        orders.select("o_orderkey", "o_totalprice", priority.alias("priority"))
+        keyed.select("o_orderkey", "o_totalprice", priority)
         .orderBy(F.col("priority").desc(), "o_orderkey")
         .limit(_SAMPLE_K)
     )
@@ -1369,24 +1379,20 @@ def agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     requirement from LAYOUT, so the per-key rollup plans with NO
     Exchange at all (asserted in tests) — at 100 TB this turns every
     repeated per-key aggregation over a standing fact table into a
-    scan-side map pass. Reuses J11's bucketed lineitem table (same
-    fingerprint cache); the oracle aggregates the plain source view,
+    scan-side map pass. Shares J11's bucketed lineitem via
+    operators/scale.colo_table — one owner of the cache
+    name/fingerprint/schema contract, fingerprinting the table
+    actually bucketed; the oracle aggregates the plain source view,
     proving bucketing is result-invariant."""
-    from flirt_consume_spark.io import source_fingerprint
-    from flirt_consume_spark.operators.scale import write_bucketed
+    from flirt_consume_spark.operators.scale import colo_table
 
-    fp = source_fingerprint(sf_dir, "orders")[:8]
-    t_li = f"colo_lineitem_{fp}"
-    if not spark.catalog.tableExists(t_li):
-        write_bucketed(
-            t(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice"
-            ),
-            t_li,
-            ("l_orderkey",),
-            8,
-        )
-    li = spark.table(t_li)
+    li = colo_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        ("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+    )
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.floor(F.col("l_extendedprice") * 1e2).cast("long"))

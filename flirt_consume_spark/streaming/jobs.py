@@ -466,8 +466,15 @@ def apply_cdc_stream(
     2. union with the standing state and take latest-per-key again —
        versions are carried IN the state, so merge order between
        state and batch is decided by the data, not arrival time;
-    3. rewrite the state atomically (write-new → swap), because
-       overwriting a parquet dir while reading it is undefined.
+    3. rewrite the state crash-safely: write-new, rename the old
+       snapshot aside, rename the new one in, then delete the old
+       copy. No instant ever has the snapshot deleted without a
+       replacement on disk — a crash at any point leaves either the
+       old state (at its place or at ``.old``) or the fully-written
+       new one. The merge's first act is to recover a ``.old`` left
+       by a crash between the two renames; the checkpoint then
+       replays the interrupted batch and the deterministic merge
+       recomputes the identical result (exactly-once preserved).
 
     Deletes are kept as TOMBSTONES in the state (op='D' rows) rather
     than dropped: a late lower-version upsert for a deleted key must
@@ -482,6 +489,20 @@ def apply_cdc_stream(
     import os
     import shutil
 
+    def recover_state() -> None:
+        """If a prior run crashed between the snapshot-swap renames,
+        the only complete snapshot sits at ``.old`` — restore it.
+        Runs at job start (covers the no-new-batches replay) and
+        before every merge (covers multi-batch runs)."""
+        old = state_path + ".old"
+        if not os.path.exists(
+            os.path.join(state_path, "_SUCCESS")
+        ) and os.path.exists(os.path.join(old, "_SUCCESS")):
+            if os.path.exists(state_path):
+                shutil.rmtree(state_path)
+            os.rename(old, state_path)
+
+    recover_state()
     log = spark.readStream.schema(CDC_LOG_SCHEMA).parquet(source_dir)
 
     def latest_wins(df: DataFrame) -> DataFrame:
@@ -499,15 +520,24 @@ def apply_cdc_stream(
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        tmp, old = state_path + ".new", state_path + ".old"
+        recover_state()
         compacted = latest_wins(batch_df)
         if os.path.exists(os.path.join(state_path, "_SUCCESS")):
             state = batch_df.sparkSession.read.parquet(state_path)
             compacted = latest_wins(state.unionByName(compacted))
-        tmp = state_path + ".new"
+        # The write below both reads the old snapshot and materializes
+        # the new one; only after it completes do the two renames swap
+        # them, so the standing snapshot is never deleted before its
+        # replacement is fully on disk.
         compacted.write.mode("overwrite").parquet(tmp)
         if os.path.exists(state_path):
-            shutil.rmtree(state_path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(state_path, old)
         os.rename(tmp, state_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     q = (
         log.writeStream.foreachBatch(merge)

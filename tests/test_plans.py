@@ -187,3 +187,57 @@ def test_global_cumsum_windows_are_partitioned(spark):
         p = plan_of(REGISTRY[key].fn(spark, SF))
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
             assert m.group(1).strip().startswith("_pid"), (key, m.group(0))
+
+
+def test_global_cumsum_samples_ranges_exactly_once(spark):
+    """global_rank / global_cumsum bake the physical layout into data
+    (_pid / _loc) and fan several plan legs out of the ranged subtree;
+    without materialization each leg re-plans its own range exchange
+    (column pruning defeats ReusedExchange) and AQE coalesces each
+    independently — layouts can diverge and mis-sum. Pin the fix:
+    every leg must scan the shared materialized RDD (the lazy
+    localCheckpoint, whose range exchange ran once during block
+    materialization), so NO rangepartitioning exchange may appear in
+    the consuming plan."""
+    from pyspark.sql import functions as F
+
+    from flirt_consume_spark.operators.scale import global_cumsum, global_rank
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("long").alias("v")
+    )
+    for out in (
+        global_cumsum(df, "v", [F.col("k")]),
+        global_rank(df, [F.col("k")]),
+    ):
+        out.collect()
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert p.count("rangepartitioning") == 0, p
+        assert "Scan ExistingRDD" in p, p
+
+
+def test_global_cumsum_correct_without_exchange_reuse(spark):
+    """With spark.sql.exchange.reuse=false the two legs may range-
+    sample different boundaries; scale.py must materialize the ranged
+    subtree once so the result is still the exact prefix sum."""
+    from pyspark.sql import functions as F
+
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 37) % 11 - 5).cast("long").alias("v"),
+        )
+        got = {
+            r.k: r.cs
+            for r in global_cumsum(df, "v", [F.col("k")], cum_col="cs")
+            .collect()
+        }
+        run = 0
+        for k in range(5000):
+            run += (k * 37) % 11 - 5
+            assert got[k] == run, (k, got[k], run)
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")

@@ -365,6 +365,23 @@ def test_cdc_stream_equals_batch(spark, tmp_path):
         for r in read_cdc_snapshot(spark, state).collect()
     }
     assert again == want
+    # Crash recovery: simulate dying between the two renames of the
+    # snapshot swap (state moved aside to .old, new copy never moved
+    # in). The next run must restore the .old snapshot, replay
+    # nothing (checkpoint is exhausted), and land on the same state —
+    # NOT treat the missing dir as 'no state'.
+    import os as _os
+
+    _os.rename(state, state + ".old")
+    apply_cdc_stream(
+        spark, str(src), state, str(tmp_path / "cdc_ckpt")
+    )
+    recovered = {
+        (r.key, r.price_cents)
+        for r in read_cdc_snapshot(spark, state).collect()
+    }
+    assert recovered == want
+    assert not _os.path.exists(state + ".old")
 
 
 def test_python_stream_source_emits_series(spark, tmp_path):
