@@ -75,6 +75,11 @@ def knn_exact(
 
 def hyperplanes(spark, n_planes: int = 8, dim: int = 64) -> DataFrame:
     """Deterministic ±1 hyperplanes: w(p,d) = parity of md5('p_d')."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError(
+            f"n_planes must be in [1, 63] (bucket is a signed 64-bit "
+            f"sign-bit signature), got {n_planes}"
+        )
     p = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
     d = spark.range(dim).select(F.col("id").cast("int").alias("d"))
     return p.crossJoin(d).select(
@@ -108,7 +113,14 @@ def lsh_buckets(
         .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
     )
     return proj.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, p)")).otherwise(0))
+        # BIGINT shift: an INT literal would wrap at p >= 31, silently
+        # aliasing high planes onto low bit positions once band widths
+        # scale past 8 planes (banded_similarity_join at large corpora).
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
         .cast("bigint")
         .alias("bucket")
     )
@@ -161,17 +173,28 @@ def embed_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     buckets: DataFrame | None = None,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: LSH-bucket every vector
-    (8 deterministic ±1 planes → 256 buckets), pair vectors sharing a
-    bucket (id_a < id_b), keep pairs with ROUNDED cosine >= min_cos.
+    (``n_planes`` deterministic ±1 planes → 2^n_planes buckets), pair
+    vectors sharing a bucket (id_a < id_b), keep pairs with ROUNDED
+    cosine >= min_cos.
 
     Scale shape: one shuffle keyed on bucket id; per-bucket work is
     |bucket|² — the standard ANN trade, never an all-pairs product
-    over the corpus. The threshold cut is on the 6-dp rounded value so
-    cross-engine ulp noise cannot move a pair across the cut."""
+    over the corpus. ``n_planes`` is the scale knob: expected pair
+    work is N²/2^n_planes, so grow it with the corpus (+1 plane
+    halves per-bucket pair work; 16 planes = 65k buckets). Adding a
+    plane only REFINES the blocking — plane p's md5 weights do not
+    depend on the plane count, so the p-plane bucket is the low p
+    bits of the (p+1)-plane bucket and the candidate set shrinks
+    monotonically (pinned by a test). The threshold cut is on the
+    6-dp rounded value so cross-engine ulp noise cannot move a pair
+    across the cut."""
     if buckets is None:
-        buckets = lsh_buckets(emb, hyperplanes(emb.sparkSession), id_col, vec_col)
+        buckets = lsh_buckets(
+            emb, hyperplanes(emb.sparkSession, n_planes=n_planes), id_col, vec_col
+        )
     # Hoist the L2 norm to once-per-vector (O(N·dim)) instead of
     # inside the pair comparison (O(pairs·dim)) — same IEEE value as
     # computing it per pair, so the rounded cosine is unchanged.
@@ -197,6 +220,92 @@ def embed_dup_pairs(
         ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= min_cos)
+
+
+def banded_similarity_join(
+    emb: DataFrame,
+    min_cos: float = 0.45,
+    n_bands: int = 4,
+    band_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """J7 core: similarity self-join via banded LSH candidates + exact
+    cosine verify. The n_bands·band_bits sign bits of the bucket
+    signature are split into bands; a pair is a candidate iff SOME
+    band matches (OR-construction) within the optional metadata block.
+    Candidate generation is an equi-join per band (never a cross
+    product), distinct-ed BEFORE the exact verify; band_bits is the
+    scale knob (2^band_bits-way blocking per band — grow it with the
+    corpus, adding planes as needed), n_bands buys recall
+    (1-(1-p^r)^b). Emits (vec_a, vec_b, cos_sim) with the 6-dp
+    rounded cosine >= min_cos."""
+    spark = emb.sparkSession
+    if buckets is None:
+        buckets = lsh_buckets(
+            emb, hyperplanes(spark, n_planes=n_bands * band_bits),
+            id_col, vec_col,
+        )
+    block = [block_col] if block_col else []
+    v = (
+        emb.select(id_col, *block, as_double(vec_col).alias("e"))
+        .join(buckets, id_col)
+        # Hoist each vector's norm out of the pair loop: same IEEE ops
+        # as recomputing per pair, ~3× less per-pair HOF work.
+        .withColumn("nrm", norm(F.col("e")))
+    )
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftright(F.col("bucket"), j * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bk"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    keyed = v.select(id_col, *block, F.explode(band_structs).alias("band")).select(
+        id_col, *block, F.col("band.j").alias("j"), F.col("band.bk").alias("bk")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("vec_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block],
+        F.col("j").alias("ja"), F.col("bk").alias("bka"),
+    )
+    b = keyed.select(
+        F.col(id_col).alias("vec_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block],
+        F.col("j").alias("jb"), F.col("bk").alias("bkb"),
+    )
+    cond = (
+        (F.col("ja") == F.col("jb"))
+        & (F.col("bka") == F.col("bkb"))
+        & (F.col("vec_a") < F.col("vec_b"))
+    )
+    for c in block:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    cand = a.join(b, cond).select("vec_a", "vec_b").distinct()
+    va = v.select(
+        F.col(id_col).alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col(id_col).alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )
 
 
 def ann_ivf(

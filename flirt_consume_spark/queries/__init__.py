@@ -30,6 +30,7 @@ from flirt_consume_spark.queries import extras  # noqa: F401,E402
 from flirt_consume_spark.queries import shapes  # noqa: F401,E402
 from flirt_consume_spark.queries import pipeline  # noqa: F401,E402
 from flirt_consume_spark.queries import streaming  # noqa: F401,E402
+from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 
 # --- driver-window rotation ----------------------------------------------
 # External verifiers sample REGISTRY in insertion order with a bounded
@@ -40,7 +41,10 @@ from flirt_consume_spark.queries import streaming  # noqa: F401,E402
 #     15 of the stalest r3-vintage keys whose code changed since their
 #     last driver row (loader rewrite + the win_ntile/sort_global
 #     distributed-rank rewrites), exactly filling the window.
-#   round 7 (next): the remaining ~28 r3-vintage keys
+#   round 7 (next): FIRST the six round-6 additions (queries/enrich.py:
+#     win_locf, join_interval_overlap, shape_custdist,
+#     shape_top_customers, llm_ngram_lm, llm_bpe_pairs — zero driver
+#     rows so far), then the remaining ~28 r3-vintage keys
 #     (relational/temporal/scalar block: filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,
 #     unpivot_long, str_*, math_scalar, array/map_ops, json_extract,

@@ -1,0 +1,482 @@
+"""Round-6 operator additions: LOCF forward fill, interval-overlap
+self-join, the TPC-H Q13/Q18 classic shapes, and two corpus-model
+builders (bigram next-token stats, BPE pair counting).
+
+Design notes (SURVEY.md §4 discipline): every key pairs with a DuckDB
+oracle and hash-matches exactly — doubles either pass through unchanged
+(LOCF) or are floored to integer grains before aggregation; every
+top-k orders by a full unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flirt_consume_spark.queries.base import query, t
+
+
+@query(
+    "win_locf",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: LOCF forward fill (last observation carried forward) — the
+    standard sparse-to-dense series repair: every event carries the
+    value of the user's most recent purchase (NULL until the first
+    one). One per-user window pass, shuffled once on user_id; the
+    filled double passes through UNCHANGED (no arithmetic), so the
+    hash match is trivial-exact. Ordering is by event_id (unique,
+    engine-independent), never by the ns-precision ts that Spark
+    truncates to µs."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(date_diff('day',
+                greatest(a.o_orderdate, b.o_orderdate),
+                least(a.o_orderdate + INTERVAL 6 DAY,
+                      b.o_orderdate + INTERVAL 6 DAY)) + 1 AS BIGINT)
+             AS overlap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE a.o_orderdate <= b.o_orderdate + INTERVAL 6 DAY
+      AND b.o_orderdate <= a.o_orderdate + INTERVAL 6 DAY
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: interval-overlap self-join — pairs of 7-day order windows
+    of the SAME customer that overlap in time, with the exact overlap
+    length in days. The entity key is the blocking key (the standard
+    way interval×interval joins survive scale: one hash shuffle on
+    the key, per-key pair work bounded by intervals-per-entity, never
+    a global time cross-product; for entity-free workloads the same
+    shape works with coarse time buckets as the equi key). Overlap
+    length is integer datediff arithmetic — exact in both engines."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 6).alias("e"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = a.join(b, "custkey").filter(
+        (F.col("order_a") < F.col("order_b"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea"))
+    )
+    return pairs.select(
+        "custkey",
+        "order_a",
+        "order_b",
+        (
+            F.datediff(
+                F.least("ea", "eb"), F.greatest("sa", "sb")
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("overlap_days"),
+    )
+
+
+@query(
+    "shape_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def shape_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SH9 (TPC-H Q13 shape): customer order-count distribution —
+    LEFT OUTER join so zero-order customers survive into the c_count=0
+    bucket, then a second aggregation over the counts. Two shuffles
+    (join key, then count value); the outer join's preserved NULLs are
+    exactly what COUNT(col) skips, matching the oracle bit for bit."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q18_MIN_QTY = 220
+
+
+@query(
+    "shape_top_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity * 100) AS BIGINT)) > {_Q18_MIN_QTY * 100}
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           big.qty_cents
+    FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def shape_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SH10 (TPC-H Q18 shape): large-volume orders — aggregate the
+    fact table FIRST (HAVING over the per-order quantity sum), then
+    enrich only the few survivors through the dimension joins: the
+    agg-before-join ordering is the difference between shuffling 600k
+    lines and broadcasting a handful of hot orders at 100 TB.
+    Quantities in exact integer cents."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+            .cast("bigint")
+            .alias("qty_cents")
+        )
+        .filter(F.col("qty_cents") > _Q18_MIN_QTY * 100)
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("totalprice_cents"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "o_orderkey", "totalprice_cents", "qty_cents")
+    )
+
+
+_LM_MIN_PREFIX = 20
+
+
+@query(
+    "llm_ngram_lm",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+    ), grams AS (
+      SELECT tok[i] AS w1, tok[i+1] AS w2
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, len(tok) - 1)) AS i
+            FROM toks)
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM grams GROUP BY w1, w2
+    ), totals AS (
+      SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_total FROM counts GROUP BY w1
+    ), ranked AS (
+      SELECT c.w1, c.w2, c.cnt, t.w1_total,
+             row_number() OVER (PARTITION BY c.w1
+                                ORDER BY c.cnt DESC, c.w2) AS rnk
+      FROM counts c JOIN totals t USING (w1)
+      WHERE t.w1_total >= {_LM_MIN_PREFIX}
+    )
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, w1_total,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def llm_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: bigram next-token statistics — the count table behind an
+    n-gram language model (and the data-side half of perplexity
+    scoring): for every prefix token seen >= {_LM_MIN_PREFIX} times,
+    the top-3 continuations with exact integer counts and the prefix
+    total (the conditional probability is the cnt/w1_total rational —
+    emitted as numerator/denominator, never a float division). One
+    explode -> two hash aggs -> per-prefix top-k window; the prefix
+    filter bounds output to the head of the Zipf curve, so the window
+    partition count tracks vocabulary, not corpus size."""
+    from flirt_consume_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(tokens("text").alias("tok")).filter(
+        F.size("tok") >= 2
+    )
+    grams = tok.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tok, 1, size(tok) - 1), "
+                "(w, i) -> struct(w AS w1, tok[i + 1] AS w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("w1").agg(
+        F.sum("cnt").cast("bigint").alias("w1_total")
+    )
+    ranked = (
+        counts.join(totals, "w1")
+        .filter(F.col("w1_total") >= _LM_MIN_PREFIX)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(
+                    F.col("cnt").desc(), F.col("w2")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select(
+        "w1", "w2", F.col("cnt").cast("bigint").alias("cnt"),
+        "w1_total", F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
+_BPE_TOP = 20
+
+
+@query(
+    "llm_bpe_pairs",
+    oracle=rf"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      GROUP BY 1
+    )
+    SELECT pair, cnt FROM pairs
+    ORDER BY cnt DESC, pair LIMIT {_BPE_TOP}
+    """,
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34: BPE merge-pair counting — the inner loop of byte-pair-
+    encoding tokenizer training: count adjacent symbol pairs across
+    the corpus, weighted by word frequency, and surface the top merge
+    candidates. The corpus collapses to its word-frequency table
+    FIRST (the standard BPE trick — pair work then tracks VOCABULARY
+    size, not corpus size), then each word explodes into its
+    length-1 adjacent pairs. Exact integer counts; top-k by
+    (cnt DESC, pair) is a TakeOrdered, no global sort."""
+    from flirt_consume_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+@query(
+    "sql_waiting_orders",
+    oracle="""
+    SELECT l1.l_suppkey, COUNT(*) AS numwait
+    FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) >
+          CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) >
+              CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SH11 (TPC-H Q21 shape): suppliers who were the SOLE late
+    shipper on finished multi-supplier orders — the classic
+    EXISTS + NOT EXISTS double correlation. Catalyst decorrelates
+    both subqueries into left-semi / left-anti hash joins on
+    l_orderkey (no per-row subquery execution — the rewrite that
+    makes this runnable at 100 TB); the NOT EXISTS correlates on an
+    outer column from a DIFFERENT table (o_orderdate), the hardest
+    decorrelation case in the battery."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_wo")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("od_wo")
+    return spark.sql(
+        """
+        SELECT l1.l_suppkey, COUNT(*) AS numwait
+        FROM li_wo l1 JOIN od_wo o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND to_date(l1.l_shipdate) >
+              date_add(to_date(o.o_orderdate), 60)
+          AND EXISTS (
+            SELECT 1 FROM li_wo l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM li_wo l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND to_date(l3.l_shipdate) >
+                  date_add(to_date(o.o_orderdate), 60)
+          )
+        GROUP BY l1.l_suppkey
+        """
+    )
+
+
+@query(
+    "sql_distant_customers",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM (
+      SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(floor(c2.c_acctbal * 100) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 100.0
+          FROM customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+        )
+    ) GROUP BY cntrycode
+    """,
+)
+def sql_distant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SH12 (TPC-H Q22 shape): well-funded customers with no URGENT orders —
+    an uncorrelated SCALAR subquery (the global positive-balance
+    average, broadcast as a 1-row literal plan) combined with a
+    correlated NOT EXISTS (decorrelated to a left-anti join). The
+    average is the exact integer-cent sum divided in double — both
+    engines evaluate the identical IEEE division, so the filter
+    boundary cannot ulp-flip."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cu_dc")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("od_dc")
+    return spark.sql(
+        """
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS acctbal_cents
+        FROM (
+          SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+          FROM cu_dc c
+          WHERE c_acctbal > (
+              SELECT CAST(SUM(CAST(floor(c2.c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 100.0
+              FROM cu_dc c2 WHERE c2.c_acctbal > 0.0
+            )
+            AND NOT EXISTS (
+              SELECT 1 FROM od_dc o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+        ) GROUP BY cntrycode
+        """
+    )
+
+
+@query(
+    "sql_min_cost",
+    oracle="""
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem l
+    WHERE CAST(floor(l.l_extendedprice * 100) AS BIGINT) = (
+      SELECT MIN(CAST(floor(l2.l_extendedprice * 100) AS BIGINT))
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def sql_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SH13 (TPC-H Q2 shape): cheapest supply line per part via a
+    CORRELATED SCALAR subquery (price = per-part minimum). Catalyst
+    decorrelates it into an aggregate + equi-join on l_partkey — one
+    shuffle, no per-row execution; the comparison runs on exact
+    integer cents so min-equality cannot ulp-flip. Ties (several
+    lines at the minimum) are all emitted, same as the oracle."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_mc")
+    return spark.sql(
+        """
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM li_mc l
+        WHERE CAST(floor(l.l_extendedprice * 100) AS BIGINT) = (
+          SELECT MIN(CAST(floor(l2.l_extendedprice * 100) AS BIGINT))
+          FROM li_mc l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )

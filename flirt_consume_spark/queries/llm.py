@@ -314,7 +314,7 @@ _LSH_CTE = """
                AS bucket
       FROM proj GROUP BY vec_id
     ), v AS (
-      SELECT e.vec_id, e.embedding::DOUBLE[] AS e, b.bucket
+      SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS e, b.bucket
       FROM embeddings e JOIN buckets b USING (vec_id)
     )
 """

@@ -461,3 +461,62 @@ def test_sweep_line_matches_naive_overlap_count(spark, spans):
         for (s, _d) in spans
     )
     assert got_peak == want_peak
+
+
+_mrow = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=6)),  # key
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # val
+)
+
+
+def _dedupe_keys(rows):
+    """Keep the first row per non-null key (MERGE's contract requires
+    at most one source match per target row; NULL-key rows never
+    match, so any number of them is legal)."""
+    seen, out = set(), []
+    for k, v in rows:
+        if k is not None:
+            if k in seen:
+                continue
+            seen.add(k)
+        out.append((k, v))
+    return out
+
+
+_mrows = st.lists(_mrow, min_size=0, max_size=12).map(_dedupe_keys)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tgt=_mrows, src=_mrows)
+def test_merge_upsert_matches_merge_semantics(spark, tgt, src):
+    """merge_upsert must implement MERGE INTO row-for-row, including
+    the NULL edge cases the round-5 fix changed: a source row with a
+    NULL key never matches any target row (SQL equality, so it always
+    INSERTs), and a matched source row overwrites the WHOLE target row
+    — NULL source columns included (UPDATE SET *). Reference model:
+    plain Python over the same rows."""
+    from flirt_consume_spark.operators.relational import merge_upsert
+
+    schema = "k int, v int"
+    t_df = spark.createDataFrame(tgt, schema)
+    s_df = spark.createDataFrame(src, schema)
+    got = sorted(
+        ((r.k, r.v) for r in merge_upsert(t_df, s_df, ["k"]).collect()),
+        key=lambda x: (x[0] is None, x[0] if x[0] is not None else 0,
+                       x[1] is None, x[1] if x[1] is not None else 0),
+    )
+    # model: SQL-equality matching (NULL key matches nothing)
+    matched_keys = {k for (k, _) in src if k is not None}
+    out = []
+    for (k, v) in tgt:
+        if k is not None and k in matched_keys:
+            continue  # replaced by source rows below
+        out.append((k, v))
+    for (k, v) in src:
+        out.append((k, v))  # updates + inserts + NULL-key inserts
+    want = sorted(
+        out,
+        key=lambda x: (x[0] is None, x[0] if x[0] is not None else 0,
+                       x[1] is None, x[1] if x[1] is not None else 0),
+    )
+    assert got == want

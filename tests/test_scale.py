@@ -209,3 +209,40 @@ def test_bloom_semi_join_exact_and_selective(spark):
     n_true = want.count()
     n_probe = bloom_prefilter(li, sel, "l_orderkey", "o_orderkey").count()
     assert n_true <= n_probe < n_total * 0.5, (n_true, n_probe, n_total)
+
+
+def test_embed_dedup_n_planes_refines_buckets(spark):
+    """n_planes is llm_embed_dedup's scale knob: plane p's md5 weights
+    do not depend on the plane count, so a 16-plane bucket extends the
+    8-plane bucket by 8 high bits — the 16-plane pair set must equal
+    the 8-plane pair set restricted to pairs sharing the refined
+    bucket (monotone refinement, no churn)."""
+    from flirt_consume_spark.io import load_table
+    from flirt_consume_spark.operators.similarity import (
+        embed_dup_pairs,
+        hyperplanes,
+        lsh_buckets,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    p8 = {
+        (r.vec_a, r.vec_b)
+        for r in embed_dup_pairs(emb, min_cos=-1.0, n_planes=8).collect()
+    }
+    p16 = {
+        (r.vec_a, r.vec_b)
+        for r in embed_dup_pairs(emb, min_cos=-1.0, n_planes=16).collect()
+    }
+    assert p16 <= p8 and len(p16) > 0
+    b16 = {
+        r.vec_id: r.bucket
+        for r in lsh_buckets(emb, hyperplanes(spark, n_planes=16)).collect()
+    }
+    # low 8 bits of the 16-plane bucket = the 8-plane bucket
+    b8 = {
+        r.vec_id: r.bucket
+        for r in lsh_buckets(emb, hyperplanes(spark, n_planes=8)).collect()
+    }
+    assert all(b16[v] & 255 == b8[v] for v in b8)
+    expected = {(a, b) for (a, b) in p8 if b16[a] == b16[b]}
+    assert p16 == expected

@@ -47,6 +47,9 @@ ALLOW = {
     "llm_ann_ivf": {"nested_loop"},
     "llm_ann_lsh": {"nested_loop"},
     "llm_embed_dedup": {"nested_loop"},
+    # Same constant-size hyperplane build (8×64 crossJoin) feeding the
+    # shared LSH bucket index that generates the banded candidates.
+    "join_similarity": {"nested_loop"},
     "llm_simhash": {"nested_loop"},
     "win_ntile": {"nested_loop"},
     # 1-row normalizing-total CTE cross-joined back (lazy scalar

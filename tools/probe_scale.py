@@ -43,7 +43,15 @@ def multiply(df: DataFrame, key_cols: list[str], n: int, stride: int) -> DataFra
     return out
 
 
-def timed(name: str, df: DataFrame) -> dict:
+# When non-empty, only probes whose stem is listed run (the rest are
+# plan-built but never executed) — lets --mult 100 target the heavy
+# pipelines without paying for the whole suite at 100x.
+ONLY: set = set()
+
+
+def timed(name: str, df: DataFrame) -> dict | None:
+    if ONLY and name.rsplit("_x", 1)[0] not in ONLY:
+        return None
     t0 = time.time()
     df.write.mode("overwrite").format("noop").save()
     return {"probe": name, "sec": round(time.time() - t0, 2)}
@@ -53,7 +61,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated probe stems to run (default: all)",
+    )
     args = ap.parse_args()
+    if args.only:
+        ONLY.update(s.strip() for s in args.only.split(",") if s.strip())
     n = args.mult
     spark = get_spark("probe-scale")
 
@@ -174,6 +189,24 @@ def main() -> None:
         timed(f"cov_x{n}", _cov(multiply(
             load_table(spark, args.sf, "embeddings"), ["vec_id"],
             n, 10_000_000))),
+        # Banded-LSH similarity join: candidates from per-band
+        # equi-joins (sign-salted copies keep per-copy pair structure
+        # at x1); growth beyond linear would mean candidate
+        # generation degrades with corpus size.
+        timed(f"simjoin_x{n}", _simjoin(salt_embs(
+            load_table(spark, args.sf, "embeddings"), n, 10_000_000), n)),
+        # Power iteration over the dim² covariance: data scanned once,
+        # iterations run on the constant-size matrix — time must track
+        # the vector count, not the iterate count.
+        timed(f"powiter_x{n}", _powiter(multiply(
+            load_table(spark, args.sf, "embeddings"), ["vec_id"],
+            n, 10_000_000))),
+        # Alternating-star contraction components: O(log n) rounds of
+        # shuffle-only contraction; per-copy edge families are
+        # disjoint, so time must track edges.
+        timed(f"starcc_x{n}", _starcc(multiply(
+            li.select("l_orderkey", "l_suppkey"),
+            ["l_orderkey", "l_suppkey"], n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -207,17 +240,26 @@ def main() -> None:
         timed("gini_x1", _gini(od, load_table(spark, args.sf, "customer"))),
         timed("ancestors_x1", _ancestors(load_table(spark, args.sf, "part"))),
         timed("cov_x1", _cov(load_table(spark, args.sf, "embeddings"))),
+        timed("simjoin_x1", _simjoin(salt_embs(
+            load_table(spark, args.sf, "embeddings"), 1, 10_000_000))),
+        timed("powiter_x1", _powiter(
+            load_table(spark, args.sf, "embeddings"))),
+        timed("starcc_x1", _starcc(li.select("l_orderkey", "l_suppkey"))),
     ]
-    for r in results + base:
+    done = [r for r in results + base if r is not None]
+    for r in done:
         print(json.dumps(r))
-    by = {r["probe"]: r["sec"] for r in results + base}
+    by = {r["probe"]: r["sec"] for r in done}
     for stem in ("agg_q1", "join_fact", "topk", "minhash_lsh",
                  "repetition", "sessionize", "chunk", "contaminate",
                  "bloom", "snapdiff", "merge", "zorder",
                  "geo", "pagerank", "kmeans", "triangles",
                  "rarity", "invindex", "bitmap",
                  "setsim", "dupspans", "cumsum", "sweep",
-                 "gini", "ancestors", "cov"):
+                 "gini", "ancestors", "cov", "simjoin",
+                 "powiter", "starcc"):
+        if f"{stem}_x{n}" not in by:
+            continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
         print(json.dumps({"probe": f"{stem}_scaling", "ratio_vs_linear":
                           round(hi / lo / n, 2)}))
@@ -480,6 +522,66 @@ def _bitmap(ev: DataFrame) -> DataFrame:
 
 
 
+def salt_embs(emb: DataFrame, n: int, stride: int) -> DataFrame:
+    """Embedding multiplication for the similarity-join probe: keys
+    shift AND every copy applies its own deterministic sign flip per
+    dimension (an orthogonal transform — pairwise cosines WITHIN a
+    copy are exactly preserved, so each copy's pair structure equals
+    x1, while cross-copy vectors decorrelate). Plain multiply() would
+    make copies exact duplicates and pair counts grow quadratically —
+    a data property, not a plan property."""
+    def _mk_sign(i: int):
+        def sign(x, d):
+            return x * (
+                F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws("_", d.cast("string"), F.lit(str(i)))
+                            ),
+                            1,
+                            2,
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                    == 1,
+                    -1.0,
+                ).otherwise(1.0)
+            )
+
+        return sign
+
+    copies = []
+    for i in range(n):
+        sign = _mk_sign(i)
+        copies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * stride))
+            .withColumn(
+                "embedding",
+                F.transform(F.col("embedding").cast("array<double>"), sign),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _simjoin(emb: DataFrame, n: int = 1) -> DataFrame:
+    from flirt_consume_spark.operators.similarity import banded_similarity_join
+
+    # Apply the operator's documented scale knob, like the geo probe
+    # shrinks its radius: band width grows ~log2(n) so per-band pair
+    # work (N²/(labels·2^r)) stays linear in rows. A FIXED band width
+    # is quadratic — measured 2.5x-vs-linear at 10x before the knob.
+    import math
+
+    bits = 2 + (math.ceil(math.log2(n)) if n > 1 else 0)
+    return banded_similarity_join(emb, min_cos=0.45, band_bits=bits)
+
+
 def salt_docs(docs: DataFrame, n: int, stride: int) -> DataFrame:
     """Doc multiplication for TEXT-similarity probes: keys shift AND
     every word gets a per-copy suffix, so copies of the same doc do
@@ -568,9 +670,15 @@ def _gini(od: DataFrame, cu: DataFrame) -> DataFrame:
         (F.col("rnk") - F.col("r0") + 1).cast("long").alias("rnk"),
     )
     n = F.count("*")
+    # Σ rnk·cents exceeds 2^63 beyond ~x30 (rank ~1.5e7 × cents ~6e7
+    # × 1.5e7 rows) — the documented extreme-scale fallback: exact
+    # DECIMAL(38) accumulation instead of LONG (base.py dsum note).
+    rc = F.sum((F.col("rnk") * F.col("cents")).cast("decimal(38,0)"))
+    sc = F.sum(F.col("cents").cast("decimal(38,0)"))
     return r.groupBy("segment").agg(
-        ((2 * F.sum(F.col("rnk") * F.col("cents")) - (n + 1) * F.sum("cents"))
-         .cast("double") / (n.cast("double") * F.sum("cents"))).alias("g")
+        ((F.lit(2).cast("decimal(38,0)") * rc
+          - (n + 1).cast("decimal(38,0)") * sc)
+         .cast("double") / (n.cast("double") * sc.cast("double"))).alias("g")
     )
 
 
@@ -596,22 +704,57 @@ def _ancestors(part: DataFrame) -> DataFrame:
     return out
 
 
+def _powiter(emb: DataFrame) -> DataFrame:
+    # Covariance scanned once; 3 power iterates on the constant dim²
+    # matrix (broadcast vector joins) — mirrors emb_power_iteration.
+    cov = _cov(emb)
+    full = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sxy"
+        )
+    )
+    w = full.groupBy("i").agg(F.sum("sxy").cast("double").alias("w"))
+    for _ in range(2):
+        vr = w.select(F.col("i").alias("j"), F.col("w").alias("v"))
+        w = (
+            full.join(F.broadcast(vr), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("sxy") * F.col("v")).alias("w"))
+        )
+    return w
+
+
+def _starcc(edges: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.dedup import (
+        alternating_star_components,
+    )
+
+    e = edges.select(
+        F.col("l_orderkey").alias("doc_a"),
+        # keep the supplier node space disjoint from order keys within
+        # every multiplied copy (stride 10M, orderkeys < 2.5M/copy)
+        (F.col("l_suppkey") + F.lit(5_000_000)).alias("doc_b"),
+    )
+    return alternating_star_components(e)
+
+
 def _cov(emb: DataFrame) -> DataFrame:
+    # Upper-triangle product stream via TWO chained posexplodes with a
+    # j >= i filter — no per-position slice()/struct allocations (the
+    # earlier slice-based generator was allocation-bound: measured
+    # 3.6x-vs-linear at x100 purely from GC pressure, same plan shape).
     xs = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))")
         .alias("xl"),
     )
-    pairs = xs.select(
-        F.posexplode("xl").alias("_i0", "xi"), F.col("xl")
-    ).select(
-        (F.col("_i0") + 1).alias("i"),
-        F.explode(F.expr(
-            "transform(slice(xl, _i0 + 1, size(xl) - _i0), "
-            "(xj, k) -> struct(_i0 + 1 + k AS j, xi * xj AS p))"
-        )).alias("s"),
-    ).select("i", F.col("s.j").alias("j"), F.col("s.p").alias("p"))
-    return pairs.groupBy("i", "j").agg(F.sum("p").alias("sxy"))
+    left = xs.select(F.posexplode("xl").alias("i", "xi"), "xl")
+    pairs = left.select(
+        "i", "xi", F.posexplode("xl").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+    return pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy")
+    )
 
 
 if __name__ == "__main__":
