@@ -241,3 +241,33 @@ def test_global_cumsum_correct_without_exchange_reuse(spark):
             assert got[k] == run, (k, got[k], run)
     finally:
         spark.conf.unset("spark.sql.exchange.reuse")
+
+
+def test_subquery_shapes_decorrelate(spark):
+    """The Q21/Q22/Q2 shapes must plan as hash joins, not per-row
+    subquery execution: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti,
+    the correlated scalar min -> aggregate + equi-join. A plan that
+    kept a correlated subquery node would re-execute per outer row —
+    the exact thing that cannot run at 100 TB."""
+    p = plan_of(REGISTRY["sql_waiting_orders"].fn(spark, SF))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    p = plan_of(REGISTRY["sql_distant_customers"].fn(spark, SF))
+    assert "LeftAnti" in p, p
+    p = plan_of(REGISTRY["sql_min_cost"].fn(spark, SF))
+    assert "min(" in p and "Join" in p, p
+    for key in ("sql_waiting_orders", "sql_distant_customers", "sql_min_cost"):
+        pl = plan_of(REGISTRY[key].fn(spark, SF))
+        assert "CartesianProduct" not in pl, (key, pl)
+
+
+def test_top_customers_aggregates_before_join(spark):
+    """Q18 shape: the per-order quantity rollup (with the HAVING cut)
+    must sit BELOW the orders/customer joins — aggregating after the
+    join would shuffle the whole fact table through the dimensions."""
+    p = plan_of(REGISTRY["shape_top_customers"].fn(spark, SF))
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # the deepest aggregate appears after (physically below) the joins
+    assert p.rfind("HashAggregate") > join_pos, p
