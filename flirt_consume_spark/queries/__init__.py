@@ -41,9 +41,12 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #     15 of the stalest r3-vintage keys whose code changed since their
 #     last driver row (loader rewrite + the win_ntile/sort_global
 #     distributed-rank rewrites), exactly filling the window.
-#   round 7 (next): FIRST the six round-6 additions (queries/enrich.py:
+#   round 7 (next): FIRST the thirteen round-6 additions (queries/enrich.py:
 #     win_locf, join_interval_overlap, shape_custdist,
-#     shape_top_customers, llm_ngram_lm, llm_bpe_pairs — zero driver
+#     shape_top_customers, llm_ngram_lm, llm_bpe_pairs,
+#     sql_waiting_orders, sql_distant_customers, sql_min_cost,
+#     cdc_time_travel, join_geo_nearest, llm_hash_embed, win_zscore —
+#     zero driver
 #     rows so far), then the remaining ~28 r3-vintage keys
 #     (relational/temporal/scalar block: filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

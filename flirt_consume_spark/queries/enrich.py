@@ -480,3 +480,244 @@ def sql_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_TT_VERSION = 3
+
+
+@query(
+    "cdc_time_travel",
+    oracle=f"""
+    WITH log AS (
+      SELECT l_orderkey AS key,
+             CASE WHEN md5(CAST(l_orderkey AS VARCHAR) || ':'
+                           || CAST(l_linenumber AS VARCHAR)) < '2'
+                  THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_linenumber AS BIGINT) AS version
+      FROM lineitem
+    ), snap AS (
+      SELECT key, op, price_cents,
+             row_number() OVER (
+               PARTITION BY key
+               ORDER BY version DESC, price_cents DESC, op DESC) AS rn
+      FROM log WHERE version <= {_TT_VERSION})
+    SELECT key, price_cents
+    FROM snap WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: time-travel read — the snapshot AS OF version
+    {_TT_VERSION}, reconstructed by folding only change-log records at
+    or below the cutoff (the lakehouse `VERSION AS OF` contract,
+    computed relationally): same latest-wins merge as cdc_apply, but
+    the version predicate prunes BEFORE the per-key window, so older
+    snapshots cost LESS, not more. Tombstones at the cutoff still
+    suppress their key — deletes time-travel correctly."""
+    from flirt_consume_spark.queries.lifecycle import _change_log
+
+    log = _change_log(spark, sf_dir).filter(
+        F.col("version") <= _TT_VERSION
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("version").desc(),
+        F.col("price_cents").desc(),
+        F.col("op").desc(),
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "price_cents")
+    )
+
+
+_HAV_NN = """2 * 6371.0 * asin(least(1.0, sqrt(
+        sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * sin(radians(b.lon - a.lon)/2) * sin(radians(b.lon - a.lon)/2)
+      )))"""
+
+
+@query(
+    "join_geo_nearest",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS key,
+             (c_custkey * 7) % 140 - 70 + 0.25 AS lat,
+             (c_custkey * 131) % 360 - 180 + 0.25 AS lon
+      FROM customer
+    ), pairs AS (
+      SELECT a.key AS key, b.key AS neighbor,
+             round({_HAV_NN}, 3) AS dist_km
+      FROM pts a JOIN pts b ON a.key <> b.key
+      WHERE {_HAV_NN} <= 150.0
+    )
+    SELECT key, neighbor, dist_km FROM (
+      SELECT key, neighbor, dist_km,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY dist_km, neighbor) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: bounded-radius nearest-neighbor geo join — each point's
+    closest other point within 150 km (the practical form of a
+    spatial kNN: unbounded NN degenerates to all-pairs; real systems
+    bound the search radius and widen on miss). Candidates come from
+    the same 4°-grid 3×3-neighborhood join as J10 (O(|cell|²), never
+    n²), symmetrized, then one per-key min via a window on the
+    ROUNDED distance with an id tie-break. The oracle is brute force
+    — the hash match proves the grid loses no candidate."""
+    from flirt_consume_spark.functions import synth_coord
+    from flirt_consume_spark.operators.spatial import grid_within_radius
+
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("key"),
+        synth_coord(F.col("c_custkey"), 7, 140, 0.25).alias("lat"),
+        synth_coord(F.col("c_custkey"), 131, 360, 0.25).alias("lon"),
+    )
+    pairs = grid_within_radius(
+        pts, "key", "lat", "lon", radius_km=150.0, cell_deg=4.0,
+        max_abs_lat=70.0,
+    )
+    sym = pairs.select(
+        F.col("key_a").alias("key"),
+        F.col("key_b").alias("neighbor"),
+        "dist_km",
+    ).unionByName(
+        pairs.select(
+            F.col("key_b").alias("key"),
+            F.col("key_a").alias("neighbor"),
+            "dist_km",
+        )
+    )
+    w = Window.partitionBy("key").orderBy("dist_km", "neighbor")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "neighbor", "dist_km")
+    )
+
+
+_HASH_DIMS = 64
+
+
+@query(
+    "llm_hash_embed",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT % {_HASH_DIMS} AS dim,
+           COUNT(*) AS cnt
+    FROM toks WHERE w <> ''
+    GROUP BY doc_id, dim
+    """,
+)
+def llm_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35: feature hashing (the "hashing trick") — every document
+    becomes a {_HASH_DIMS}-dim sparse count vector with dimensions
+    assigned by md5(token) % dims: the stateless vectorizer for
+    classifiers/dedup-prefilters at corpus scale (no vocabulary
+    table, no fitting pass, embarrassingly parallel until one hash
+    agg). Emitted in long form (doc_id, dim, cnt) — exact integer
+    counts, engine-independent hashing."""
+    from flirt_consume_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    dim = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long")
+        % _HASH_DIMS
+    )
+    return (
+        tok.select("doc_id", dim.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "win_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1e6) AS BIGINT) AS vi
+      FROM events
+    ), agg AS (
+      SELECT user_id, event_id, vi,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(vi) OVER win AS BIGINT) AS s,
+             CAST(SUM(vi * vi) OVER win AS BIGINT) AS q
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           floor((CAST(vi AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                 * 1e6) / 1e6 AS z,
+           abs(floor((CAST(vi AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                 * 1e6) / 1e6) > 2.0 AS is_anomaly
+    FROM agg
+    WHERE (CAST(q AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n > 0.0
+    """,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: rolling z-score anomaly screen — each event scored
+    against the mean/stddev of its user's trailing 30 events (the
+    moving-window cousin of time_seasonal's fixed-baseline screen).
+    One per-key window pass carrying THREE running integer sums
+    (n, Σv, Σv²) in 1e-6 units — variance by the moment identity, no
+    second pass. Every double step (division, sqrt, multiply) is an
+    IEEE correctly-rounded op on identical operands in both engines,
+    so the floored 1e-6-grid z cannot diverge — the only ops banned
+    are transcendentals. Degenerate windows (single point or zero
+    variance) are excluded — a z-score is undefined there, and NULL
+    booleans round-trip differently through the two engines' client
+    bindings."""
+    ev = t(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 1e6).cast("long")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-29, 0)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        vi.alias("vi"),
+    ).select(
+        "user_id",
+        "event_id",
+        "vi",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("vi").over(win).alias("s"),
+        F.sum(F.col("vi") * F.col("vi")).over(win).alias("q"),
+    )
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / F.col("n")
+    z_raw = (
+        F.col("vi").cast("double") - F.col("s").cast("double") / F.col("n")
+    ) / F.sqrt(var)
+    z6 = F.floor(z_raw * 1e6) / 1e6
+    return base.filter(var > 0.0).select(
+        "user_id",
+        "event_id",
+        z6.alias("z"),
+        (F.abs(z6) > 2.0).alias("is_anomaly"),
+    )
