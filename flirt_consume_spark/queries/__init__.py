@@ -28,6 +28,7 @@ from flirt_consume_spark.queries import windows  # noqa: F401,E402
 from flirt_consume_spark.queries import llm  # noqa: F401,E402
 from flirt_consume_spark.queries import extras  # noqa: F401,E402
 from flirt_consume_spark.queries import shapes  # noqa: F401,E402
+from flirt_consume_spark.queries import tpch_tail  # noqa: F401,E402
 from flirt_consume_spark.queries import pipeline  # noqa: F401,E402
 from flirt_consume_spark.queries import streaming  # noqa: F401,E402
 from flirt_consume_spark.queries import enrich  # noqa: F401,E402
@@ -46,8 +47,14 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #     shape_top_customers, llm_ngram_lm, llm_bpe_pairs,
 #     sql_waiting_orders, sql_distant_customers, sql_min_cost,
 #     cdc_time_travel, join_geo_nearest, llm_hash_embed, win_zscore —
-#     zero driver
-#     rows so far), then the remaining ~28 r3-vintage keys
+#     zero driver rows so far) plus the eight TPC-H tail shapes
+#     (queries/tpch_tail.py: shape_forecast_revenue, shape_promo_effect,
+#     shape_top_supplier, shape_parts_supplier, shape_small_qty_revenue,
+#     shape_disjunctive_revenue, shape_potential_promotion,
+#     shape_important_stock) and the three engine-surface additions
+#     (stream_join, sql_recursive, agg_mode, join_nullsafe,
+#     win_range_hour), then the remaining
+#     r3-vintage keys
 #     (relational/temporal/scalar block: filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,
 #     unpivot_long, str_*, math_scalar, array/map_ops, json_extract,

@@ -721,3 +721,208 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z6.alias("z"),
         (F.abs(z6) > 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "sql_recursive",
+    oracle="""
+    WITH RECURSIVE parents AS (
+      SELECT c_custkey + 1 AS node,
+             ('0x' || substr(md5(CAST(c_custkey + 1 AS VARCHAR)), 1, 8))::BIGINT
+               % (1 + (c_custkey + 1) // 8) AS parent
+      FROM customer
+    ), walk AS (
+      SELECT node, parent AS cur, CAST(1 AS BIGINT) AS depth FROM parents
+      UNION ALL
+      SELECT w.node, p.parent, w.depth + 1
+      FROM walk w JOIN parents p ON p.node = w.cur
+      WHERE w.cur > 0
+    )
+    SELECT node, cur AS root, depth
+    FROM walk WHERE cur = 0
+    """,
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 SQL surface: native WITH RECURSIVE (Spark 4.0+) — the
+    engine's own fixpoint operator, complementing the hand-unrolled
+    dataflow form in `graph_ancestors`. Each customer node walks an
+    md5-derived parent DAG (parent(n) = hash % (1 + n div 8):
+    strictly decreasing ⇒ guaranteed termination at the virtual
+    root 0, and the ÷8 contraction bounds depth at log₈ n — ~10
+    levels even at 10⁹ nodes, so iteration count never becomes the
+    scale problem). Spark executes the recursion as iterative
+    UnionLoop steps joining only the LIVE frontier against the
+    parent map; the map is materialized once (cached, 1 partition —
+    it is dimension-sized) so per-iteration cost is the join, not a
+    parquet re-scan. DuckDB replays identical md5 arithmetic in its
+    own recursive CTE."""
+    cust = t(spark, sf_dir, "customer")
+    node = F.col("c_custkey") + 1
+    parents = (
+        cust.select(
+            node.alias("node"),
+            (
+                F.conv(
+                    F.substring(F.md5(node.cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % (1 + (node.cast("long") / 8).cast("long"))
+            ).alias("parent"),
+        )
+        .coalesce(1)
+        .cache()
+    )
+    parents.count()  # materialize before the iterative plan references it
+    parents.createOrReplaceTempView("par_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT node, parent AS cur, CAST(1 AS BIGINT) AS depth
+          FROM par_rec
+          UNION ALL
+          SELECT w.node, p.parent, w.depth + 1
+          FROM walk w JOIN par_rec p ON p.node = w.cur
+          WHERE w.cur > 0
+        )
+        SELECT node, cur AS root, depth
+        FROM walk WHERE cur = 0
+        """
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, qty) AS rk
+      FROM counted
+    )
+    SELECT l_returnflag, qty AS modal_qty, cnt AS modal_cnt
+    FROM ranked WHERE rk = 1
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: statistical mode per group with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — Spark's built-in
+    F.mode() leaves ties engine-defined, so the portable form is
+    count-then-rank: one hash agg on the compound key (partial
+    combine upstream — the shuffle carries one row per distinct
+    (group, value), not per input row), then a per-group top-1
+    window over the tiny counted frame."""
+    li = t(spark, sf_dir, "lineitem")
+    counted = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "qty")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("modal_qty"),
+            F.col("cnt").alias("modal_cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE o_orderstatus END AS status_key
+      FROM orders
+    ), dim AS (
+      SELECT DISTINCT
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE o_orderstatus END AS status_key,
+             CASE WHEN o_orderstatus = 'O' THEN 'open-unclassified'
+                  ELSE 'closed-' || o_orderstatus END AS status_label
+      FROM orders
+    )
+    SELECT d.status_label, COUNT(*) AS cnt
+    FROM o JOIN dim d ON o.status_key IS NOT DISTINCT FROM d.status_key
+    GROUP BY d.status_label
+    ORDER BY d.status_label
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: null-safe equality join (<=> / IS NOT DISTINCT FROM) —
+    NULL keys MATCH each other instead of silently dropping, the
+    semantics dirty-dimension joins actually need (an unclassified
+    fact row should hit the 'unknown' dim row, not vanish). Spark
+    plans EqualNullSafe as an ordinary broadcast HASH join (keys
+    coalesce to a proxy), not a nested loop — asserted in the plan
+    audit. The NULL bucket is derived in-query so both engines see
+    the identical key distribution."""
+    orders = t(spark, sf_dir, "orders")
+    skey = F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    o = orders.select("o_orderkey", skey.alias("status_key"))
+    dim = (
+        orders.select(
+            skey.alias("d_key"),
+            F.when(
+                F.col("o_orderstatus") == "O", F.lit("open-unclassified")
+            )
+            .otherwise(F.concat(F.lit("closed-"), F.col("o_orderstatus")))
+            .alias("status_label"),
+        )
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(dim), o["status_key"].eqNullSafe(dim["d_key"]))
+        .groupBy("status_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("status_label")
+    )
+
+
+@query(
+    "win_range_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_micro_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: time-based RANGE window frame — per user, events and
+    value volume in the TRAILING HOUR of each event. Unlike the
+    ROWS frames elsewhere (win_rolling/win_zscore), the frame bound
+    is a VALUE offset on the ordering key (epoch µs), so peers with
+    equal timestamps share a frame and gaps shrink it — the
+    correct semantics for rate limiting / velocity features. One
+    hash shuffle on user_id; the frame scan is a per-partition
+    two-pointer pass, never a self-join. Value sums stay integer
+    (exact) end to end."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("_v"),
+        us.alias("_us"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
+        F.sum("_v").over(w).cast("bigint").alias("sum_micro_1h"),
+    )

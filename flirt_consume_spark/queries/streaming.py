@@ -181,3 +181,31 @@ def stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         dsum("value", "val_sum", 6),
     )
+
+
+@query(
+    "stream_join",
+    oracle="""
+    SELECT l.user_id AS l_user, l.event_id AS l_id, r.event_id AS r_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND epoch_us(r.ts) - epoch_us(l.ts) <= 30 * 60 * 1000000
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 batch analogue: stream-stream interval join — clicks
+    attributed to a same-user view within the preceding 30 minutes.
+    The SAME jobs.stream_stream_join transform runs on readStream
+    sides with watermarks in tests/test_streaming.py (state eviction
+    + left_outer emission timing asserted there); here the batch run
+    checks the join math against the oracle. The time bound is what
+    keeps streaming state finite — without it a 100-TB stream
+    buffers forever."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return jobs.stream_stream_join(views, clicks).select(
+        "l_user", "l_id", "r_id"
+    )

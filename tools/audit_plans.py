@@ -26,6 +26,10 @@ from flirt_consume_spark.session import get_spark
 
 # Keys where a nominally-scary node is the declared, documented plan.
 ALLOW = {
+    # Q11 shape: the HAVING-over-global-total scalar subquery is a
+    # 1-row broadcast (total + count of the per-part agg) cross-joined
+    # into the per-part frame — constant-size side, by design.
+    "shape_important_stock": {"nested_loop"},
     # O1 global rank (operators/scale.global_rank): the per-partition
     # offset prefix-sum is a broadcast triangular self-join over the
     # (pid, count) table — num_partitions rows, constant in data size.
