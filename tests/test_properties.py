@@ -520,3 +520,106 @@ def test_merge_upsert_matches_merge_semantics(spark, tgt, src):
                        x[1] is None, x[1] if x[1] is not None else 0),
     )
     assert got == want
+
+
+# --- round-6 additions: recursive CTE / mode / range frame / nullsafe ----
+
+
+def _py_walk_depth(node: int) -> int:
+    """Reference implementation of sql_recursive's parent chain:
+    parent(n) = md5-uniform % (1 + n // 8), walked to 0."""
+    import hashlib
+
+    depth, cur = 0, node
+    while True:
+        h = int(hashlib.md5(str(cur).encode()).hexdigest()[:8], 16)
+        cur = h % (1 + cur // 8)
+        depth += 1
+        if cur == 0:
+            return depth
+
+
+def test_sql_recursive_matches_python_walk(spark):
+    """Every customer's (root, depth) must equal the pure-Python walk
+    of the same md5 contraction chain — pins the UnionLoop execution
+    to the declared recurrence, independent of the DuckDB oracle."""
+    from flirt_consume_spark.queries import REGISTRY
+
+    rows = REGISTRY["sql_recursive"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "recursion produced no rows"
+    for r in rows:
+        assert r.root == 0
+        assert r.depth == _py_walk_depth(r.node), r
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_agg_mode_tie_break(spark, vals):
+    """Mode = (max count, then smallest value) — verified against a
+    pure-Python argmax on random multisets, including ties."""
+    from collections import Counter
+
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(vals, "g int, v int")
+    counted = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("g").orderBy(F.desc("cnt"), "v")
+    got = {
+        (r.g, r.v)
+        for r in counted.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .collect()
+    }
+    by_g: dict[int, Counter] = {}
+    for g, v in vals:
+        by_g.setdefault(g, Counter())[v] += 1
+    want = {
+        (g, min(v for v, c in cnt.items() if c == max(cnt.values())))
+        for g, cnt in by_g.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_range_frame_matches_brute_force(spark, events):
+    """RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW == the O(n²)
+    definition: count of same-key rows with ts in [t-3600, t] —
+    including equal-timestamp peers AHEAD of the current row (the
+    rows-frame trap the RANGE frame exists to avoid)."""
+    from pyspark.sql.window import Window
+
+    rows = [(k, t) for k, t in events]
+    df = spark.createDataFrame(rows, "k int, t long")
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-3600, 0)
+    got = {
+        (r.k, r.t, r.c)
+        for r in df.select("k", "t", F.count(F.lit(1)).over(w).alias("c"))
+        .collect()
+    }
+    for k, t, c in got:
+        want = sum(1 for k2, t2 in rows if k2 == k and t - 3600 <= t2 <= t)
+        assert c == want, (k, t, c, want)
+
+
+def test_nullsafe_join_conserves_rows(spark):
+    """Every fact row — including NULL-key rows — must appear exactly
+    once after the null-safe dim join (the no-row-loss contract that
+    distinguishes <=> from =)."""
+    from flirt_consume_spark.queries import REGISTRY
+
+    out = REGISTRY["join_nullsafe"].fn(spark, "/root/testdata/sf0.001")
+    n_orders = load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    assert out.agg(F.sum("cnt")).collect()[0][0] == n_orders
