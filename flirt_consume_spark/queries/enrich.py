@@ -926,3 +926,44 @@ def win_range_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
         F.sum("_v").over(w).cast("bigint").alias("sum_micro_1h"),
     )
+
+
+@query(
+    "sql_lateral",
+    oracle="""
+    SELECT n.n_name, top.c_custkey, top.c_acctbal
+    FROM nation n JOIN LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) top ON TRUE
+    ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey
+    """,
+)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 SQL surface: correlated LATERAL subquery with ORDER BY +
+    LIMIT — top-2 customers per nation written the way an analyst
+    writes it. Catalyst decorrelates the per-row subquery into a
+    rank-within-partition plan (one hash shuffle on the correlation
+    key + per-group limit), NOT |nation| separate scans — the same
+    physical shape as the hand-written window top-k in `topk`, which
+    is the point: the declarative per-row form must not cost per-row
+    execution. Deterministic ties via the c_custkey tie-break on
+    both engines."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("na_lat")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cu_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_custkey, top.c_acctbal
+        FROM na_lat n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM cu_lat
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) top
+        ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey
+        """
+    )

@@ -207,6 +207,18 @@ def main() -> None:
         timed(f"starcc_x{n}", _starcc(multiply(
             li.select("l_orderkey", "l_suppkey"),
             ["l_orderkey", "l_suppkey"], n, 10_000_000))),
+        # Decorrelated correlated-agg (TPC-H Q17 shape): per-part agg
+        # shuffles on the SAME key as the join-back, so both stages
+        # scale with rows; no per-row subquery execution to degrade.
+        timed(f"q17_x{n}", _q17(multiply(
+            li.select("l_partkey", "l_quantity", "l_extendedprice"),
+            ["l_partkey"], n, 10_000_000))),
+        # Native recursive CTE: depth grows log8(max key), frontier
+        # shrinks as chains terminate — time must track nodes, with at
+        # most +1 iteration per 8x key-range growth.
+        timed(f"recursive_x{n}", _recursive(multiply(
+            load_table(spark, args.sf, "customer").select("c_custkey"),
+            ["c_custkey"], n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -245,6 +257,10 @@ def main() -> None:
         timed("powiter_x1", _powiter(
             load_table(spark, args.sf, "embeddings"))),
         timed("starcc_x1", _starcc(li.select("l_orderkey", "l_suppkey"))),
+        timed("q17_x1", _q17(
+            li.select("l_partkey", "l_quantity", "l_extendedprice"))),
+        timed("recursive_x1", _recursive(
+            load_table(spark, args.sf, "customer").select("c_custkey"))),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -257,7 +273,7 @@ def main() -> None:
                  "rarity", "invindex", "bitmap",
                  "setsim", "dupspans", "cumsum", "sweep",
                  "gini", "ancestors", "cov", "simjoin",
-                 "powiter", "starcc"):
+                 "powiter", "starcc", "q17", "recursive"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -754,6 +770,48 @@ def _cov(emb: DataFrame) -> DataFrame:
     ).filter(F.col("j") >= F.col("i"))
     return pairs.groupBy("i", "j").agg(
         F.sum(F.col("xi") * F.col("xj")).alias("sxy")
+    )
+
+
+
+
+def _q17(li: DataFrame) -> DataFrame:
+    q100 = F.floor(F.col("l_quantity") * 100).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(q100).alias("sq100"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(q100 * 5 * F.col("cnt") < F.col("sq100"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+             .alias("rev_cents"))
+    )
+
+
+def _recursive(cu: DataFrame) -> DataFrame:
+    spark = cu.sparkSession
+    node = F.col("c_custkey") + 1
+    cu.select(
+        node.alias("node"),
+        (
+            F.conv(F.substring(F.md5(node.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % (1 + (node.cast("long") / 8).cast("long"))
+        ).alias("parent"),
+    ).createOrReplaceTempView("par_probe")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT node, parent AS cur, CAST(1 AS BIGINT) AS depth
+          FROM par_probe
+          UNION ALL
+          SELECT w.node, p.parent, w.depth + 1
+          FROM walk w JOIN par_probe p ON p.node = w.cur
+          WHERE w.cur > 0
+        )
+        SELECT node, cur AS root, depth FROM walk WHERE cur = 0
+        """
     )
 
 
