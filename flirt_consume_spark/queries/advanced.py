@@ -1186,3 +1186,62 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qsum"),
         F.floor(F.array_max(err) * 1e9).cast("bigint").alias("maxerr_e9"),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: XML scan — Spark 4's built-in XML source (rowTag
+    streaming parser; schema declared explicitly so the scan never
+    pays an inference pass — at 100 TB schema inference IS a second
+    full read). Round-trips the orders table through an XML sink and
+    aggregates the read-back; the oracle runs the same aggregate on
+    the parquet view, proving the round-trip lossless for the
+    aggregated columns. Completes the source matrix alongside
+    csv/jsonl/text/orc/variant/pyds."""
+    orders = t(spark, sf_dir, "orders")
+    path = cache_path("xml", sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            orders.select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                    "o_orderdate"
+                ),
+                "o_orderpriority",
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "orders")
+            .option("rowTag", "order")
+            .save(path)
+        )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string"
+        )
+        .load(path)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long"))
+        .cast("bigint")
+        .alias("cents"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -153,3 +153,33 @@ def test_observation_metrics_piggyback_on_scan(spark):
         F.sum(F.floor(F.col("value") * 1e2).cast("long"))
     ).collect()[0][0]
     assert got["value_cents"] == want_cents
+
+
+def test_xml_roundtrip_full_row_parity(spark, tmp_path):
+    """S14: the XML round-trip must preserve every row bit-for-bit
+    for the written columns (scan_xml's oracle only covers the
+    aggregated ones)."""
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("d"),
+    )
+    path = str(tmp_path / "orders_xml")
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_orderstatus string,"
+                " o_totalprice double, d string")
+        .load(path)
+    )
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
