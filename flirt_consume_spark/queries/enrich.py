@@ -773,6 +773,12 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parents.count()  # materialize before the iterative plan references it
     parents.createOrReplaceTempView("par_rec")
+    # The recursion emits ~nodes x depth rows across iterations, so the
+    # default 1M-row dev guard (spark.sql.cteRecursionRowLimit) trips at
+    # ~100x local scale already. The real termination guards here are
+    # the level limit (default 100 iterations) plus the strictly
+    # decreasing parent map; the row guard is sized out of the way.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     return spark.sql(
         """
         WITH RECURSIVE walk AS (

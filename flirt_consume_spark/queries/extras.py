@@ -631,3 +631,63 @@ def scan_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("even_k_sum"),
         F.count(missing).cast("bigint").alias("n_missing_field"),
     )
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) // 3 AS b
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           substr(text, 1, b) AS part_0,
+           substr(text, b + 1, b) AS part_1,
+           substr(text, 2 * b + 1) AS part_2
+    FROM d
+    """,
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4b: POLYMORPHIC Python UDTF — the output schema is computed at
+    plan time by the static analyze() hook from a literal argument
+    (here: split every document into n=3 equal character chunks, so
+    the schema grows part_0..part_{n-1} with the literal). This is
+    the Spark 4 dynamic-schema UDTF surface that a fixed returnType
+    (udtf_expand) cannot express; the executor-side eval stays a
+    plain per-row generator. Chunk boundaries are integer character
+    arithmetic (len // n), replayed by the oracle's substr calls."""
+    from pyspark.sql.functions import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        lit,
+        udtf,
+    )
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class ChunkDoc:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument,
+            text: AnalyzeArgument,
+            n: AnalyzeArgument,
+        ) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            schema = StructType().add("doc_id", LongType())
+            for i in range(n.value):
+                schema = schema.add(f"part_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n: int):
+            b = len(text) // n
+            parts = [text[i * b : (i + 1) * b] for i in range(n - 1)]
+            parts.append(text[(n - 1) * b :])
+            yield (doc_id, *parts)
+
+    spark.udtf.register("chunk_doc_udtf", udtf(ChunkDoc))
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_docs_an")
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs_an, "
+        "LATERAL chunk_doc_udtf(doc_id, text, 3) c"
+    )

@@ -791,6 +791,9 @@ def _q17(li: DataFrame) -> DataFrame:
 
 def _recursive(cu: DataFrame) -> DataFrame:
     spark = cu.sparkSession
+    # nodes x depth rows cross the 1M default dev guard at 100x;
+    # termination is guaranteed by the level limit + contraction map.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     node = F.col("c_custkey") + 1
     cu.select(
         node.alias("node"),
