@@ -10,10 +10,13 @@ top-k orders by a full unique key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flirt_consume_spark.io import cache_path
 from flirt_consume_spark.queries.base import query, t
 
 
@@ -972,4 +975,175 @@ def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) top
         ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey
         """
+    )
+
+
+@query(
+    "sql_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(floor(l_quantity * 100) AS BIGINT) END) AS BIGINT)
+             AS O_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(floor(l_quantity * 100) AS BIGINT) END) AS BIGINT)
+             AS F_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 SQL surface: the PIVOT clause (vs A8's DataFrame .pivot) —
+    the explicit IN list means the output schema is known at PLAN
+    time, so no extra distinct-values pass over the fact (the
+    DataFrame form without values pays one); executes as a single
+    conditional aggregation, one shuffle on the group key. Quantities
+    in exact integer cents."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_piv")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(floor(l_quantity * 100) AS BIGINT) AS q
+          FROM li_piv
+        )
+        PIVOT (SUM(q) AS qty FOR l_linestatus IN ('O' AS O, 'F' AS F))
+        ORDER BY l_returnflag
+        """
+    ).select(
+        "l_returnflag",
+        F.col("O").alias("O_qty"),
+        F.col("F").alias("F_qty"),
+    )
+
+
+@query(
+    "scan_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: binaryFile source — whole files as (path, content) binary
+    rows, the ingestion path for image/audio/video corpora
+    (operators/multimodal.py consumes exactly this shape). Fixture:
+    the first 20 documents written once as individual UTF-8 .txt
+    files; the scan reads them back as opaque bytes, recovers the id
+    from the file name, and fingerprints the payload. The oracle
+    hashes the same UTF-8 bytes via DuckDB's encode() — proving the
+    bytes-on-disk round-trip, not just the text. At 100 TB this
+    source shards by file; content never transits the driver."""
+    import hashlib
+
+    path = cache_path("binfiles", sf_dir, "documents")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()  # 20-row fixture build, once per (sf, fingerprint)
+        )
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write(str(len(rows)))
+    df = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.txt"
+    ).load(path)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(floor(value * 10) AS BIGINT)) AS s1,
+             SUM(CAST(floor(value * 10) AS BIGINT)
+                 * CAST(floor(value * 10) AS BIGINT)) AS s2,
+             SUM(CAST(floor(value * 10) AS BIGINT)
+                 * CAST(floor(value * 10) AS BIGINT)
+                 * CAST(floor(value * 10) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(floor(value * 10) AS BIGINT)
+                 * CAST(floor(value * 10) AS BIGINT)
+                 * CAST(floor(value * 10) AS BIGINT)
+                 * CAST(floor(value * 10) AS BIGINT) AS HUGEINT)) AS s4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           floor(((CAST(s3 AS DOUBLE) / n)
+                  - (3.0 * (CAST(s1 AS DOUBLE) / n)) * (CAST(s2 AS DOUBLE) / n)
+                  + (2.0 * (CAST(s1 AS DOUBLE) / n)) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / pow((CAST(s2 AS DOUBLE) / n)
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5) * 1e6) / 1e6 AS skewness,
+           floor(((CAST(s4 AS DOUBLE) / n)
+                  - (4.0 * (CAST(s1 AS DOUBLE) / n)) * (CAST(s3 AS DOUBLE) / n)
+                  + (6.0 * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                    * (CAST(s2 AS DOUBLE) / n)
+                  - (3.0 * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                    * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 / pow((CAST(s2 AS DOUBLE) / n)
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       2.0) * 1e6) / 1e6 - 3.0 AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: skewness + excess kurtosis per group — Spark's built-in
+    skewness()/kurtosis() stream Welford-style moments whose float
+    result depends on partition merge order, so they can never
+    hash-match across engines. Instead: the agg_stats discipline
+    extended to 3rd/4th raw moments as EXACT integer sums on a
+    deci-unit grid (Σx⁴ crosses int64 at ~10⁵ rows, so that one sum
+    alone widens to decimal(38); the rest stay on the compact long
+    fast path), then one identical IEEE expression on both engines,
+    floored to a 1e-6 grid. One shuffle, partial aggregation
+    upstream, constant output."""
+    ev = t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 10).cast("long")
+    m = ev.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(
+            (F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - (F.lit(3.0) * mu) * (F.col("s2").cast("double") / F.col("n"))
+        + (F.lit(2.0) * mu) * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - (F.lit(4.0) * mu) * (F.col("s3").cast("double") / F.col("n"))
+        + (F.lit(6.0) * (mu * mu)) * (F.col("s2").cast("double") / F.col("n"))
+        - (F.lit(3.0) * (mu * mu)) * (mu * mu)
+    )
+    return m.select(
+        "event_type",
+        (F.floor(m3 / F.pow(m2, F.lit(1.5)) * 1e6) / 1e6).alias("skewness"),
+        (F.floor(m4 / F.pow(m2, F.lit(2.0)) * 1e6) / 1e6 - 3.0).alias(
+            "excess_kurtosis"
+        ),
     )
