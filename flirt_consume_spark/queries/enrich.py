@@ -1101,6 +1101,8 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
                        2.0) * 1e6) / 1e6 - 3.0 AS excess_kurtosis
     FROM m
+    WHERE (CAST(s2 AS DOUBLE) / n)
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
     """,
 )
 def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,10 +1142,83 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(6.0) * (mu * mu)) * (F.col("s2").cast("double") / F.col("n"))
         - (F.lit(3.0) * (mu * mu)) * (mu * mu)
     )
-    return m.select(
+    # zero-variance groups: floor(NaN) diverges across engines (Spark's
+    # long-typed floor vs DuckDB's NaN-propagating floor), so
+    # degenerate groups are excluded on BOTH sides — win_zscore's device.
+    return m.filter(m2 > 0).select(
         "event_type",
         (F.floor(m3 / F.pow(m2, F.lit(1.5)) * 1e6) / 1e6).alias("skewness"),
         (F.floor(m4 / F.pow(m2, F.lit(2.0)) * 1e6) / 1e6 - 3.0).alias(
             "excess_kurtosis"
         ),
+    )
+
+
+@query(
+    "time_workdays",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE))
+               AS n1,
+             date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE))
+               AS n2
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), w AS (
+      SELECT o_orderpriority,
+             (5 * (n2 // 7) + least(n2 % 7, 5))
+             - (5 * (n1 // 7) + least(n1 % 7, 5)) AS wd
+      FROM d
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(wd) AS BIGINT) AS total_workdays,
+           floor(CAST(SUM(wd) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+             AS mean_workdays
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def time_workdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: business-day lead time (order date → ship date excluding
+    weekends) per priority class. Weekday counting is CLOSED FORM —
+    W(n) = 5·(n div 7) + min(n mod 7, 5) with n = days since an
+    anchor MONDAY (1970-01-05), so the count is pure integer
+    arithmetic identical in both engines (engine dayofweek()
+    conventions differ: Spark 1=Sun..7=Sat, DuckDB 0=Sun..6=Sat —
+    the anchor-mod trick sidesteps them, same device as
+    time_seasonal). No calendar explode, no UDF: a 100-TB fact pays
+    one scan + one agg shuffle."""
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-05").cast("date")
+            ).alias("n1"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1970-01-05").cast("date")
+            ).alias("n2"),
+        )
+    )
+
+    def wfun(n):  # weekdays from the anchor Monday to day n (n >= 0)
+        return 5 * F.floor(n / 7) + F.least(n % 7, F.lit(5))
+
+    wd = (wfun(F.col("n2")) - wfun(F.col("n1"))).alias("wd")
+    return (
+        j.select("o_orderpriority", wd)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("wd").cast("bigint").alias("total_workdays"),
+            (
+                F.floor(
+                    F.sum("wd").cast("double") / F.count(F.lit(1)) * 1e6
+                )
+                / 1e6
+            ).alias("mean_workdays"),
+        )
+        .orderBy("o_orderpriority")
     )

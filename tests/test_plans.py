@@ -271,3 +271,67 @@ def test_top_customers_aggregates_before_join(spark):
     assert agg_pos != -1 and join_pos != -1
     # the deepest aggregate appears after (physically below) the joins
     assert p.rfind("HashAggregate") > join_pos, p
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    """SH11: the Q6 shape's date range, discount band and quantity cap
+    must ALL reach the parquet scan — at 100 TB row-group stats do
+    the work, not the executors."""
+    p = plan_of(REGISTRY["shape_forecast_revenue"].fn(spark, SF))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema, "column pruning failed"
+
+
+def test_q19_disjunction_keeps_equijoin(spark):
+    """SH16: the three-arm OR across the join must not defeat the
+    equi-join — a BroadcastHashJoin on partkey, never a nested loop;
+    the derivable brand disjunct must land in the part scan."""
+    p = plan_of(REGISTRY["shape_disjunctive_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_lateral_decorrelates_to_rank(spark):
+    """P7: the per-nation LATERAL ORDER BY/LIMIT subquery must plan as
+    a rank-within-partition (Window + filter), not one scan per outer
+    row, and join hash-side, never nested-loop."""
+    p = plan_of(REGISTRY["sql_lateral"].fn(spark, SF))
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    """J17: EqualNullSafe keys must still hash-join (Spark coalesces
+    the key to a proxy) — the null-safe form must not pay a
+    nested-loop penalty."""
+    p = plan_of(REGISTRY["join_nullsafe"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pivot_has_no_distinct_values_pass(spark):
+    """A25: with an explicit IN list the PIVOT must compile to ONE
+    conditional aggregation over the fact — no separate
+    distinct-values collection job (the cost the DataFrame form
+    without values pays)."""
+    import re
+
+    df = REGISTRY["sql_pivot"].fn(spark, SF)
+    p = plan_of(df)
+    # exactly one physical scan node (formatted output names each node
+    # twice: once in the tree, once as a "(n) Scan parquet" detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_range_frame_is_single_window_pass(spark):
+    """W16: the trailing-hour RANGE frame must be one window over one
+    exchange — no self-join materialization of the frame."""
+    p = plan_of(REGISTRY["win_range_hour"].fn(spark, SF))
+    assert "Window" in p
+    assert "Join" not in p, p
