@@ -54,7 +54,8 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #     shape_important_stock) and the three engine-surface additions
 #     (stream_join, sql_recursive, agg_mode, join_nullsafe,
 #     win_range_hour, sql_lateral, scan_xml, udtf_analyze, sql_pivot,
-#     scan_binary, agg_skew_kurt, time_workdays), then the
+#     scan_binary, agg_skew_kurt, time_workdays, agg_weighted_median),
+#     then the
 #     remaining
 #     r3-vintage keys
 #     (relational/temporal/scalar block: filter_*, join_anti/semi/outer,

@@ -1222,3 +1222,71 @@ def time_workdays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH wsum AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM wsum
+    )
+    SELECT l_returnflag,
+           CAST(MIN(cents) AS DOUBLE) / 100 AS weighted_median_price
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: quantity-weighted median price per group — the smallest
+    value whose cumulative weight reaches half the total (pure
+    integer compare 2·cw ≥ tw: no division, no float boundary).
+    Scale discipline: the fact FIRST collapses to one row per
+    (group, distinct value) with summed weights — the window
+    cumsum then runs over that aggregated frame (bounded by the
+    value domain), never a per-group sort of raw fact rows; the
+    low-cardinality group key would otherwise serialize a 100-TB
+    window into 3 reducers. Since (group, cents) rows are UNIQUE
+    after the pre-agg, a ROWS cumsum ordered by cents is
+    deterministic on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    wsum = (
+        li.select(
+            "l_returnflag",
+            cents.alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = wsum.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("cents").cast("double") / 100).alias(
+                "weighted_median_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
