@@ -71,15 +71,19 @@ def colo_table(
     can never create the same table with divergent schemas, and the
     fingerprint is of the table actually being bucketed — regenerating
     lineitem invalidates the cache even when other tables are
-    unchanged. The cache name carries the column list so a future
-    caller needing a different projection gets its own table instead
-    of silently consuming a narrower one."""
+    unchanged. The cache name carries the column list AND the bucket
+    spec (column, count) so a future caller needing a different
+    projection or layout gets its own table instead of silently
+    consuming one whose clustering doesn't satisfy its plan (which
+    would either fail the no-Exchange assertions or quietly
+    reintroduce a full shuffle)."""
     import hashlib
 
     from flirt_consume_spark.io import load_table, source_fingerprint
 
     fp = source_fingerprint(sf_dir, source)[:8]
-    colsig = hashlib.md5(",".join(columns).encode()).hexdigest()[:6]
+    sig = ",".join(columns) + f"|{bucket_col}|{n_buckets}"
+    colsig = hashlib.md5(sig.encode()).hexdigest()[:6]
     name = f"colo_{source}_{colsig}_{fp}"
     if not spark.catalog.tableExists(name):
         write_bucketed(

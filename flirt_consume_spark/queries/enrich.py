@@ -659,7 +659,7 @@ def llm_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, vi,
              COUNT(*) OVER win AS n,
              CAST(SUM(vi) OVER win AS BIGINT) AS s,
-             CAST(SUM(vi * vi) OVER win AS BIGINT) AS q
+             SUM(vi * vi) OVER win AS q
       FROM v
       WINDOW win AS (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
@@ -708,7 +708,12 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vi",
         F.count(F.lit(1)).over(win).alias("n"),
         F.sum("vi").over(win).alias("s"),
-        F.sum(F.col("vi") * F.col("vi")).over(win).alias("q"),
+        # Sigma v^2 widens past int64 when a 30-row window sits at the
+        # value ceiling (30 * (5.6e8)^2 = 9.4e18 > 2^63): decimal(38)
+        # on this sum only; DuckDB's HUGEINT window sum is the twin.
+        F.sum(
+            (F.col("vi") * F.col("vi")).cast("decimal(38,0)")
+        ).over(win).alias("q"),
     )
     var = (
         F.col("q").cast("double")
@@ -778,10 +783,13 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     parents.createOrReplaceTempView("par_rec")
     # The recursion emits ~nodes x depth rows across iterations, so the
     # default 1M-row dev guard (spark.sql.cteRecursionRowLimit) trips at
-    # ~100x local scale already. The real termination guards here are
-    # the level limit (default 100 iterations) plus the strictly
-    # decreasing parent map; the row guard is sized out of the way.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    # ~100x local scale already. Raised to a FINITE 1e8 (not -1): the
+    # runaway-recursion guard stays armed for every later query in the
+    # session, just sized for real data volumes; termination here is
+    # additionally guaranteed by the level limit (100) and the strictly
+    # decreasing parent map. Session-scoped by design — documented
+    # engine tuning, same class as load_table's nanosAsLong.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     return spark.sql(
         """
         WITH RECURSIVE walk AS (
@@ -1088,18 +1096,22 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - (3.0 * (CAST(s1 AS DOUBLE) / n)) * (CAST(s2 AS DOUBLE) / n)
                   + (2.0 * (CAST(s1 AS DOUBLE) / n)) * (CAST(s1 AS DOUBLE) / n)
                     * (CAST(s1 AS DOUBLE) / n))
-                 / pow((CAST(s2 AS DOUBLE) / n)
-                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                       1.5) * 1e6) / 1e6 AS skewness,
+                 / (sqrt((CAST(s2 AS DOUBLE) / n)
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * ((CAST(s2 AS DOUBLE) / n)
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 * 1e6) / 1e6 AS skewness,
            floor(((CAST(s4 AS DOUBLE) / n)
                   - (4.0 * (CAST(s1 AS DOUBLE) / n)) * (CAST(s3 AS DOUBLE) / n)
                   + (6.0 * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
                     * (CAST(s2 AS DOUBLE) / n)
                   - (3.0 * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
                     * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
-                 / pow((CAST(s2 AS DOUBLE) / n)
-                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                       2.0) * 1e6) / 1e6 - 3.0 AS excess_kurtosis
+                 / (((CAST(s2 AS DOUBLE) / n)
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * ((CAST(s2 AS DOUBLE) / n)
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 * 1e6) / 1e6 - 3.0 AS excess_kurtosis
     FROM m
     WHERE (CAST(s2 AS DOUBLE) / n)
           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
@@ -1147,8 +1159,12 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate groups are excluded on BOTH sides — win_zscore's device.
     return m.filter(m2 > 0).select(
         "event_type",
-        (F.floor(m3 / F.pow(m2, F.lit(1.5)) * 1e6) / 1e6).alias("skewness"),
-        (F.floor(m4 / F.pow(m2, F.lit(2.0)) * 1e6) / 1e6 - 3.0).alias(
+        # m2^1.5 as sqrt(m2)*m2 and m2^2 as m2*m2: sqrt and multiply are
+        # IEEE correctly-rounded on BOTH engines, pow() is only 1-ulp on
+        # the JVM — the grid-floor discipline bans pow on principle
+        # (same ruling as sample_weighted's ln() removal).
+        (F.floor(m3 / (F.sqrt(m2) * m2) * 1e6) / 1e6).alias("skewness"),
+        (F.floor(m4 / (m2 * m2) * 1e6) / 1e6 - 3.0).alias(
             "excess_kurtosis"
         ),
     )

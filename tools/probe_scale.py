@@ -75,6 +75,7 @@ def main() -> None:
     li = load_table(spark, args.sf, "lineitem")
     od = load_table(spark, args.sf, "orders")
     docs = load_table(spark, args.sf, "documents")
+    cu_cnt = load_table(spark, args.sf, "customer").count()
     # warm-up
     for d in (li, od, docs):
         d.count()
@@ -215,10 +216,12 @@ def main() -> None:
             ["l_partkey"], n, 10_000_000))),
         # Native recursive CTE: depth grows log8(max key), frontier
         # shrinks as chains terminate — time must track nodes, with at
-        # most +1 iteration per 8x key-range growth.
-        timed(f"recursive_x{n}", _recursive(multiply(
-            load_table(spark, args.sf, "customer").select("c_custkey"),
-            ["c_custkey"], n, 10_000_000))),
+        # most +1 iteration per 8x key-range growth. The node set is a
+        # CONTIGUOUS range scaled by n (NOT multiply(): shifted copies
+        # would make ~all parents h % (1+k//8) point at ids outside the
+        # copied blocks, dead-ending every walk after one hop and
+        # measuring a different computation than x1).
+        timed(f"recursive_x{n}", _recursive(spark, cu_cnt * n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -259,8 +262,7 @@ def main() -> None:
         timed("starcc_x1", _starcc(li.select("l_orderkey", "l_suppkey"))),
         timed("q17_x1", _q17(
             li.select("l_partkey", "l_quantity", "l_extendedprice"))),
-        timed("recursive_x1", _recursive(
-            load_table(spark, args.sf, "customer").select("c_custkey"))),
+        timed("recursive_x1", _recursive(spark, cu_cnt)),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -789,11 +791,11 @@ def _q17(li: DataFrame) -> DataFrame:
     )
 
 
-def _recursive(cu: DataFrame) -> DataFrame:
-    spark = cu.sparkSession
-    # nodes x depth rows cross the 1M default dev guard at 100x;
-    # termination is guaranteed by the level limit + contraction map.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+def _recursive(spark, n_nodes: int) -> DataFrame:
+    # nodes x depth rows cross the 1M default dev guard at 100x; keep a
+    # finite runaway guard, just sized for the probe volume.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
+    cu = spark.range(0, n_nodes).select(F.col("id").alias("c_custkey"))
     node = F.col("c_custkey") + 1
     cu.select(
         node.alias("node"),
