@@ -1306,3 +1306,90 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "time_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS s,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               + 6 AS e
+      FROM orders
+    ), flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY o_custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM iv
+    ), numbered AS (
+      SELECT o_custkey, s, e,
+             SUM(new_span) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT o_custkey,
+           CAST(COUNT(DISTINCT span_id) AS BIGINT) AS n_spans,
+           CAST(SUM(span_days) AS BIGINT) AS covered_days
+    FROM (
+      SELECT o_custkey, span_id, MAX(e) - MIN(s) + 1 AS span_days
+      FROM numbered GROUP BY o_custkey, span_id
+    ) GROUP BY o_custkey
+    """,
+)
+def time_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: merge overlapping intervals into maximal spans — each
+    customer's 7-day order windows coalesced into disjoint coverage
+    spans (n_spans + total covered days). The single-pass sweep:
+    sort within key, flag a new span when the start clears the
+    running max of PRIOR ends (cumulative max window — handles
+    contained intervals that a lag(end) check would mis-split), then
+    prefix-sum the flags into span ids. Two window passes + one agg,
+    all shuffled once on the entity key; dates as integer day
+    ordinals, exact in both engines. Complements time_islands
+    (point gaps) and join_interval_overlap (pairwise overlap)."""
+    iv = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + 6)
+    wprev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(wprev),
+                F.lit(-9223372036854775808),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    wcum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "o_custkey", "s", "e", F.sum("new_span").over(wcum).alias("span_id")
+    )
+    spans = numbered.groupBy("o_custkey", "span_id").agg(
+        (F.max("e") - F.min("s") + 1).alias("span_days")
+    )
+    return spans.groupBy("o_custkey").agg(
+        F.countDistinct("span_id").cast("bigint").alias("n_spans"),
+        F.sum("span_days").cast("bigint").alias("covered_days"),
+    )

@@ -209,3 +209,30 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stream_stream_join(views, clicks).select(
         "l_user", "l_id", "r_id"
     )
+
+
+@query(
+    "stream_outer",
+    oracle="""
+    SELECT l.user_id AS l_user, l.event_id AS l_id, r.event_id AS r_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND epoch_us(r.ts) - epoch_us(l.ts) <= 30 * 60 * 1000000
+    """,
+)
+def stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8b batch analogue: LEFT OUTER stream-stream interval join —
+    every view emits, matched or not (the funnel-drop-off shape:
+    views that never converted). In streaming the null-match rows
+    can only emit once the watermark passes the view's join window
+    (pytest pins that emission timing); the batch run checks the
+    join+null semantics against the oracle. Same bounded state
+    contract as stream_join."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return jobs.stream_stream_join(views, clicks, how="left_outer").select(
+        "l_user", "l_id", "r_id"
+    )
