@@ -42,7 +42,7 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #     15 of the stalest r3-vintage keys whose code changed since their
 #     last driver row (loader rewrite + the win_ntile/sort_global
 #     distributed-rank rewrites), exactly filling the window.
-#   round 7 (next): FIRST the 36 round-6 additions with zero driver
+#   round 7 (next): FIRST the 37 round-6 additions with zero driver
 #     rows so far —
 #     13 early (queries/enrich.py: win_locf, join_interval_overlap,
 #       shape_custdist, shape_top_customers, llm_ngram_lm,
@@ -54,12 +54,12 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #       shape_parts_supplier, shape_small_qty_revenue,
 #       shape_disjunctive_revenue, shape_potential_promotion,
 #       shape_important_stock),
-#     15 engine-surface late additions (stream_join, sql_recursive,
+#     16 engine-surface late additions (stream_join, sql_recursive,
 #       agg_mode, join_nullsafe, win_range_hour, sql_lateral, scan_xml,
 #       udtf_analyze, sql_pivot, scan_binary, agg_skew_kurt,
 #       time_workdays, agg_weighted_median, stream_outer,
-#       time_interval_merge)
-#     — that makes 36; fill the remaining 14 window slots with the
+#       time_interval_merge, emb_recall_eval)
+#     — that makes 37; fill the remaining 13 window slots with the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -664,3 +664,71 @@ def llm_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.levenshtein("head", "next_head").cast("bigint").alias("edit_dist"),
     )
+
+
+@query(
+    "emb_recall_eval",
+    oracle=_LSH_CTE
+    + f"""
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM v q JOIN v c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 3
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: ANN index QUALITY EVAL — recall@3 of the LSH index
+    (llm_ann_lsh's exact construction) against the exact cosine
+    top-3 (llm_knn's), per query. This is the measurement a real
+    pipeline runs before trusting an approximate index: both sides
+    reuse the SAME ranked components (rounded-cosine + id tie-break,
+    so the compared sets are deterministic), the hit test is a
+    broadcast-size equi-join on (query, neighbor), and recall is the
+    exact small-integer ratio n_hit/3. At scale the exact side runs
+    on a SAMPLE of queries (here: the 10 probe vectors) — evaluating
+    recall never requires the full N² exact search."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = list(range(10))
+    exact = S.knn_exact(emb, queries, k=3).select("query_id", "neighbor_id")
+    ann = S.ann_lsh(
+        emb, queries, k=3, buckets=_emb_buckets(spark, sf_dir)
+    ).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    hit = exact.join(
+        ann,
+        (F.col("query_id") == F.col("a_q"))
+        & (F.col("neighbor_id") == F.col("a_n")),
+        "left_outer",
+    )
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count("a_n").cast("bigint").alias("n_hit"),
+            (F.count("a_n").cast("double") / 3.0).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
