@@ -39,6 +39,9 @@ ALLOW = {
     # knn probes broadcast ~10 query vectors against the corpus — the
     # nested-loop is over a 10-row broadcast side, by design.
     "llm_knn": {"nested_loop"},
+    # recall eval reuses knn_exact's 10-row query broadcast (same
+    # justification as llm_knn) for the exact side of the comparison.
+    "emb_recall_eval": {"nested_loop"},
     # the rank-over-50-rows windows after a TakeOrdered cut.
     "llm_vocab": {"single_partition_window"},
     "topk": {"single_partition_window"},
