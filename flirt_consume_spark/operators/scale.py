@@ -401,9 +401,9 @@ def salted_join(
 
 def global_cumsum(
     df: DataFrame,
-    value_col: str,
+    value_col: str | list[str],
     order_cols: list,
-    cum_col: str = "cum",
+    cum_col: str | list[str] = "cum",
 ) -> DataFrame:
     """Distributed running sum over a global total order — the prefix-
     sum sibling of ``global_rank`` (same mechanics, summing a value
@@ -420,17 +420,28 @@ def global_cumsum(
     associative, so the result is exact and identical at any
     parallelism — float running sums would be partitioning-dependent.
 
+    ``value_col``/``cum_col`` accept lists to compute several running
+    sums over the SAME total order in one pass — one range shuffle and
+    one broadcast offsets table amortized across all of them (the
+    multi-counter ECDF shape ``audit_ks`` needs), instead of one
+    shuffle per counter.
+
     ``order_cols`` must be a total order (unique key); ties would make
     any global prefix sum nondeterministic.
     """
     from pyspark.sql.window import Window
 
-    vt = df.schema[value_col].dataType.simpleString()
-    if vt not in ("int", "bigint", "smallint", "tinyint"):
-        raise ValueError(
-            f"global_cumsum needs an integral value column, got "
-            f"{value_col}: {vt} — float prefix sums are order-dependent"
-        )
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ccols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(vcols) != len(ccols):
+        raise ValueError("value_col and cum_col lists must align 1:1")
+    for vc in vcols:
+        vt = df.schema[vc].dataType.simpleString()
+        if vt not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"global_cumsum needs an integral value column, got "
+                f"{vc}: {vt} — float prefix sums are order-dependent"
+            )
     ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -441,18 +452,29 @@ def global_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_lcum", F.sum(value_col).over(local_w))
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    local = ranged
+    for vc in vcols:
+        local = local.withColumn(f"_lcum_{vc}", F.sum(vc).over(local_w))
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_ptot_{vc}") for vc in vcols]
+    )
     prev = totals.select(
-        F.col("_pid").alias("_ppid"), F.col("_ptot").alias("_pprev")
+        F.col("_pid").alias("_ppid"),
+        *[F.col(f"_ptot_{vc}").alias(f"_pprev_{vc}") for vc in vcols],
     )
     offs = (
         totals.join(F.broadcast(prev), F.col("_ppid") < F.col("_pid"), "left")
         .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_pprev"), F.lit(0)).alias("_off"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_pprev_{vc}"), F.lit(0)).alias(f"_off_{vc}")
+                for vc in vcols
+            ]
+        )
     )
-    return (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn(cum_col, F.col("_off") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_off")
-    )
+    out = local.join(F.broadcast(offs), "_pid")
+    drop = ["_pid"]
+    for vc, cc in zip(vcols, ccols):
+        out = out.withColumn(cc, F.col(f"_off_{vc}") + F.col(f"_lcum_{vc}"))
+        drop += [f"_lcum_{vc}", f"_off_{vc}"]
+    return out.drop(*drop)

@@ -32,6 +32,7 @@ from flirt_consume_spark.queries import tpch_tail  # noqa: F401,E402
 from flirt_consume_spark.queries import pipeline  # noqa: F401,E402
 from flirt_consume_spark.queries import streaming  # noqa: F401,E402
 from flirt_consume_spark.queries import enrich  # noqa: F401,E402
+from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 
 # --- driver-window rotation ----------------------------------------------
 # External verifiers sample REGISTRY in insertion order with a bounded
@@ -42,7 +43,7 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #     15 of the stalest r3-vintage keys whose code changed since their
 #     last driver row (loader rewrite + the win_ntile/sort_global
 #     distributed-rank rewrites), exactly filling the window.
-#   round 7 (next): FIRST the 37 round-6 additions with zero driver
+#   round 7 (next): FIRST the 41 round-6 additions with zero driver
 #     rows so far —
 #     13 early (queries/enrich.py: win_locf, join_interval_overlap,
 #       shape_custdist, shape_top_customers, llm_ngram_lm,
@@ -58,8 +59,10 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 #       agg_mode, join_nullsafe, win_range_hour, sql_lateral, scan_xml,
 #       udtf_analyze, sql_pivot, scan_binary, agg_skew_kurt,
 #       time_workdays, agg_weighted_median, stream_outer,
-#       time_interval_merge, emb_recall_eval)
-#     — that makes 37; fill the remaining 13 window slots with the
+#       time_interval_merge, emb_recall_eval),
+#     4 distributional/traversal additions (queries/distrib.py:
+#       audit_ks, time_interpolate, graph_bfs_dist, sample_reservoir)
+#     — that makes 41; fill the remaining 9 window slots with the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1,0 +1,426 @@
+"""Distributional / traversal operators (round-6 late additions).
+
+Four families, one module:
+- `audit_ks`: two-sample Kolmogorov–Smirnov distances between the
+  order-status groups' price distributions — the drift gate a data
+  pipeline runs before trusting a new snapshot;
+- `time_interpolate`: linear interpolation between sparse anchor
+  observations (the resampling sibling of `win_locf`'s step fill);
+- `graph_bfs_dist`: multi-source BFS hop distances on an undirected
+  graph — level-synchronous frontier expansion, the visited-set
+  pattern the ancestor-closure keys don't need;
+- `sample_reservoir`: per-group fixed-k deterministic reservoir
+  sample via hierarchical (bucketed) top-k.
+
+Hash-match discipline (SURVEY.md §4): every emitted double is either
+pass-through, a single division of exactly-representable integers, or
+an identical IEEE expression tree on both engines — no transcendental
+appears anywhere in this module (Shannon entropy was deliberately
+rejected in favor of KS/Simpson/Gini for exactly that reason: ln()
+differs by ulps across libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flirt_consume_spark.operators.scale import global_cumsum
+from flirt_consume_spark.queries.base import query, t
+
+# --- two-sample Kolmogorov–Smirnov audit ---------------------------------
+
+_KS_PAIRS = (("F", "O"), ("F", "P"), ("O", "P"))
+
+
+@query(
+    "audit_ks",
+    oracle="""
+    WITH vc AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_p
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT SUM(c_f) OVER (ORDER BY v) AS cum_f,
+             SUM(c_o) OVER (ORDER BY v) AS cum_o,
+             SUM(c_p) OVER (ORDER BY v) AS cum_p
+      FROM vc
+    ), tot AS (
+      SELECT CAST(SUM(c_f) AS BIGINT) AS n_f,
+             CAST(SUM(c_o) AS BIGINT) AS n_o,
+             CAST(SUM(c_p) AS BIGINT) AS n_p
+      FROM vc
+    ), d AS (
+      SELECT CAST(MAX(ABS(cum_f * n_o - cum_o * n_f)) AS BIGINT) AS d_fo,
+             CAST(MAX(ABS(cum_f * n_p - cum_p * n_f)) AS BIGINT) AS d_fp,
+             CAST(MAX(ABS(cum_o * n_p - cum_p * n_o)) AS BIGINT) AS d_op
+      FROM cum, tot
+    )
+    SELECT 'F' AS grp_a, 'O' AS grp_b, n_f AS n_a, n_o AS n_b,
+           d_fo AS d_num,
+           CAST(d_fo AS DOUBLE) / CAST(n_f * n_o AS DOUBLE) AS ks_stat
+    FROM d, tot
+    UNION ALL
+    SELECT 'F', 'P', n_f, n_p, d_fp,
+           CAST(d_fp AS DOUBLE) / CAST(n_f * n_p AS DOUBLE)
+    FROM d, tot
+    UNION ALL
+    SELECT 'O', 'P', n_o, n_p, d_op,
+           CAST(d_op AS DOUBLE) / CAST(n_o * n_p AS DOUBLE)
+    FROM d, tot
+    """,
+)
+def audit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 audit family: two-sample Kolmogorov–Smirnov statistic
+    between every pair of order-status groups over o_totalprice —
+    D = max_v |ECDF_a(v) − ECDF_b(v)|, the standard drift screen for
+    "did this snapshot's distribution shift?".
+
+    Exactness: the max is taken over the INTEGER cross-multiplied
+    form |cum_a·n_b − cum_b·n_a| (common denominator n_a·n_b), so the
+    whole search is integer arithmetic; the only double op is one
+    final division of exactly-representable ints — bit-identical on
+    any engine. At 100 TB: one hash agg to per-value counts (≤ one
+    row per distinct value), then ONE multi-counter
+    ``global_cumsum`` (range shuffle amortized over all three ECDF
+    counters — no single-reducer window, no per-group pass), then a
+    3-cell global max folded map-side. The pair set is |groups|², a
+    constant; data-sized work is two shuffles total.
+    """
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    vc = od.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    cum = global_cumsum(
+        vc,
+        ["c_f", "c_o", "c_p"],
+        ["v"],
+        ["cum_f", "cum_o", "cum_p"],
+    )
+    # Totals come from the cumsum output itself (max of a running sum
+    # == its total), NOT from a second aggregation over `vc` — that
+    # leg would re-scan orders; this one is a map-side-combinable max
+    # over the already-materialized checkpoint blocks.
+    tot = cum.groupBy().agg(
+        *[
+            F.max(f"cum_{s.lower()}").cast("bigint").alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            *[
+                F.max(
+                    F.abs(
+                        F.col(f"cum_{a.lower()}") * F.col(f"n_{b.lower()}")
+                        - F.col(f"cum_{b.lower()}") * F.col(f"n_{a.lower()}")
+                    )
+                )
+                .cast("bigint")
+                .alias(f"d_{a.lower()}{b.lower()}")
+                for a, b in _KS_PAIRS
+            ]
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    # One explode, not a 3-way union of selects over `d`: a union
+    # would evaluate the whole cumsum subtree once PER BRANCH.
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("grp_a"),
+                F.lit(b).alias("grp_b"),
+                F.col(f"n_{a.lower()}").alias("n_a"),
+                F.col(f"n_{b.lower()}").alias("n_b"),
+                F.col(f"d_{a.lower()}{b.lower()}").alias("d_num"),
+            )
+            for a, b in _KS_PAIRS
+        ]
+    )
+    return (
+        d.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .withColumn(
+            "ks_stat",
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
+    )
+
+
+# --- linear interpolation between sparse anchors -------------------------
+
+
+@query(
+    "time_interpolate",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS t,
+             CASE WHEN event_type = 'purchase' THEN value END AS av
+      FROM events
+    ), b AS (
+      SELECT event_id, user_id, event_type, t,
+             last_value(av IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(av IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN av IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM f
+    )
+    SELECT event_id, user_id, event_type,
+           CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) *
+                     (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END AS interp_value
+    FROM b
+    """,
+)
+def time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: linear interpolation between sparse anchor observations —
+    every event gets the straight-line estimate of the user's
+    purchase `value` at its timestamp (NULL outside the first/last
+    anchor; anchors reproduce their own value via the nt==pt branch,
+    so no special-casing). The resampling sibling of `win_locf`'s
+    step fill.
+
+    Exactness: timestamps become INTEGER microseconds before any
+    arithmetic; the interpolation expression is the identical IEEE
+    tree on both engines (one int-difference ratio, one multiply, one
+    add — no transcendentals). Scale: two window passes over the
+    same (user_id) shuffle — Spark computes all four
+    last/first-ignorenulls frames in ONE WindowExec each direction;
+    no join, no second shuffle, anchors never leave their partition.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("av"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    at = F.when(F.col("av").isNotNull(), F.col("t"))
+    b = (
+        ev.withColumn("pv", F.last("av", ignorenulls=True).over(fwd))
+        .withColumn("pt", F.last(at, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.first("av", ignorenulls=True).over(bwd))
+        .withColumn("nt", F.first(at, ignorenulls=True).over(bwd))
+    )
+    interp = (
+        F.when(F.col("pt").isNull() | F.col("nt").isNull(), F.lit(None))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return b.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        interp.cast("double").alias("interp_value"),
+    )
+
+
+# --- multi-source BFS hop distance ---------------------------------------
+
+_BFS_MAX_DEPTH = 8
+_BFS_SEED_MOD = 97
+
+
+def _bfs_parent_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-derived parent DAG shared with `sql_recursive`
+    (parent(n) = hash(n) % (1 + n div 8) — strictly decreasing, so
+    the undirected graph is connected through the virtual root 0)."""
+    cust = t(spark, sf_dir, "customer")
+    node = F.col("c_custkey") + 1
+    return cust.select(
+        node.cast("long").alias("node"),
+        (
+            F.conv(F.substring(F.md5(node.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % (1 + (node.cast("long") / 8).cast("long"))
+        ).alias("parent"),
+    )
+
+
+@query(
+    "graph_bfs_dist",
+    oracle=f"""
+    WITH RECURSIVE parents AS (
+      SELECT CAST(c_custkey + 1 AS BIGINT) AS node,
+             ('0x' || substr(md5(CAST(c_custkey + 1 AS VARCHAR)), 1, 8))
+               ::BIGINT % (1 + (c_custkey + 1) // 8) AS parent
+      FROM customer
+    ), nodes AS (
+      SELECT node FROM parents UNION SELECT CAST(0 AS BIGINT)
+    ), edges AS (
+      SELECT node AS src, parent AS dst FROM parents
+      UNION ALL
+      SELECT parent AS src, node AS dst FROM parents
+    ), bfs AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist
+      FROM nodes WHERE node % {_BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {_BFS_MAX_DEPTH}
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: multi-source BFS hop distance on an undirected graph —
+    level-synchronous frontier expansion with a visited set, the
+    traversal pattern the (directed, acyclic) ancestor-closure keys
+    never need. Seeds are every node ≡ 0 mod 97; distances are
+    capped at {depth} hops (unreached nodes are absent — mirrored in
+    the oracle's recursion guard).
+
+    Scale: per round the frontier joins the edge table on src (edges
+    partitioned once by the join key and cached), new nodes are
+    discovered via LEFT ANTI against the visited set, and the
+    convergence probe is an O(1) count — no collect of data. Rounds
+    are bounded by the depth cap, not the data; frontier rows are
+    (node, dist) pairs only. Exact integer output — BFS min-dist is
+    partitioning-independent because expansion is level-synchronous
+    (a node discovered at level d can never later get a smaller d).
+    """
+    parents = _bfs_parent_map(spark, sf_dir)
+    edges = (
+        parents.select(F.col("node").alias("src"), F.col("parent").alias("dst"))
+        .unionByName(
+            parents.select(
+                F.col("parent").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .repartition("src")
+        .cache()
+    )
+    nodes = parents.select("node").unionByName(
+        spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    )
+    seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        candidates = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = candidates.join(visited, "node", "left_anti").select(
+            "node", F.lit(depth).cast("bigint").alias("dist")
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.count() == 0:  # O(1) convergence probe, not a data collect
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+graph_bfs_dist.__doc__ = graph_bfs_dist.__doc__.format(depth=_BFS_MAX_DEPTH)
+
+
+# --- deterministic per-group reservoir sample ----------------------------
+
+_RSV_K = 10
+_RSV_SALT = "rsv1:"
+_RSV_BUCKETS = 32
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_RSV_SALT}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= {_RSV_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: deterministic per-group reservoir sample — exactly k docs
+    per source, selected by md5 priority (content-hash determinism:
+    re-runs, retries, and any partitioning produce the same sample,
+    unlike rand()-seeded reservoirs whose draw depends on row visit
+    order).
+
+    Implemented as HIERARCHICAL top-k: stage 1 ranks within
+    (source, doc_id%{_RSV_BUCKETS}) sub-buckets and keeps k per
+    bucket, stage 2 ranks the ≤ k·{_RSV_BUCKETS} survivors per
+    source. Same result as one per-source window (min-k by priority
+    is associative), but no single window ever sees a whole group —
+    the shape that survives a source with 10⁹ documents where
+    a per-source window serializes into one reducer per group.
+    """
+    pri = F.md5(F.concat(F.lit(_RSV_SALT), F.col("doc_id").cast("string")))
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", pri.alias("pri")
+    )
+    stage1 = (
+        docs.withColumn("bkt", F.pmod(F.col("doc_id"), F.lit(_RSV_BUCKETS)))
+        .withColumn(
+            "rk1",
+            F.row_number().over(
+                Window.partitionBy("source", "bkt").orderBy("pri", "doc_id")
+            ),
+        )
+        .filter(F.col("rk1") <= _RSV_K)
+    )
+    return (
+        stage1.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("pri", "doc_id"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= _RSV_K)
+        .select("source", "doc_id", "rk")
+    )

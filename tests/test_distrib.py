@@ -1,0 +1,171 @@
+"""Independent recomputations for queries/distrib.py (KS drift audit,
+linear interpolation, BFS distances, reservoir sampling) plus the
+multi-column global_cumsum extension they ride on."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.queries import REGISTRY
+from flirt_consume_spark.queries.distrib import (
+    _BFS_MAX_DEPTH,
+    _BFS_SEED_MOD,
+    _RSV_K,
+    _RSV_SALT,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ks_matches_numpy_ecdf(spark):
+    od = (
+        load_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in REGISTRY["audit_ks"].fn(spark, SF).collect()
+    }
+    assert set(got) == {("F", "O"), ("F", "P"), ("O", "P")}
+    for (a, b), row in got.items():
+        xa = np.sort(od[od.o_orderstatus == a].o_totalprice.values)
+        xb = np.sort(od[od.o_orderstatus == b].o_totalprice.values)
+        na, nb = len(xa), len(xb)
+        assert (row["n_a"], row["n_b"]) == (na, nb)
+        pooled = np.unique(np.concatenate([xa, xb]))
+        ca = np.searchsorted(xa, pooled, side="right")
+        cb = np.searchsorted(xb, pooled, side="right")
+        d_num = int(np.max(np.abs(ca.astype(object) * nb - cb.astype(object) * na)))
+        assert row["d_num"] == d_num
+        assert row["ks_stat"] == float(d_num) / float(na * nb)
+
+
+def test_interpolate_matches_pandas(spark):
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+            "value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "t", "event_id"])
+    )
+    got = {
+        r["event_id"]: r["interp_value"]
+        for r in REGISTRY["time_interpolate"].fn(spark, SF).collect()
+    }
+    assert len(got) == len(ev)
+    n_interpolated = 0
+    for _, g in ev.groupby("user_id"):
+        anchors = g[g.event_type == "purchase"]
+        at = anchors.t.values
+        av = anchors.value.values
+        for _, r in g.iterrows():
+            want = None
+            if len(at):
+                i = np.searchsorted(at, r.t, side="right")
+                # prev anchor: last with t <= r.t ... but anchors AT the
+                # same (t, event_id) position must see themselves; the
+                # query orders by (t, event_id) so an anchor's own row
+                # has pt == nt == its own t unless another anchor shares
+                # its t. Replicate via side='right' (t <= r.t) for prev
+                # and 'left' (t >= r.t) for next.
+                j = np.searchsorted(at, r.t, side="left")
+                has_prev, has_next = i > 0, j < len(at)
+                if r.event_type == "purchase":
+                    want = r.value
+                elif has_prev and has_next:
+                    pt, pv = at[i - 1], av[i - 1]
+                    nt, nv = at[j], av[j]
+                    if nt == pt:
+                        want = pv
+                    else:
+                        want = pv + (nv - pv) * (
+                            float(r.t - pt) / float(nt - pt)
+                        )
+                    n_interpolated += 1
+            gv = got[r.event_id]
+            if want is None:
+                assert gv is None
+            else:
+                assert gv is not None and abs(gv - want) < 1e-12
+    assert n_interpolated > 100  # the interesting branch actually ran
+
+
+def test_bfs_matches_python_bfs(spark):
+    from collections import deque
+
+    cust = load_table(spark, SF, "customer").select("c_custkey").toPandas()
+    adj: dict[int, list[int]] = {0: []}
+    for k in cust.c_custkey:
+        n = int(k) + 1
+        h = int(hashlib.md5(str(n).encode()).hexdigest()[:8], 16)
+        p = h % (1 + n // 8)
+        adj.setdefault(n, []).append(p)
+        adj.setdefault(p, []).append(n)
+    dist = {n: 0 for n in adj if n % _BFS_SEED_MOD == 0}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        if dist[u] >= _BFS_MAX_DEPTH:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r["node"]: r["dist"]
+        for r in REGISTRY["graph_bfs_dist"].fn(spark, SF).collect()
+    }
+    assert got == dist
+
+
+def test_reservoir_is_exact_topk_per_source(spark):
+    docs = load_table(spark, SF, "documents").select("source", "doc_id").toPandas()
+    got = REGISTRY["sample_reservoir"].fn(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    for src, g in docs.groupby("source"):
+        pri = sorted(
+            (
+                hashlib.md5((_RSV_SALT + str(d)).encode()).hexdigest(),
+                int(d),
+            )
+            for d in g.doc_id
+        )
+        want = [(i + 1, d) for i, (_, d) in enumerate(pri[:_RSV_K])]
+        assert sorted(by_src[src]) == want
+
+
+def test_global_cumsum_multi_matches_single(spark):
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    df = (
+        load_table(spark, SF, "orders")
+        .select(
+            "o_orderkey",
+            F.lit(1).cast("bigint").alias("one"),
+            (F.col("o_custkey") % 7).cast("bigint").alias("m7"),
+        )
+    )
+    multi = (
+        global_cumsum(df, ["one", "m7"], ["o_orderkey"], ["c1", "c2"])
+        .select("o_orderkey", "c1", "c2")
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pdf = df.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert (multi.c1.values == pdf.one.cumsum().values).all()
+    assert (multi.c2.values == pdf.m7.cumsum().values).all()

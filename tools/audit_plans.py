@@ -141,6 +141,13 @@ ALLOW = {
     # positive: the plan holds the legitimately-SinglePartition 1-row
     # scalar aggs AND a window hash-partitioned by _pid.
     "time_cusum": {"nested_loop", "single_partition_window"},
+    # nested_loop: the 1-row (n_f, n_o, n_p) totals broadcast crossed
+    # into the ECDF rows + global_cumsum's triangular (pid → offset)
+    # join — both constant-size sides (sort_global shape).
+    # single_partition_window is the llm_tfidf heuristic false
+    # positive: the plan holds the legitimate 1-row SinglePartition
+    # scalar aggs AND a window hash-partitioned by _pid.
+    "audit_ks": {"nested_loop", "single_partition_window"},
 }
 
 

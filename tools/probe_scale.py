@@ -57,6 +57,17 @@ def timed(name: str, df: DataFrame) -> dict | None:
     return {"probe": name, "sec": round(time.time() - t0, 2)}
 
 
+def timed_call(name: str, thunk) -> dict | None:
+    """Like ``timed`` but the pipeline is built INSIDE the clock — for
+    operators whose construction already executes work (the iterative
+    BFS eagerly checkpoints each frontier round)."""
+    if ONLY and name.rsplit("_x", 1)[0] not in ONLY:
+        return None
+    t0 = time.time()
+    thunk().write.mode("overwrite").format("noop").save()
+    return {"probe": name, "sec": round(time.time() - t0, 2)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -222,6 +233,17 @@ def main() -> None:
         # copied blocks, dead-ending every walk after one hop and
         # measuring a different computation than x1).
         timed(f"recursive_x{n}", _recursive(spark, cu_cnt * n)),
+        # Multi-counter ECDF cumsum + integer KS max: one range shuffle.
+        timed(f"ks_x{n}", _ks(od_n)),
+        # Four ignorenulls frames on one user-key shuffle.
+        timed(f"interp_x{n}", _interp(multiply(
+            load_table(spark, args.sf, "events"), ["event_id", "user_id"],
+            n, 10_000_000))),
+        # Level-synchronous BFS: rounds bounded by depth cap, frontier
+        # joins ride the cached edge partitioning.
+        timed_call(f"bfs_x{n}", lambda: _bfs(spark, cu_cnt * n)),
+        # Hierarchical reservoir top-k: no whole-group window.
+        timed(f"reservoir_x{n}", _rsv(docs_n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -263,6 +285,10 @@ def main() -> None:
         timed("q17_x1", _q17(
             li.select("l_partkey", "l_quantity", "l_extendedprice"))),
         timed("recursive_x1", _recursive(spark, cu_cnt)),
+        timed("ks_x1", _ks(od)),
+        timed("interp_x1", _interp(load_table(spark, args.sf, "events"))),
+        timed_call("bfs_x1", lambda: _bfs(spark, cu_cnt)),
+        timed("reservoir_x1", _rsv(docs)),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -275,7 +301,8 @@ def main() -> None:
                  "rarity", "invindex", "bitmap",
                  "setsim", "dupspans", "cumsum", "sweep",
                  "gini", "ancestors", "cov", "simjoin",
-                 "powiter", "starcc", "q17", "recursive"):
+                 "powiter", "starcc", "q17", "recursive",
+                 "ks", "interp", "bfs", "reservoir"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -818,6 +845,150 @@ def _recursive(spark, n_nodes: int) -> DataFrame:
         SELECT node, cur AS root, depth FROM walk WHERE cur = 0
         """
     )
+
+
+
+
+def _ks(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    vc = od.groupBy(F.col("o_totalprice").alias("v")).agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    cum = global_cumsum(
+        vc, ["c_f", "c_o", "c_p"], ["v"], ["cum_f", "cum_o", "cum_p"]
+    )
+    tot = cum.groupBy().agg(
+        *[
+            F.max(f"cum_{s}").cast("bigint").alias(f"n_{s}")
+            for s in ("f", "o", "p")
+        ]
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(
+            F.max(
+                F.abs(F.col("cum_f") * F.col("n_o") - F.col("cum_o") * F.col("n_f"))
+            ).alias("d_fo"),
+            F.max(
+                F.abs(F.col("cum_f") * F.col("n_p") - F.col("cum_p") * F.col("n_f"))
+            ).alias("d_fp"),
+            F.max(
+                F.abs(F.col("cum_o") * F.col("n_p") - F.col("cum_p") * F.col("n_o"))
+            ).alias("d_op"),
+        )
+    )
+
+
+def _interp(ev: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("av"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    at = F.when(F.col("av").isNotNull(), F.col("t"))
+    b = (
+        base.withColumn("pv", F.last("av", ignorenulls=True).over(fwd))
+        .withColumn("pt", F.last(at, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.first("av", ignorenulls=True).over(bwd))
+        .withColumn("nt", F.first(at, ignorenulls=True).over(bwd))
+    )
+    return b.select(
+        "event_id",
+        F.when(F.col("pt").isNull() | F.col("nt").isNull(), F.lit(None))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+        .alias("iv"),
+    )
+
+
+def _bfs(spark, n_nodes: int) -> DataFrame:
+    parents = spark.range(0, n_nodes).select(
+        (F.col("id") + 1).alias("node"),
+        (
+            F.conv(F.substring(F.md5((F.col("id") + 1).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % (1 + ((F.col("id") + 1) / 8).cast("long"))
+        ).alias("parent"),
+    )
+    edges = (
+        parents.select(F.col("node").alias("src"), F.col("parent").alias("dst"))
+        .unionByName(
+            parents.select(F.col("parent").alias("src"), F.col("node").alias("dst"))
+        )
+        .repartition("src")
+        .cache()
+    )
+    seeds = (
+        parents.select("node")
+        .unionByName(spark.range(1).select(F.lit(0).cast("long").alias("node")))
+        .filter(F.col("node") % 97 == 0)
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, 9):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = cand.join(visited, "node", "left_anti").select(
+            "node", F.lit(depth).cast("bigint").alias("dist")
+        ).localCheckpoint(eager=True)
+        if new.count() == 0:
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    edges.unpersist()
+    return visited
+
+
+def _rsv(docs: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pri = F.md5(F.concat(F.lit("rsv1:"), F.col("doc_id").cast("string")))
+    base = docs.select("source", "doc_id", pri.alias("pri"))
+    s1 = (
+        base.withColumn("bkt", F.pmod(F.col("doc_id"), F.lit(32)))
+        .withColumn(
+            "rk1",
+            F.row_number().over(
+                Window.partitionBy("source", "bkt").orderBy("pri", "doc_id")
+            ),
+        )
+        .filter(F.col("rk1") <= 10)
+    )
+    return s1.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("source").orderBy("pri", "doc_id")),
+    ).filter(F.col("rk") <= 10)
 
 
 if __name__ == "__main__":
