@@ -43,7 +43,7 @@ from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 #     15 of the stalest r3-vintage keys whose code changed since their
 #     last driver row (loader rewrite + the win_ntile/sort_global
 #     distributed-rank rewrites), exactly filling the window.
-#   round 7 (next): FIRST the 41 round-6 additions with zero driver
+#   round 7 (next): FIRST the 42 round-6 additions with zero driver
 #     rows so far —
 #     13 early (queries/enrich.py: win_locf, join_interval_overlap,
 #       shape_custdist, shape_top_customers, llm_ngram_lm,
@@ -60,9 +60,10 @@ from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 #       udtf_analyze, sql_pivot, scan_binary, agg_skew_kurt,
 #       time_workdays, agg_weighted_median, stream_outer,
 #       time_interval_merge, emb_recall_eval),
-#     4 distributional/traversal additions (queries/distrib.py:
-#       audit_ks, time_interpolate, graph_bfs_dist, sample_reservoir)
-#     — that makes 41; fill the remaining 9 window slots with the
+#     5 distributional/traversal additions (queries/distrib.py:
+#       audit_ks, time_interpolate, graph_bfs_dist, sample_reservoir,
+#       agg_cms)
+#     — that makes 42; fill the remaining 8 window slots with the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

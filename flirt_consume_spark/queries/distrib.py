@@ -1,6 +1,6 @@
 """Distributional / traversal operators (round-6 late additions).
 
-Four families, one module:
+Five families, one module:
 - `audit_ks`: two-sample Kolmogorov–Smirnov distances between the
   order-status groups' price distributions — the drift gate a data
   pipeline runs before trusting a new snapshot;
@@ -10,7 +10,9 @@ Four families, one module:
   graph — level-synchronous frontier expansion, the visited-set
   pattern the ancestor-closure keys don't need;
 - `sample_reservoir`: per-group fixed-k deterministic reservoir
-  sample via hierarchical (bucketed) top-k.
+  sample via hierarchical (bucketed) top-k;
+- `agg_cms`: Count-Min Sketch frequency estimation — constant-memory
+  mergeable sketch, deterministic md5 hash rows, est ≥ exact pinned.
 
 Hash-match discipline (SURVEY.md §4): every emitted double is either
 pass-through, a single division of exactly-representable integers, or
@@ -424,3 +426,129 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RSV_K)
         .select("source", "doc_id", "rk")
     )
+
+
+# --- Count-Min Sketch frequency estimation -------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row (deliberately small so collisions occur)
+_CMS_PROBE_MOD = 7
+
+
+def _cms_bucket_sql(row: int, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('cms{row}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+@query(
+    "agg_cms",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.row_id,
+             CASE r.row_id
+               {' '.join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'e.user_id')}"
+                         for i in range(_CMS_D))}
+             END AS bucket,
+             COUNT(*) AS cnt
+      FROM events e
+      CROSS JOIN (SELECT * FROM generate_series(0, {_CMS_D - 1}) g(row_id)) r
+      GROUP BY 1, 2
+    ), probe AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events
+      WHERE user_id % {_CMS_PROBE_MOD} = 0
+      GROUP BY 1
+    )
+    SELECT p.user_id,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+           p.exact_cnt,
+           MIN(c.cnt) >= p.exact_cnt AS lower_bound_ok
+    FROM probe p
+    JOIN cells c
+      ON c.bucket = CASE c.row_id
+           {' '.join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'p.user_id')}"
+                     for i in range(_CMS_D))}
+         END
+    GROUP BY p.user_id, p.exact_cnt
+    """,
+)
+def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: Count-Min Sketch frequency estimation — the mergeable
+    constant-memory sketch for "how often does key k occur?" at
+    stream scale. d={d} deterministic md5 hash rows x w={w} buckets
+    (w deliberately small here so collisions are REAL and the
+    one-sided error actually shows); estimate = min over rows; the
+    CMS guarantee est >= exact is deterministic and emitted as a
+    pinned boolean per probe key.
+
+    Scale: the sketch build is one hash agg to d·w = {cells} cells —
+    CONSTANT size regardless of input rows (the whole point: the
+    shuffle carries cell partials, map-side combined, never keys);
+    probe estimation broadcasts the {cells}-cell sketch. Deterministic
+    md5 bucketing (not Spark's seeded count_min_sketch() binary) is
+    what makes the result engine-replayable — DuckDB rebuilds the
+    identical sketch in SQL and the driver hash-matches it.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("row_id")
+
+    def bucket(row_col: F.Column, key: F.Column) -> F.Column:
+        out = F.lit(None)
+        for i in range(_CMS_D):
+            h = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"cms{i}:"), key.cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_W
+            )
+            out = F.when(row_col == i, h).otherwise(out)
+        return out
+
+    cells = (
+        ev.select("user_id", rows)
+        .select("row_id", bucket(F.col("row_id"), F.col("user_id")).alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = (
+        ev.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    # Explode each probe key into its d (row_id, bucket) addresses so
+    # the sketch lookup is a TRUE equi-join on (row_id, bucket) — a
+    # hash join against the broadcast cells, not a nested loop over a
+    # mixed-side bucket expression.
+    probe_cells = probe.select("user_id", "exact_cnt", rows).withColumn(
+        "bucket", bucket(F.col("row_id"), F.col("user_id"))
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return est.select(
+        "user_id",
+        "est_cnt",
+        "exact_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("lower_bound_ok"),
+    )
+
+
+agg_cms.__doc__ = agg_cms.__doc__.format(
+    d=_CMS_D, w=_CMS_W, cells=_CMS_D * _CMS_W
+)

@@ -169,3 +169,35 @@ def test_global_cumsum_multi_matches_single(spark):
     pdf = df.toPandas().sort_values("o_orderkey").reset_index(drop=True)
     assert (multi.c1.values == pdf.one.cumsum().values).all()
     assert (multi.c2.values == pdf.m7.cumsum().values).all()
+
+
+def test_cms_matches_python_sketch(spark):
+    from collections import Counter
+
+    from flirt_consume_spark.queries.distrib import (
+        _CMS_D,
+        _CMS_PROBE_MOD,
+        _CMS_W,
+    )
+
+    users = [
+        r["user_id"]
+        for r in load_table(spark, SF, "events").select("user_id").collect()
+    ]
+
+    def bkt(i: int, u: int) -> int:
+        return int(hashlib.md5(f"cms{i}:{u}".encode()).hexdigest()[:8], 16) % _CMS_W
+
+    cells: Counter = Counter()
+    for u in users:
+        for i in range(_CMS_D):
+            cells[(i, bkt(i, u))] += 1
+    exact = Counter(users)
+    got = {r["user_id"]: r for r in REGISTRY["agg_cms"].fn(spark, SF).collect()}
+    probes = {u for u in exact if u % _CMS_PROBE_MOD == 0}
+    assert set(got) == probes
+    for u in probes:
+        want_est = min(cells[(i, bkt(i, u))] for i in range(_CMS_D))
+        assert got[u]["est_cnt"] == want_est
+        assert got[u]["exact_cnt"] == exact[u]
+        assert got[u]["lower_bound_ok"] and want_est >= exact[u]
