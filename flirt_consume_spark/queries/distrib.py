@@ -430,8 +430,13 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Count-Min Sketch frequency estimation -------------------------------
 
-_CMS_D = 4  # hash rows
-_CMS_W = 64  # buckets per row (deliberately small so collisions occur)
+# Single source of truth lives in operators/sketch.py — the streaming
+# mergeability test (cms_stream == batch cells) depends on both paths
+# addressing identical cells.
+from flirt_consume_spark.operators.sketch import (  # noqa: E402
+    CMS_D as _CMS_D,
+    CMS_W as _CMS_W,
+)
 _CMS_PROBE_MOD = 7
 
 
@@ -491,39 +496,13 @@ def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes the result engine-replayable — DuckDB rebuilds the
     identical sketch in SQL and the driver hash-matches it.
     """
+    from flirt_consume_spark.operators.sketch import cms_bucket, cms_cells
+
     ev = t(spark, sf_dir, "events").select("user_id")
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(_CMS_D)])
     ).alias("row_id")
-
-    def bucket(row_col: F.Column, key: F.Column) -> F.Column:
-        out = F.lit(None)
-        for i in range(_CMS_D):
-            h = (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"cms{i}:"), key.cast("string")
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _CMS_W
-            )
-            out = F.when(row_col == i, h).otherwise(out)
-        return out
-
-    cells = (
-        ev.select("user_id", rows)
-        .select("row_id", bucket(F.col("row_id"), F.col("user_id")).alias("bucket"))
-        .groupBy("row_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(ev, "user_id", _CMS_D, _CMS_W)
     probe = (
         ev.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
         .groupBy("user_id")
@@ -534,7 +513,7 @@ def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash join against the broadcast cells, not a nested loop over a
     # mixed-side bucket expression.
     probe_cells = probe.select("user_id", "exact_cnt", rows).withColumn(
-        "bucket", bucket(F.col("row_id"), F.col("user_id"))
+        "bucket", cms_bucket(F.col("row_id"), F.col("user_id"), _CMS_D, _CMS_W)
     )
     est = (
         probe_cells.join(F.broadcast(cells), ["row_id", "bucket"])

@@ -599,3 +599,18 @@ def read_series_stream(spark: SparkSession, total: int = 6000, chunk: int = 1000
 
     spark.dataSource.register(SeriesStreamSource)
     return spark.readStream.format("det_series_stream").load()
+
+
+def cms_cells_stream(events: DataFrame) -> DataFrame:
+    """T11: streaming Count-Min Sketch — the frequency sketch as a
+    streaming aggregate whose STATE IS CONSTANT-SIZE (d·w cells)
+    regardless of stream volume, so no watermark is needed to bound
+    it: this is the one streaming aggregation shape that never grows.
+    Counts are associative, so the state store's incremental fold
+    across micro-batches IS the sketch merge — the test pins
+    stream-folded cells == batch cells bit-for-bit (both paths share
+    the md5 addressing in operators/sketch.py; Spark's seeded
+    count_min_sketch() binary could never make that claim)."""
+    from flirt_consume_spark.operators.sketch import cms_cells
+
+    return cms_cells(events.select("user_id"), "user_id")

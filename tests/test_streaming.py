@@ -428,3 +428,17 @@ def test_python_stream_source_emits_series(spark, tmp_path):
         want[m][0] += 1
         want[m][1] += math.floor(k / 7.0 * 1e6)
     assert agg == {m: tuple(v) for m, v in want.items()}
+
+
+def test_cms_stream_state_is_constant_and_merges(spark, source_dir, tmp_path):
+    from flirt_consume_spark.operators.sketch import CMS_D, CMS_W, cms_cells
+
+    stream = jobs.read_events_stream(spark, source_dir)
+    got = _drain(spark, jobs.cms_cells_stream(stream), "t_cms", tmp_path, "complete")
+    want = cms_cells(
+        load_table(spark, SF, "events").select("user_id"), "user_id"
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w  # stream-folded sketch == batch sketch, cell for cell
+    assert len(g) <= CMS_D * CMS_W  # state bounded by the sketch size
