@@ -63,7 +63,8 @@ from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 #     5 distributional/traversal additions (queries/distrib.py:
 #       audit_ks, time_interpolate, graph_bfs_dist, sample_reservoir,
 #       agg_cms)
-#     — that makes 42; fill the remaining 8 window slots with the
+#     plus udtf_table_arg (queries/extras.py, TABLE-argument UDTF)
+#     — that makes 43; fill the remaining 7 window slots with the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -696,3 +696,67 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM _udtf_docs_an, "
         "LATERAL chunk_doc_udtf(doc_id, text, 3) c"
     )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           (SELECT doc_id FROM documents d2 WHERE d2.source = d.source
+            ORDER BY n_chars DESC, doc_id LIMIT 1) AS top_doc_id
+    FROM documents d GROUP BY d.source
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: Python UDTF with a TABLE argument — the relation itself is
+    the parameter (`TABLE(v) PARTITION BY source ORDER BY ...`), so
+    the engine feeds each partition's rows, pre-ordered, to one UDTF
+    instance and `terminate()` emits the per-partition summary. This
+    is the Spark 4 surface for whole-group table functions that the
+    scalar/lateral UDTFs (udtf_expand, udtf_analyze) cannot express:
+    the grouping and ordering live in the PLAN (one hash shuffle on
+    source + in-partition sort, same shape as groupBy), while the
+    per-group logic is arbitrary Python. State per instance is O(1)
+    (three counters), so a 10⁹-doc source costs memory nothing;
+    ORDER BY (n_chars DESC, doc_id) makes the first-row pick
+    deterministic, replayed by the oracle's correlated top-1."""
+    from pyspark.sql.functions import udtf
+
+    class SummarizeSource:
+        def __init__(self) -> None:
+            self._source = None
+            self._n = 0
+            self._chars = 0
+            self._top = None
+
+        def eval(self, row):
+            self._source = row["source"]
+            self._n += 1
+            self._chars += row["n_chars"]
+            if self._top is None:  # rows arrive pre-sorted by ORDER BY
+                self._top = row["doc_id"]
+
+        def terminate(self):
+            if self._source is not None:
+                yield (self._source, self._n, self._chars, self._top)
+
+    spark.udtf.register(
+        "summarize_source_udtf",
+        udtf(
+            SummarizeSource,
+            returnType=(
+                "source string, n_docs bigint, "
+                "total_chars bigint, top_doc_id bigint"
+            ),
+        ),
+    )
+    t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).createOrReplaceTempView("_udtf_docs_ta")
+    return spark.sql(
+        "SELECT * FROM summarize_source_udtf("
+        "TABLE(_udtf_docs_ta) PARTITION BY source "
+        "ORDER BY (n_chars DESC, doc_id))"
+    )
