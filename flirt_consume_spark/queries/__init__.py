@@ -64,7 +64,8 @@ from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 #       audit_ks, time_interpolate, graph_bfs_dist, sample_reservoir,
 #       agg_cms)
 #     plus udtf_table_arg (queries/extras.py, TABLE-argument UDTF)
-#     — that makes 43; fill the remaining 7 window slots with the
+#     and sink_pyds (queries/advanced.py, Python data source writer)
+#     — that makes 44; fill the remaining 6 window slots with the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1245,3 +1245,126 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "sink_pyds",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: custom Python data source WRITER (PySpark 4 DataSource
+    API, the sink half of S10's reader) — for targets Spark has no
+    native connector for. The part that matters is the COMMIT
+    PROTOCOL: each task writes its own file and returns a
+    WriterCommitMessage naming it; only the driver-side commit()
+    publishes the manifest (_SUCCESS) listing exactly the committed
+    files, and the read-back goes through that manifest — straggler
+    or speculative duplicate task files that never got a commit
+    message are invisible, which is the exactly-once story every
+    real sink needs. Executor-side writes parallelize per partition
+    (no driver funnel); classes are function-scoped so cloudpickle
+    ships them by value. Round-trip: orders projection → JSONL via
+    the sink → manifest read-back → aggregate, oracled against the
+    source table directly (exact integer cents)."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = os.path.join(
+        "/tmp", f"flirt_pyds_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    class FileMsg(WriterCommitMessage):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+        def write(self, iterator):
+            import uuid
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            fname = os.path.join(
+                self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+            )
+            with open(fname, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "k": row["o_orderkey"],
+                                "s": row["o_orderstatus"],
+                                "c": row["cents"],
+                            }
+                        )
+                        + "\n"
+                    )
+            return FileMsg(fname)
+
+        def commit(self, messages):
+            manifest = sorted(m.path for m in messages if m is not None)
+            with open(
+                os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8"
+            ) as f:
+                _json.dump({"files": manifest}, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_manifest_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlSink)
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        # Right-size the sink task count to the data (4 writers for the
+        # fixture volume): each Python sink task costs a worker spin-up,
+        # so writer parallelism should track input size, not the
+        # session's 32-way default. coalesce (no shuffle), not
+        # repartition.
+        .coalesce(4)
+        .write.format("jsonl_manifest_sink")
+        .mode("append")
+        .option("path", out_dir)
+        .save()
+    )
+    with open(os.path.join(out_dir, "_SUCCESS"), encoding="utf-8") as f:
+        manifest = _json.load(f)["files"]
+    back = spark.read.schema("k bigint, s string, c bigint").json(manifest)
+    return back.groupBy(F.col("s").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("c").cast("bigint").alias("cents"),
+    )
