@@ -33,6 +33,7 @@ from flirt_consume_spark.queries import pipeline  # noqa: F401,E402
 from flirt_consume_spark.queries import streaming  # noqa: F401,E402
 from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 from flirt_consume_spark.queries import distrib  # noqa: F401,E402
+from flirt_consume_spark.queries import curation  # noqa: F401,E402
 
 # --- driver-window rotation ----------------------------------------------
 # External verifiers sample REGISTRY in insertion order with a bounded
@@ -64,8 +65,13 @@ from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 #       audit_ks, time_interpolate, graph_bfs_dist, sample_reservoir,
 #       agg_cms)
 #     plus udtf_table_arg (queries/extras.py, TABLE-argument UDTF)
-#     and sink_pyds (queries/advanced.py, Python data source writer)
-#     — that makes 44; fill the remaining 6 window slots with the
+#     and sink_pyds (queries/advanced.py, Python data source writer),
+#     plus the 10 curation-wave keys (queries/curation.py: agg_argmax,
+#       win_nth, set_intersect_all, scan_filemeta, llm_gram_novelty,
+#       audit_kanon, audit_chisq, time_autocorr, time_rle,
+#       sample_systematic)
+#     — that makes 54, overfilling the 50-slot window by 4; push the
+#     last 4 curation keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1,0 +1,595 @@
+"""Curation & audit operators (round-6, third wave).
+
+Ten families closing the remaining everyday-surface gaps:
+
+- ``agg_argmax`` / ``win_nth``: arg-extremum aggregation (max_by /
+  min_by) and the nth_value window frame — the two "which row won"
+  surfaces the rank keys imply but never exercise directly;
+- ``set_intersect_all``: multiset INTERSECT ALL (min-of-multiplicity
+  semantics), completing the set-op family (union / except exist);
+- ``scan_filemeta``: file-provenance audit via
+  ``input_file_name()`` — per-file row counts and key ranges, the
+  "which file is corrupt / short" sweep a 100-TB lake runs nightly;
+- ``llm_gram_novelty``: per-document novel-shingle ratio (share of a
+  doc's distinct 3-grams whose corpus-wide first occurrence is this
+  doc) — the marginal-new-content curve used to decide when a crawl
+  snapshot stops adding value;
+- ``audit_kanon``: k-anonymity audit over quasi-identifier columns —
+  groups below the k threshold are re-identification risks;
+- ``audit_chisq``: chi-square independence cells between two
+  categorical columns (observed vs expected + contribution);
+- ``time_autocorr``: per-user lag-1 autocorrelation of event values
+  (exact integer moment sums, hardware-sqrt-only final expression);
+- ``time_rle``: run-length encoding of consecutive equal event types
+  per user (the categorical sibling of time_islands' gap logic);
+- ``sample_systematic``: every-k-th-row systematic sample over a
+  distributed global rank (no single-reducer window).
+
+Hash-match discipline (SURVEY.md §4) as everywhere: integer-exact
+aggregation, identical IEEE expression trees for every emitted
+double, sqrt allowed (IEEE-754 correctly rounded on both engines),
+no transcendentals, total-order tie-breaks on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flirt_consume_spark.operators import dedup as D
+from flirt_consume_spark.operators.scale import global_rank
+from flirt_consume_spark.queries.base import query, t
+
+# --- arg-extremum aggregation (max_by / min_by) --------------------------
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC
+             ) AS rx,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS top_orderkey,
+           MAX(CASE WHEN rx = 1 THEN o_totalprice END) AS top_price,
+           MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS bottom_orderkey,
+           MAX(CASE WHEN rn = 1 THEN o_totalprice END) AS bottom_price
+    FROM r GROUP BY 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: arg-extremum aggregation — per priority class, WHICH order
+    carries the highest/lowest total price (``max_by``/``min_by``,
+    Spark's arg_max surface), not just what that price is.
+
+    Determinism: prices collide, so the comparator is the struct
+    (o_totalprice, o_orderkey) — a total order; the oracle replays the
+    identical tie-break with a two-key window. Scale: one hash
+    aggregation with map-side partials carrying O(1) state per group
+    (the current champion pair) — the cheapest possible "which row
+    won" plan; the window-based oracle formulation would shuffle and
+    sort the whole table, which is exactly what max_by avoids."""
+    od = t(spark, sf_dir, "orders")
+    cmp_hi = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return od.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", cmp_hi).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", cmp_hi).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+# --- nth_value window ----------------------------------------------------
+
+
+@query(
+    "win_nth",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+             ) AS rn,
+             nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS second_price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, second_price
+    FROM w
+    """,
+)
+def win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: nth_value window frame — each order row sees the
+    customer's SECOND-ever order price once it exists (NULL before),
+    the "compare to early-lifetime anchor" shape.
+
+    Frame is ROWS UNBOUNDED PRECEDING..CURRENT ROW on both engines so
+    the value appears only from row 2 onward. Partition key is
+    o_custkey (high cardinality) — parallel at any scale; order key
+    (o_orderdate, o_orderkey) is total so ranks are deterministic."""
+    od = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# --- multiset INTERSECT ALL ----------------------------------------------
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month
+    FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT)
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: INTERSECT ALL — multiset intersection with
+    min-of-multiplicity semantics: a (priority, month) row appears
+    min(n_1995, n_1996) times. Completes the set-op family alongside
+    set_union (UNION/ALL) and set_diff (EXCEPT).
+
+    Spark plans intersectAll as one partial-count aggregation per
+    side + a join on the group key — two map-side-combinable shuffles
+    over COUNTS (25 priorities × 12 months of them), never row-level
+    data; the duplicate re-expansion is a narrow generate. Scales
+    flat at 100 TB because the shuffled state is the group-count
+    table, not the rows."""
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.year("o_orderdate").alias("_y"),
+    )
+    a = od.filter(F.col("_y") == 1995).drop("_y")
+    b = od.filter(F.col("_y") == 1996).drop("_y")
+    return a.intersectAll(b)
+
+
+# --- file-provenance audit ------------------------------------------------
+
+
+@query(
+    "scan_filemeta",
+    oracle="""
+    SELECT 'customer.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    UNION ALL
+    SELECT 'orders.parquet', CAST(COUNT(*) AS BIGINT),
+           MIN(o_orderkey), MAX(o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.parquet', CAST(COUNT(*) AS BIGINT),
+           MIN(l_orderkey), MAX(l_orderkey)
+    FROM lineitem
+    """,
+)
+def scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: file-provenance audit — per INPUT FILE row counts and
+    primary-key ranges via ``input_file_name()``, the sweep that
+    answers "which file in this 100-TB lake is short / corrupt /
+    out of key range" without any external manifest.
+
+    Grouping key is the file basename (``input_file_name`` returns a
+    full ``file:///`` URI; the oracle can't know the tmp prefix, so
+    both sides emit the basename). One hash aggregation per table
+    with O(files) groups — partial aggregation collapses each task's
+    rows to one record per file before the shuffle, so the audit
+    costs one narrow scan per table regardless of data volume. At
+    the driver's SF each table is a single parquet file; with a
+    partitioned layout the same plan emits one row per part-file."""
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    outs = []
+    for tbl, key in (
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+    ):
+        d = t(spark, sf_dir, tbl)
+        outs.append(
+            d.groupBy(base.alias("file_name")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# --- novel-shingle ratio --------------------------------------------------
+
+
+@query(
+    "llm_gram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+      FROM (SELECT doc_id, tok,
+                   unnest(generate_series(1, len(tok) - 2)) AS i
+            FROM toks)
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY 1
+    """,
+)
+def llm_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34: marginal-novelty curve — per document, the share of its
+    distinct 3-gram shingles whose corpus-wide FIRST occurrence (min
+    doc_id, i.e. ingestion order) is this document. The aggregate of
+    this ratio over a crawl snapshot is the "is this source still
+    adding new content?" signal used to stop re-crawling a domain.
+
+    Exactness: counts are integers; novelty is one IEEE division of
+    two exactly-representable ints — bit-identical on both engines.
+    Scale: distinct (doc, shingle) pairs are produced NARROW
+    (per-doc array_distinct, no global distinct shuffle), then one
+    hash agg to (shingle → first_doc) and one shuffle join back on
+    shingle. Zipf-head shingles are bounded the same way llm_tfidf's
+    df agg is: partial aggregation collapses the hot keys map-side;
+    the join fan-out is per-(doc,shingle), never quadratic."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+# --- k-anonymity audit ----------------------------------------------------
+
+_KANON_K = 25
+
+
+@query(
+    "audit_kanon",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < {_KANON_K} AS at_risk
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def audit_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 governance family: k-anonymity audit — group sizes over
+    the quasi-identifier pair (nation, market segment); any group
+    smaller than k={_k} is a re-identification risk that a release
+    gate must suppress or generalize.
+
+    One hash aggregation, O(|nations|×|segments|) groups — the audit
+    is a constant-size result at any data volume, and partial
+    aggregation means the full table never shuffles. The at_risk
+    flag is computed from the exact integer count on both engines.
+    """.replace("{_k}", str(_KANON_K))
+    cu = t(spark, sf_dir, "customer")
+    return cu.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        "c_mktsegment",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        (F.count(F.lit(1)) < _KANON_K).alias("at_risk"),
+    )
+
+
+# --- chi-square independence cells ---------------------------------------
+
+
+@query(
+    "audit_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1, 2
+    ), rt AS (
+      SELECT pri, CAST(SUM(n_obs) AS BIGINT) AS n_row FROM obs GROUP BY 1
+    ), ct AS (
+      SELECT status, CAST(SUM(n_obs) AS BIGINT) AS n_col FROM obs GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs
+    )
+    SELECT pri, status, n_obs, n_row, n_col,
+           CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE) / CAST(n AS DOUBLE)
+             AS expected,
+           (CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE))
+           * (CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE))
+           / (CAST(n AS DOUBLE)
+              * CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE))
+             AS contribution
+    FROM obs JOIN rt USING (pri) JOIN ct USING (status), tot
+    """,
+)
+def audit_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: chi-square independence cells between order priority and
+    order status — observed count, marginals, expected count under
+    independence, and the per-cell chi-square contribution
+    (obs−exp)²/exp, algebraically rearranged to
+    (obs·n − row·col)² / (n·row·col) so every operand is an
+    exactly-representable integer lifted to double and the expression
+    tree is identical on both engines (products and divisions only —
+    no catastrophic cancellation of pre-divided doubles).
+
+    The global statistic is the SUM of the contribution column; it is
+    deliberately NOT emitted because summing 15 doubles is
+    order-dependent — consumers fold the (deterministic) cell table.
+    Scale: one hash agg to the contingency cells, then broadcast
+    joins of three constant-size marginal tables — the entire
+    computation after the first agg touches O(cells) rows."""
+    od = t(spark, sf_dir, "orders")
+    obs = od.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    rt = obs.groupBy("pri").agg(F.sum("n_obs").cast("bigint").alias("n_row"))
+    ct = obs.groupBy("status").agg(
+        F.sum("n_obs").cast("bigint").alias("n_col")
+    )
+    tot = obs.groupBy().agg(F.sum("n_obs").cast("bigint").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n_obs") * d("n") - d("n_row") * d("n_col")
+    return (
+        obs.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pri",
+            "status",
+            "n_obs",
+            "n_row",
+            "n_col",
+            (d("n_row") * d("n_col") / d("n")).alias("expected"),
+            (num * num / (d("n") * d("n_row") * d("n_col"))).alias(
+                "contribution"
+            ),
+        )
+    )
+
+
+# --- per-user lag-1 autocorrelation --------------------------------------
+
+# Value quantization for exact moment sums: floor(value·1e3) as BIGINT.
+# events.value ∈ [0, 500); quantized ≤ 5e5, squares ≤ 2.5e11, and a
+# user's pair count is bounded by their event count — Σx² per user
+# stays far under 2^63 even at 100 TB (per-user history, not global).
+_AC_SCALE = 1000
+
+
+@query(
+    "time_autocorr",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * {_AC_SCALE}) AS BIGINT) AS x,
+             lag(CAST(floor(value * {_AC_SCALE}) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS px
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(px) AS BIGINT) AS sy,
+             CAST(SUM(x * px) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(px * px) AS BIGINT) AS syy
+      FROM seq WHERE px IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT user_id, n, sx, sy, sxy, sxx, syy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS autocorr
+    FROM m
+    WHERE n >= 2
+      AND n * sxx - sx * sx > 0
+      AND n * syy - sy * sy > 0
+    """,
+)
+def time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: per-user lag-1 autocorrelation of event values — "are
+    this user's consecutive measurements persistent or mean-
+    reverting?", the screening stat before fitting any sequential
+    model per entity.
+
+    Exactness: values are floor-quantized to integers once, all five
+    moment sums are exact BIGINT arithmetic (order-independent), and
+    the Pearson formula is evaluated in one identical double
+    expression tree whose only non-arithmetic op is sqrt —
+    IEEE-754-correctly-rounded on both engines (unlike ln/exp,
+    hardware sqrt has no cross-libm ulp variance). Degenerate series
+    (constant x or constant lag) are filtered by the exact integer
+    variance numerators. Scale: the lag window partitions by
+    user_id — high cardinality, embarrassingly parallel — and the
+    moment agg is one map-combinable hash agg; no global window, no
+    per-group serialization beyond a user's own history."""
+    ev = t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * _AC_SCALE).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", x.alias("x"), F.lag(x).over(w).alias("px")
+    ).filter(F.col("px").isNotNull())
+    m = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("px").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("px")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("px") * F.col("px")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        m.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .withColumn(
+            "autocorr",
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+            ),
+        )
+    )
+
+
+# --- run-length encoding of event-type sequences -------------------------
+
+
+@query(
+    "time_rle",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_id
+      FROM seq
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS run_start,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY 1, 2, 3
+    """,
+)
+def time_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: run-length encoding — collapse each user's event stream
+    into maximal runs of consecutive equal event types (run id, type,
+    start, length). The categorical dual of time_islands' gap
+    detection; the input shape for "n-th consecutive failure" alerts
+    and session-behavior compression.
+
+    Breaks come from a null-safe lag comparison (first row is a
+    break), run ids from the running sum of breaks — both windows
+    partition by user_id (high cardinality ⇒ parallel; a user's
+    history fits a task by construction). The final roll-up is a hash
+    agg on (user, run). Timestamps are emitted as µs strings per the
+    house timestamp discipline."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "run_start"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+    )
+
+
+# --- systematic sampling over a global rank ------------------------------
+
+_SYS_K = 100
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rnk
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk % {_SYS_K} = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35: systematic (every k-th) sampling over a total order —
+    the evenly-spaced audit sample a reviewer pulls when they want
+    coverage across the whole key range rather than an iid draw
+    (which clusters). Deterministic by construction: rank over the
+    unique o_orderkey, keep multiples of k={_k}.
+
+    Scale: the rank comes from ``operators.scale.global_rank``
+    (range-repartition + within-partition counters + broadcast
+    prefix offsets) — no partition-less window, no single reducer;
+    the modulo filter is applied before any further shuffle so
+    only n/k rows survive the stage boundary.
+    """.replace("{_k}", str(_SYS_K))
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(od, ["o_orderkey"], "rnk")
+    return ranked.filter(F.col("rnk") % _SYS_K == 0).select(
+        "o_orderkey", "o_totalprice", F.col("rnk").cast("bigint").alias("rnk")
+    )

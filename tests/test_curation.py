@@ -1,0 +1,162 @@
+"""Independent recomputations for queries/curation.py (arg-extremum,
+nth_value, INTERSECT ALL, file-metadata audit, gram novelty,
+k-anonymity, chi-square cells, autocorrelation, RLE, systematic
+sampling) — each invariant derived with pandas/numpy or first
+principles, never by replaying the Spark plan."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from flirt_consume_spark.io import load_table
+from flirt_consume_spark.queries import REGISTRY
+from flirt_consume_spark.queries.curation import _KANON_K, _SYS_K
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_argmax_attains_group_extrema(spark):
+    od = load_table(spark, SF, "orders").toPandas()
+    got = {r["o_orderpriority"]: r for r in REGISTRY["agg_argmax"].fn(spark, SF).collect()}
+    for pri, grp in od.groupby("o_orderpriority"):
+        row = got[pri]
+        assert row["top_price"] == grp.o_totalprice.max()
+        assert row["bottom_price"] == grp.o_totalprice.min()
+        # the returned keys must attain the extremum, with the
+        # documented max-orderkey / min-orderkey tie-break
+        top_ties = grp[grp.o_totalprice == grp.o_totalprice.max()]
+        bot_ties = grp[grp.o_totalprice == grp.o_totalprice.min()]
+        assert row["top_orderkey"] == top_ties.o_orderkey.max()
+        assert row["bottom_orderkey"] == bot_ties.o_orderkey.min()
+
+
+def test_win_nth_null_before_second_row(spark):
+    out = REGISTRY["win_nth"].fn(spark, SF).toPandas()
+    od = load_table(spark, SF, "orders").toPandas()
+    # rn==1 rows never see a second price; rn>=2 rows all share the
+    # customer's actual second price
+    assert out[out.rn == 1].second_price.isna().all()
+    seconds = {
+        ck: grp.o_totalprice.iloc[1]
+        for ck, grp in od.sort_values(["o_orderdate", "o_orderkey"]).groupby("o_custkey")
+        if len(grp) >= 2
+    }
+    later = out[out.rn >= 2]
+    for ck, grp in later.groupby("o_custkey"):
+        assert (grp.second_price == seconds[ck]).all()
+
+
+def test_intersect_all_multiplicity(spark):
+    od = load_table(spark, SF, "orders").toPandas()
+    od["m"] = od.o_orderdate.dt.month
+    od["y"] = od.o_orderdate.dt.year
+    a = od[od.y == 1995].groupby(["o_orderpriority", "m"]).size()
+    b = od[od.y == 1996].groupby(["o_orderpriority", "m"]).size()
+    expect = {
+        k: min(a[k], b[k]) for k in set(a.index) & set(b.index)
+    }
+    got = (
+        REGISTRY["set_intersect_all"].fn(spark, SF)
+        .groupBy("o_orderpriority", "order_month")
+        .count()
+        .collect()
+    )
+    got_map = {(r[0], r[1]): r[2] for r in got}
+    assert got_map == {(p, int(m)): int(c) for (p, m), c in expect.items() if c > 0}
+
+
+def test_filemeta_counts_and_ranges(spark):
+    rows = {r["file_name"]: r for r in REGISTRY["scan_filemeta"].fn(spark, SF).collect()}
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        d = load_table(spark, SF, tbl)
+        agg = d.agg(
+            F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        r = rows[f"{tbl}.parquet"]
+        assert (r["n_rows"], r["min_key"], r["max_key"]) == (agg["n"], agg["lo"], agg["hi"])
+
+
+def test_gram_novelty_conservation(spark):
+    out = REGISTRY["llm_gram_novelty"].fn(spark, SF).toPandas()
+    assert ((out.novelty >= 0) & (out.novelty <= 1)).all()
+    assert (out.n_novel <= out.n_grams).all()
+    # the earliest doc sees only novel grams
+    first = out.loc[out.doc_id.idxmin()]
+    assert first.novelty == 1.0
+    # every distinct shingle is novel in exactly one document
+    from flirt_consume_spark.operators.dedup import shingle_table
+
+    n_distinct = (
+        shingle_table(load_table(spark, SF, "documents"))
+        .select("shingle").distinct().count()
+    )
+    assert int(out.n_novel.sum()) == n_distinct
+
+
+def test_kanon_flags_match_counts(spark):
+    out = REGISTRY["audit_kanon"].fn(spark, SF).toPandas()
+    cu = load_table(spark, SF, "customer").toPandas()
+    sizes = cu.groupby(["c_nationkey", "c_mktsegment"]).size()
+    assert len(out) == len(sizes)
+    for _, r in out.iterrows():
+        assert r.group_size == sizes[(r.nationkey, r.c_mktsegment)]
+        assert bool(r.at_risk) == (r.group_size < _KANON_K)
+
+
+def test_chisq_cells_match_scipy_free_formula(spark):
+    out = REGISTRY["audit_chisq"].fn(spark, SF).toPandas()
+    n = out.n_obs.sum()
+    # marginals consistent: each pri's n_row equals the sum of its cells
+    for pri, grp in out.groupby("pri"):
+        assert grp.n_row.iloc[0] == grp.n_obs.sum()
+    for st, grp in out.groupby("status"):
+        assert grp.n_col.iloc[0] == grp.n_obs.sum()
+    exp = out.n_row * out.n_col / n
+    assert np.allclose(out.expected, exp)
+    contrib = (out.n_obs - exp) ** 2 / exp
+    assert np.allclose(out.contribution, contrib)
+
+
+def test_autocorr_matches_numpy(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    got = {r["user_id"]: r["autocorr"] for r in REGISTRY["time_autocorr"].fn(spark, SF).collect()}
+    ev["x"] = np.floor(ev.value * 1000).astype("int64")
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        x = grp.x.values[1:]
+        px = grp.x.values[:-1]
+        if len(x) < 2 or x.std() == 0 or px.std() == 0:
+            assert uid not in got
+            continue
+        expect = np.corrcoef(x, px)[0, 1]
+        assert abs(got[uid] - expect) < 1e-9
+
+
+def test_rle_reconstructs_sequence(spark):
+    out = REGISTRY["time_rle"].fn(spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    # total length conservation
+    assert out.run_len.sum() == len(ev)
+    for uid, grp in out.groupby("user_id"):
+        grp = grp.sort_values("run_id")
+        # run ids are 1..k dense, and consecutive runs differ in type
+        assert list(grp.run_id) == list(range(1, len(grp) + 1))
+        assert (grp.event_type.values[1:] != grp.event_type.values[:-1]).all()
+        # replaying the runs yields the user's actual type sequence
+        seq = ev[ev.user_id == uid].sort_values(["ts", "event_id"]).event_type.values
+        replay = np.repeat(grp.event_type.values, grp.run_len.values)
+        assert (replay == seq).all()
+
+
+def test_systematic_ranks_are_multiples(spark):
+    out = REGISTRY["sample_systematic"].fn(spark, SF).toPandas()
+    n = load_table(spark, SF, "orders").count()
+    assert len(out) == n // _SYS_K
+    assert sorted(out.rnk) == [(_SYS_K * i) for i in range(1, n // _SYS_K + 1)]
+    # rank k corresponds to the k-th smallest orderkey
+    keys = sorted(
+        r["o_orderkey"] for r in load_table(spark, SF, "orders").select("o_orderkey").collect()
+    )
+    for _, r in out.iterrows():
+        assert r.o_orderkey == keys[int(r.rnk) - 1]

@@ -148,6 +148,12 @@ ALLOW = {
     # positive: the plan holds the legitimate 1-row SinglePartition
     # scalar aggs AND a window hash-partitioned by _pid.
     "audit_ks": {"nested_loop", "single_partition_window"},
+    # 1-row grand-total broadcast crossed into the O(cells)
+    # contingency frame — the lazy-scalar shape (audit_benford).
+    "audit_chisq": {"nested_loop"},
+    # global_rank's triangular (pid → offset) broadcast join —
+    # num_partitions rows, constant in data size (sort_global shape).
+    "sample_systematic": {"nested_loop"},
 }
 
 
