@@ -1,6 +1,6 @@
 """Curation & audit operators (round-6, third wave).
 
-Ten families closing the remaining everyday-surface gaps:
+Twelve families closing the remaining everyday-surface gaps:
 
 - ``agg_argmax`` / ``win_nth``: arg-extremum aggregation (max_by /
   min_by) and the nth_value window frame — the two "which row won"
@@ -23,7 +23,13 @@ Ten families closing the remaining everyday-surface gaps:
 - ``time_rle``: run-length encoding of consecutive equal event types
   per user (the categorical sibling of time_islands' gap logic);
 - ``sample_systematic``: every-k-th-row systematic sample over a
-  distributed global rank (no single-reducer window).
+  distributed global rank (no single-reducer window);
+- ``llm_bpe_train``: the REAL iterative BPE tokenizer-training loop
+  (k rounds of pair-count → argmax → greedy merge over the
+  word-frequency table), emitting the learned merge table;
+- ``set_union_byname``: schema-drift append —
+  ``unionByName(allowMissingColumns=True)`` vs DuckDB's
+  UNION ALL BY NAME.
 
 Hash-match discipline (SURVEY.md §4) as everywhere: integer-exact
 aggregation, identical IEEE expression trees for every emitted
@@ -593,3 +599,162 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") % _SYS_K == 0).select(
         "o_orderkey", "o_totalprice", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+# --- iterative BPE tokenizer training ------------------------------------
+
+_BPE_MERGES = 4
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-iteration BPE trainer in DuckDB SQL. Each round:
+    adjacent-pair counts over the current symbolization (weighted by
+    word frequency), argmax pair under the (cnt DESC, a, b) total
+    order, then the greedy leftmost-non-overlapping merge applied via
+    literal replace on the bracketed form."""
+    parts = [
+        r"""
+    WITH w0 AS (
+      SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, freq FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w
+      )
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""
+    , t{r} AS (
+      SELECT toks, freq,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM (SELECT str_split(substr(s, 2, len(s) - 2), ')(') AS toks, freq
+            FROM w{r - 1})
+      WHERE len(toks) >= 2
+    ), p{r} AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM t{r} GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{r} AS (
+      SELECT replace(s, '(' || a || ')(' || b || ')',
+                     '(' || a || b || ')') AS s, freq
+      FROM w{r - 1}, b{r}
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" cnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@query("llm_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36: BPE tokenizer training — the real iterative loop, not just
+    one pair count (that's llm_bpe_pairs): k rounds of
+    count-adjacent-pairs → pick the argmax merge → apply the greedy
+    leftmost-non-overlapping merge across the vocabulary, emitting
+    the learned merge table (rank, pair, frequency at merge time) —
+    the artifact a tokenizer ships.
+
+    Symbolization is the bracketed form ``(a)(b)(c)``: a merge is a
+    LITERAL string replace of ``(a)(b)`` with ``(ab)``, and both
+    engines' replace() scans leftmost-non-overlapping — exactly BPE's
+    greedy tie-handling — while the brackets make a symbol match
+    unambiguous (a pattern can never straddle or match inside a
+    multi-char symbol). Argmax is deterministic under the
+    (cnt DESC, a, b) total order.
+
+    Scale: the corpus collapses to its WORD-FREQUENCY table before
+    round 1 (the standard BPE trick), so every iteration is
+    vocabulary-sized, not corpus-sized: one hash agg for pair counts
+    + a 1-row TakeOrdered + a narrow map for the merge. The k
+    per-round argmax rows are the ONLY driver-side data movement
+    (same O(1)-per-iteration collect pattern as emb_kmeans); the
+    vocab table is cached across rounds. At 100 TB the corpus scan
+    happens once; k more rounds cost k vocabulary passes."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    sym = words.select(
+        F.regexp_replace("w", "(.)", "($1)").alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        toks = sym.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(").alias(
+                "toks"
+            ),
+            "freq",
+        ).filter(F.size("toks") >= 2)
+        pairs = toks.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS a, "
+                    "element_at(toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        cnt = pairs.groupBy("a", "b").agg(
+            F.sum("freq").cast("bigint").alias("cnt")
+        )
+        best = cnt.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        merges.append((rank, best["a"], best["b"], best["cnt"]))
+        sym = sym.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"({best['a']})({best['b']})"),
+                F.lit(f"({best['a']}{best['b']})"),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, sym_a string, sym_b string, cnt bigint"
+    )
+
+
+# --- schema-drift union (UNION BY NAME) ----------------------------------
+
+
+@query(
+    "set_union_byname",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice, NULL AS o_orderstatus
+    FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: position-independent UNION with missing-column fill —
+    ``unionByName(allowMissingColumns=True)``, the append that makes
+    schema drift across snapshot generations survivable: the 1995
+    extract carries o_totalprice but not o_orderstatus, the 1996
+    extract the reverse and in a different column order; the union
+    aligns by NAME and null-fills what a side lacks (a positional
+    UNION would silently zip mismatched columns — the classic
+    ingestion corruption).
+
+    Zero-shuffle: both legs are scans with pushed year filters and
+    the union is a plan-level concatenation; the null fill is a
+    constant projection. The oracle replays the alignment with
+    DuckDB's UNION ALL BY NAME."""
+    od = t(spark, sf_dir, "orders")
+    a = od.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b = od.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -160,3 +160,64 @@ def test_systematic_ranks_are_multiples(spark):
     )
     for _, r in out.iterrows():
         assert r.o_orderkey == keys[int(r.rnk) - 1]
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """Re-train BPE in pure Python (dict-of-tuples vocab, greedy
+    leftmost-non-overlapping merge) and demand the identical merge
+    table — algorithm-level parity, not a replay of the Spark plan."""
+    import re
+    from collections import Counter
+
+    from flirt_consume_spark.queries.curation import _BPE_MERGES
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    freq = Counter()
+    for r in docs:
+        for w in r["text"].strip().lower().split():
+            if re.fullmatch(r"[a-z]{2,}", w):
+                freq[w] += 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+    expect = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, cnt))
+        merged = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + f
+        vocab = merged
+    got = sorted(
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["cnt"])
+        for r in REGISTRY["llm_bpe_train"].fn(spark, SF).collect()
+    )
+    assert got == expect
+
+
+def test_union_byname_null_fill_and_alignment(spark):
+    out = REGISTRY["set_union_byname"].fn(spark, SF).toPandas()
+    od = load_table(spark, SF, "orders").toPandas()
+    a = od[od.o_orderdate.dt.year == 1995]
+    b = od[od.o_orderdate.dt.year == 1996]
+    assert len(out) == len(a) + len(b)
+    # 1995 rows carry price but no status; 1996 rows the reverse —
+    # aligned by name, so no value ever lands in the wrong column
+    merged = out.merge(od[["o_orderkey", "o_orderdate"]], on="o_orderkey")
+    y95 = merged[merged.o_orderdate.dt.year == 1995]
+    y96 = merged[merged.o_orderdate.dt.year == 1996]
+    assert y95.o_orderstatus.isna().all() and y95.o_totalprice.notna().all()
+    assert y96.o_totalprice.isna().all() and y96.o_orderstatus.notna().all()
+    assert set(out.columns) == {
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    }
