@@ -66,12 +66,14 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 #       agg_cms)
 #     plus udtf_table_arg (queries/extras.py, TABLE-argument UDTF)
 #     and sink_pyds (queries/advanced.py, Python data source writer),
-#     plus the 12 curation-wave keys (queries/curation.py: agg_argmax,
+#     plus the 15 curation-wave keys (queries/curation.py: agg_argmax,
 #       win_nth, set_intersect_all, scan_filemeta, llm_gram_novelty,
 #       audit_kanon, audit_chisq, time_autocorr, time_rle,
-#       sample_systematic, llm_bpe_train, set_union_byname)
-#     — that makes 56, overfilling the 50-slot window by 6; push the
-#     last 6 curation keys to round 8 ahead of the
+#       sample_systematic, llm_bpe_train, set_union_byname,
+#       agg_delta_method, audit_contract; queries/retrieval.py:
+#       emb_pca_project)
+#     — that makes 59, overfilling the 50-slot window by 9; push the
+#     last 9 of those keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

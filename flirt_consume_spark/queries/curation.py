@@ -1,6 +1,6 @@
 """Curation & audit operators (round-6, third wave).
 
-Twelve families closing the remaining everyday-surface gaps:
+Fourteen families closing the remaining everyday-surface gaps:
 
 - ``agg_argmax`` / ``win_nth``: arg-extremum aggregation (max_by /
   min_by) and the nth_value window frame — the two "which row won"
@@ -29,7 +29,11 @@ Twelve families closing the remaining everyday-surface gaps:
   word-frequency table), emitting the learned merge table;
 - ``set_union_byname``: schema-drift append —
   ``unionByName(allowMissingColumns=True)`` vs DuckDB's
-  UNION ALL BY NAME.
+  UNION ALL BY NAME;
+- ``agg_delta_method``: delta-method SE for a clustered
+  ratio-of-sums metric (per-user randomization);
+- ``audit_contract``: data-contract release gate — six rules folded
+  in ONE scan, unpivoted to a rule table.
 
 Hash-match discipline (SURVEY.md §4) as everywhere: integer-exact
 aggregation, identical IEEE expression trees for every emitted
@@ -758,3 +762,202 @@ def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# --- delta-method ratio-metric standard error ----------------------------
+
+# Per-event values quantized to 1e-3 units once; all moment sums are
+# exact BIGINT. Magnitudes: per-(user,type) x_u ≲ events_per_user·5e5;
+# the squared sums stay orders of magnitude inside 2^63 at the
+# driver's SFs. At extreme per-entity history, drop the quantization
+# scale (the unit is a declared constant) or lift the two squared
+# moments to DECIMAL(38) — the plan shape is unchanged.
+_DM_SCALE = 1000
+
+
+@query(
+    "agg_delta_method",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(floor(value * {_DM_SCALE}) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user GROUP BY 1
+    )
+    SELECT event_type, n, sx, sy,
+           CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+           sqrt(
+             (CAST(n * sxx - sx * sx AS DOUBLE)
+              + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * CAST(n * syy - sy * sy AS DOUBLE)
+              - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(n AS DOUBLE)
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           ) AS ratio_se
+    FROM m WHERE n >= 2
+    """,
+)
+def agg_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: delta-method standard error for a ratio-of-sums metric
+    (value per event, clustered by user) — the correct uncertainty
+    for per-user-randomized experiments where the naive per-row SE is
+    wrong because rows within a user correlate. ratio is in 1e-3
+    value units (the declared quantization grid).
+
+    Var(Σx/Σy) ≈ (σx² + R²σy² − 2Rσxy)/(n·ȳ²) over per-user pairs:
+    the three central-moment numerators n·Sxx−Sx² etc. are EXACT
+    BIGINT integers; the final expression is one fixed IEEE tree
+    whose only non-arithmetic op is hardware sqrt. Scale: two hash
+    aggs (events→per-user, per-user→per-arm), both map-side
+    combinable, output O(|event types|); no window, no join."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.floor(F.col("value") * _DM_SCALE).cast("bigint"))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = d("sx") / d("sy")
+    vxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    vxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    yb = d("sy") / d("n")
+    se = F.sqrt(
+        (vxx + r * r * vyy - F.lit(2.0) * r * vxy)
+        / (d("n") * (d("n") - F.lit(1.0)))
+        / (d("n") * yb * yb)
+    )
+    return m.filter(F.col("n") >= 2).select(
+        "event_type", "n", "sx", "sy", r.alias("ratio"), se.alias("ratio_se")
+    )
+
+
+# --- data-contract validation --------------------------------------------
+
+
+@query(
+    "audit_contract",
+    oracle="""
+    SELECT 'orderkey_not_null' AS rule,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_enum',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format',
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                              OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'date_range',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL
+                              OR o_orderdate < TIMESTAMP '1990-01-01'
+                              OR o_orderdate >= TIMESTAMP '2010-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def audit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: data-contract validation — the release gate that checks a
+    snapshot against its declared contract (nullability, key
+    uniqueness, value domains, enum membership, format regex, date
+    sanity) and emits one row per rule with the violation count.
+
+    ONE scan: all six rule counters fold in a single hash-free global
+    aggregation (map-side partials, 1 output row), then a stack()
+    unpivot turns the counter struct into the rule table — the oracle
+    spells the same rules as six scans because oracle cost is
+    irrelevant. Null handling is explicit in every predicate so a
+    null never silently passes a rule. At 100 TB this is the cheapest
+    possible shape: no shuffle carries more than one row of
+    counters."""
+    od = t(spark, sf_dir, "orders")
+    viol = [
+        (
+            "orderkey_not_null",
+            F.col("o_orderkey").isNull(),
+        ),
+        (
+            "price_positive",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        ),
+        (
+            "status_enum",
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+        (
+            "priority_format",
+            F.col("o_orderpriority").isNull()
+            | ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        ),
+        (
+            "date_range",
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (
+                F.col("o_orderdate")
+                >= F.lit("2010-01-01").cast("timestamp")
+            ),
+        ),
+    ]
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, cond in viol
+    ] + [
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("orderkey_unique"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    ]
+    one = od.agg(*aggs)
+    rules = [name for name, _ in viol] + ["orderkey_unique"]
+    stack_expr = ", ".join(f"'{r}', {r}" for r in rules)
+    return one.selectExpr(
+        f"stack({len(rules)}, {stack_expr}) AS (rule, n_violations)",
+        "_n AS n_checked",
+    )

@@ -529,6 +529,23 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm, whose sqrt-of-sum would accumulate order-dependent error;
     the max itself rides a 1-row broadcast. Σ over 64 products per
     row is the exact integer-unit sum."""
+    w, mx = _power_w(spark, sf_dir)
+    return w.crossJoin(F.broadcast(mx)).select(
+        "i", (F.floor(F.col("w") / F.col("_m") * 1e9) / 1e9).alias("v")
+    )
+
+
+emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(
+    k=_POWER_ITERS
+)
+
+
+def _power_w(spark: SparkSession, sf_dir: str):
+    """Un-normalized {_POWER_ITERS}-step power iterate (i, w) plus the
+    1-row max-abs normalizer — shared by emb_power_iteration (which
+    emits the 1e-9-floored direction) and emb_pca_project (which
+    needs the INTEGER 1e-9-grid coefficients so projection sums stay
+    exact)."""
     cov = _cov_long(spark, sf_dir).persist()
     # Iterate WITHOUT intermediate normalization: |cov| <= ~1, so 3
     # un-normalized iterates stay well inside double range, and
@@ -556,11 +573,94 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     mx = w.agg(F.max(F.abs(F.col("w"))).alias("_m"))
-    return w.crossJoin(F.broadcast(mx)).select(
-        "i", (F.floor(F.col("w") / F.col("_m") * 1e9) / 1e9).alias("v")
+    return w, mx
+
+
+@query(
+    "emb_pca_project",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, i, CAST(floor(embedding[i] * 1e6) AS BIGINT) AS xl
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ), moments AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.xl * b.xl) AS BIGINT) AS sxy
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), sums AS (
+      SELECT i, CAST(SUM(xl) AS BIGINT) AS sx, COUNT(*) AS n
+      FROM xs GROUP BY i
+    ), cov_u AS (
+      SELECT m.i, m.j,
+             floor((CAST(m.sxy AS DOUBLE) / sa.n / 1e12
+                    - (CAST(sa.sx AS DOUBLE) / sa.n / 1e6)
+                      * (CAST(sb.sx AS DOUBLE) / sb.n / 1e6)) * 1e9) / 1e9
+               AS cov
+      FROM moments m JOIN sums sa ON sa.i = m.i JOIN sums sb ON sb.i = m.j
+    ), cov AS (
+      SELECT i, j, cov FROM cov_u
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cov_u WHERE i <> j
+    ), w1 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.cov * 1e15) AS BIGINT)) AS DOUBLE)
+               / 1e15 AS w
+      FROM cov c GROUP BY c.i
+    ), w2 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.cov * w1.w * 1e18) AS BIGINT)) AS DOUBLE)
+               / 1e18 AS w
+      FROM cov c JOIN w1 ON w1.i = c.j GROUP BY c.i
+    ), w3 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(floor(c.cov * w2.w * 1e18) AS BIGINT)) AS DOUBLE)
+               / 1e18 AS w
+      FROM cov c JOIN w2 ON w2.i = c.j GROUP BY c.i
+    ), vl AS (
+      SELECT i,
+             CAST(floor(w / (SELECT MAX(abs(w)) FROM w3) * 1e9) AS BIGINT)
+               AS vl
+      FROM w3
     )
-
-
-emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(
-    k=_POWER_ITERS
+    SELECT x.vec_id, CAST(SUM(x.xl * v.vl) AS DOUBLE) / 1e15 AS score
+    FROM xs x JOIN vl v USING (i)
+    GROUP BY 1
+    """,
 )
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37: PCA projection — score every embedding against the
+    power-iteration direction (the same iterate emb_power_iteration
+    verifies), i.e. the dominant-component coordinate used for
+    curriculum binning, coarse ANN partitioning, and outlier triage.
+
+    The direction's coefficients are taken on the INTEGER 1e-9 grid
+    (floor(w/max·1e9) as BIGINT), the vectors on the 1e-6 grid, so
+    each score is one exact Σ xl·vl integer sum (≤ 64·5e15, far
+    inside BIGINT) lifted to double by a single /1e15 — bit-identical
+    on both engines, no order dependence. Scale: the covariance/
+    iterate chain is constant-size (dim²) regardless of corpus; the
+    projection itself is ONE narrow pass over the exploded vectors
+    joined to a 64-row broadcast + a per-vector hash agg — the plan
+    you'd want at 100 TB (data scanned once for cov, once for
+    projection; nothing else is data-sized)."""
+    w, mx = _power_w(spark, sf_dir)
+    vl = w.crossJoin(F.broadcast(mx)).select(
+        "i",
+        F.floor(F.col("w") / F.col("_m") * 1e9).cast("long").alias("vl"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))")
+        ).alias("_i0", "xl"),
+    ).select("vec_id", (F.col("_i0") + 1).alias("i"), "xl")
+    return (
+        xs.join(F.broadcast(vl), "i")
+        .groupBy("vec_id")
+        .agg(
+            (F.sum(F.col("xl") * F.col("vl")).cast("double") / F.lit(1e15))
+            .alias("score")
+        )
+    )

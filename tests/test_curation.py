@@ -221,3 +221,50 @@ def test_union_byname_null_fill_and_alignment(spark):
     assert set(out.columns) == {
         "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
     }
+
+
+def test_delta_method_matches_numpy(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["x"] = np.floor(ev.value * 1000).astype("int64")
+    got = {r["event_type"]: r for r in REGISTRY["agg_delta_method"].fn(spark, SF).collect()}
+    for et, grp in ev.groupby("event_type"):
+        per = grp.groupby("user_id").agg(x=("x", "sum"), y=("x", "size"))
+        n = len(per)
+        if n < 2:
+            assert et not in got
+            continue
+        r = got[et]
+        R = per.x.sum() / per.y.sum()
+        assert r["n"] == n and abs(r["ratio"] - R) < 1e-12
+        vx = per.x.var(ddof=1)
+        vy = per.y.var(ddof=1)
+        cxy = per.x.cov(per.y)
+        yb = per.y.mean()
+        se = np.sqrt((vx + R * R * vy - 2 * R * cxy) / (n * yb * yb))
+        assert abs(r["ratio_se"] - se) < 1e-9 * max(1.0, se)
+
+
+def test_contract_clean_fixture_and_dirty_detection(spark):
+    # the shipped fixture satisfies the contract
+    out = {r["rule"]: r for r in REGISTRY["audit_contract"].fn(spark, SF).collect()}
+    assert set(out) == {
+        "orderkey_not_null", "orderkey_unique", "price_positive",
+        "status_enum", "priority_format", "date_range",
+    }
+    n = load_table(spark, SF, "orders").count()
+    for r in out.values():
+        assert r["n_violations"] == 0 and r["n_checked"] == n
+    # and the rules actually fire on corrupted rows (not vacuous)
+    od = load_table(spark, SF, "orders").limit(4).toPandas()
+    od.loc[0, "o_orderstatus"] = "X"
+    od.loc[1, "o_totalprice"] = -5.0
+    od.loc[2, "o_orderpriority"] = "9-BOGUS"
+    od.loc[3, "o_orderkey"] = od.loc[2, "o_orderkey"]  # duplicate key
+    dirty = spark.createDataFrame(od)
+    import flirt_consume_spark.queries.curation as C
+    from unittest import mock
+
+    with mock.patch.object(C, "t", lambda s, d, n: dirty):
+        bad = {r["rule"]: r["n_violations"] for r in C.audit_contract(spark, SF).collect()}
+    assert bad["status_enum"] == 1 and bad["price_positive"] == 1
+    assert bad["priority_format"] == 1 and bad["orderkey_unique"] == 1

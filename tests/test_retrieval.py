@@ -599,3 +599,24 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_pca_project_consistent_with_power_iteration(spark):
+    """emb_pca_project's score must equal the dot product of the raw
+    quantized vector with emb_power_iteration's published direction
+    (both on their declared grids) — cross-key consistency, computed
+    here in numpy."""
+    import numpy as np
+
+    from flirt_consume_spark.io import load_table
+    from flirt_consume_spark.queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    v = {r["i"]: r["v"] for r in REGISTRY["emb_power_iteration"].fn(spark, SF).collect()}
+    vl = np.array([round(v[i] * 1e9) for i in sorted(v)], dtype="int64")
+    emb = load_table(spark, SF, "embeddings").collect()
+    got = {r["vec_id"]: r["score"] for r in REGISTRY["emb_pca_project"].fn(spark, SF).collect()}
+    assert set(got) == {r["vec_id"] for r in emb}
+    for r in emb:
+        xl = np.floor(np.array(r["embedding"], dtype="float64") * 1e6).astype("int64")
+        assert got[r["vec_id"]] == float(int((xl * vl).sum())) / 1e15

@@ -154,6 +154,9 @@ ALLOW = {
     # global_rank's triangular (pid → offset) broadcast join —
     # num_partitions rows, constant in data size (sort_global shape).
     "sample_systematic": {"nested_loop"},
+    # 1-row max-abs broadcast normalizing the 64-row direction —
+    # the same lazy-scalar shape emb_power_iteration declares.
+    "emb_pca_project": {"nested_loop"},
 }
 
 
