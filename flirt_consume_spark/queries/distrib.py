@@ -1,6 +1,6 @@
 """Distributional / traversal operators (round-6 late additions).
 
-Five families, one module:
+Six families, one module:
 - `audit_ks`: two-sample Kolmogorov–Smirnov distances between the
   order-status groups' price distributions — the drift gate a data
   pipeline runs before trusting a new snapshot;
@@ -12,14 +12,18 @@ Five families, one module:
 - `sample_reservoir`: per-group fixed-k deterministic reservoir
   sample via hierarchical (bucketed) top-k;
 - `agg_cms`: Count-Min Sketch frequency estimation — constant-memory
-  mergeable sketch, deterministic md5 hash rows, est ≥ exact pinned.
+  mergeable sketch, deterministic md5 hash rows, est ≥ exact pinned;
+- `audit_mannwhitney`: tie-corrected Mann-Whitney U over the same
+  shared multi-counter cumsum audit_ks rides — doubled midranks keep
+  every rank statistic an exact integer.
 
 Hash-match discipline (SURVEY.md §4): every emitted double is either
 pass-through, a single division of exactly-representable integers, or
 an identical IEEE expression tree on both engines — no transcendental
 appears anywhere in this module (Shannon entropy was deliberately
 rejected in favor of KS/Simpson/Gini for exactly that reason: ln()
-differs by ulps across libm implementations).
+differs by ulps across libm implementations; the U test's sqrt is
+IEEE-754 correctly rounded, not a libm approximation).
 """
 
 from __future__ import annotations
@@ -531,3 +535,174 @@ def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_cms.__doc__ = agg_cms.__doc__.format(
     d=_CMS_D, w=_CMS_W, cells=_CMS_D * _CMS_W
 )
+
+
+# --- Mann-Whitney U rank test --------------------------------------------
+
+
+@query(
+    "audit_mannwhitney",
+    oracle="""
+    WITH vc AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_p
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT c_f, c_o, c_p,
+             SUM(c_f) OVER (ORDER BY v) AS cum_f,
+             SUM(c_o) OVER (ORDER BY v) AS cum_o,
+             SUM(c_p) OVER (ORDER BY v) AS cum_p
+      FROM vc
+    ), m AS (
+      SELECT
+        CAST(SUM(c_f * (2 * ((cum_f - c_f) + (cum_o - c_o))
+                        + (c_f + c_o) + 1)) AS BIGINT) AS r2_fo,
+        CAST(SUM((c_f + c_o) * (c_f + c_o) * (c_f + c_o) - (c_f + c_o))
+             AS BIGINT) AS t_fo,
+        CAST(SUM(c_f * (2 * ((cum_f - c_f) + (cum_p - c_p))
+                        + (c_f + c_p) + 1)) AS BIGINT) AS r2_fp,
+        CAST(SUM((c_f + c_p) * (c_f + c_p) * (c_f + c_p) - (c_f + c_p))
+             AS BIGINT) AS t_fp,
+        CAST(SUM(c_o * (2 * ((cum_o - c_o) + (cum_p - c_p))
+                        + (c_o + c_p) + 1)) AS BIGINT) AS r2_op,
+        CAST(SUM((c_o + c_p) * (c_o + c_p) * (c_o + c_p) - (c_o + c_p))
+             AS BIGINT) AS t_op,
+        CAST(MAX(cum_f) AS BIGINT) AS n_f,
+        CAST(MAX(cum_o) AS BIGINT) AS n_o,
+        CAST(MAX(cum_p) AS BIGINT) AS n_p
+      FROM cum
+    )
+    SELECT 'F' AS grp_a, 'O' AS grp_b, n_f AS n_a, n_o AS n_b,
+           r2_fo - n_f * (n_f + 1) AS u2,
+           t_fo AS tie3,
+           CAST(r2_fo - n_f * (n_f + 1) - n_f * n_o AS DOUBLE)
+           / (2.0 * sqrt(
+               (CAST(n_f AS DOUBLE) * CAST(n_o AS DOUBLE) / 12.0)
+               * ((CAST(n_f + n_o AS DOUBLE) + 1.0)
+                  - CAST(t_fo AS DOUBLE)
+                    / (CAST(n_f + n_o AS DOUBLE)
+                       * (CAST(n_f + n_o AS DOUBLE) - 1.0))))) AS z,
+           CAST(r2_fo - n_f * (n_f + 1) AS DOUBLE)
+           / (CAST(n_f AS DOUBLE) * CAST(n_o AS DOUBLE)) - 1.0
+             AS rank_biserial
+    FROM m
+    UNION ALL
+    SELECT 'F', 'P', n_f, n_p,
+           r2_fp - n_f * (n_f + 1), t_fp,
+           CAST(r2_fp - n_f * (n_f + 1) - n_f * n_p AS DOUBLE)
+           / (2.0 * sqrt(
+               (CAST(n_f AS DOUBLE) * CAST(n_p AS DOUBLE) / 12.0)
+               * ((CAST(n_f + n_p AS DOUBLE) + 1.0)
+                  - CAST(t_fp AS DOUBLE)
+                    / (CAST(n_f + n_p AS DOUBLE)
+                       * (CAST(n_f + n_p AS DOUBLE) - 1.0))))),
+           CAST(r2_fp - n_f * (n_f + 1) AS DOUBLE)
+           / (CAST(n_f AS DOUBLE) * CAST(n_p AS DOUBLE)) - 1.0
+    FROM m
+    UNION ALL
+    SELECT 'O', 'P', n_o, n_p,
+           r2_op - n_o * (n_o + 1), t_op,
+           CAST(r2_op - n_o * (n_o + 1) - n_o * n_p AS DOUBLE)
+           / (2.0 * sqrt(
+               (CAST(n_o AS DOUBLE) * CAST(n_p AS DOUBLE) / 12.0)
+               * ((CAST(n_o + n_p AS DOUBLE) + 1.0)
+                  - CAST(t_op AS DOUBLE)
+                    / (CAST(n_o + n_p AS DOUBLE)
+                       * (CAST(n_o + n_p AS DOUBLE) - 1.0))))),
+           CAST(r2_op - n_o * (n_o + 1) AS DOUBLE)
+           / (CAST(n_o AS DOUBLE) * CAST(n_p AS DOUBLE)) - 1.0
+    FROM m
+    """,
+)
+def audit_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: Mann-Whitney U rank test between every pair of
+    order-status groups over o_totalprice — the nonparametric "did
+    the distribution shift?" companion to audit_ks's ECDF distance,
+    with the tie-corrected normal approximation z and the
+    rank-biserial effect size.
+
+    Exactness: midranks never materialize as fractions — for a value
+    with c_a+c_b pooled ties after ``tot_before`` pooled smaller
+    rows, DOUBLED midrank = 2·tot_before + (c_a+c_b) + 1 is an
+    integer, so the doubled rank sum 2R_A, the doubled statistic
+    u2 = 2U_A, and the tie term Σ(t³−t) are all exact BIGINTs; z and
+    the effect size are fixed IEEE trees over them (sqrt is
+    correctly-rounded hardware, not libm). Pair ranks pool ONLY the
+    two groups involved: per-pair prefix counts are derived from the
+    same three shared cumulative counters, so all three tests still
+    ride ONE multi-counter ``global_cumsum`` (one range shuffle
+    total) exactly like audit_ks. At 100 TB: two shuffles (value
+    agg + range cumsum), constant-size tail. t³ products lift to
+    DECIMAL(38) if per-value tie groups ever approach 2^21 rows."""
+    od = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    vc = od.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    cum = global_cumsum(
+        vc, ["c_f", "c_o", "c_p"], ["v"], ["cum_f", "cum_o", "cum_p"]
+    )
+
+    def r2(a: str, b: str):
+        ca, cb = F.col(f"c_{a}"), F.col(f"c_{b}")
+        pa, pb = F.col(f"cum_{a}") - ca, F.col(f"cum_{b}") - cb
+        return F.sum(ca * (2 * (pa + pb) + (ca + cb) + 1)).cast("bigint")
+
+    def tie3(a: str, b: str):
+        tt = F.col(f"c_{a}") + F.col(f"c_{b}")
+        return F.sum(tt * tt * tt - tt).cast("bigint")
+
+    pairs = [("f", "o"), ("f", "p"), ("o", "p")]
+    m = cum.groupBy().agg(
+        *[r2(a, b).alias(f"r2_{a}{b}") for a, b in pairs],
+        *[tie3(a, b).alias(f"t_{a}{b}") for a, b in pairs],
+        *[
+            F.max(f"cum_{s}").cast("bigint").alias(f"n_{s}")
+            for s in ("f", "o", "p")
+        ],
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a.upper()).alias("grp_a"),
+                F.lit(b.upper()).alias("grp_b"),
+                F.col(f"n_{a}").alias("n_a"),
+                F.col(f"n_{b}").alias("n_b"),
+                (
+                    F.col(f"r2_{a}{b}") - F.col(f"n_{a}") * (F.col(f"n_{a}") + 1)
+                ).alias("u2"),
+                F.col(f"t_{a}{b}").alias("tie3"),
+            )
+            for a, b in pairs
+        ]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    z = (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double") / (
+        F.lit(2.0)
+        * F.sqrt(
+            (d("n_a") * d("n_b") / F.lit(12.0))
+            * (
+                (n_tot + F.lit(1.0))
+                - d("tie3") / (n_tot * (n_tot - F.lit(1.0)))
+            )
+        )
+    )
+    rb = d("u2") / (d("n_a") * d("n_b")) - F.lit(1.0)
+    return (
+        m.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .withColumn("z", z)
+        .withColumn("rank_biserial", rb)
+    )

@@ -201,3 +201,45 @@ def test_cms_matches_python_sketch(spark):
         assert got[u]["est_cnt"] == want_est
         assert got[u]["exact_cnt"] == exact[u]
         assert got[u]["lower_bound_ok"] and want_est >= exact[u]
+
+
+def test_mannwhitney_matches_midrank_recompute(spark):
+    """Recompute U, the tie-corrected z, and the rank-biserial effect
+    size from first principles with numpy midranks."""
+    od = (
+        load_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in REGISTRY["audit_mannwhitney"].fn(spark, SF).collect()
+    }
+    assert set(got) == {("F", "O"), ("F", "P"), ("O", "P")}
+    for (a, b), row in got.items():
+        xa = od[od.o_orderstatus == a].o_totalprice.values
+        xb = od[od.o_orderstatus == b].o_totalprice.values
+        na, nb = len(xa), len(xb)
+        pooled = np.concatenate([xa, xb])
+        order = pooled.argsort(kind="mergesort")
+        ranks = np.empty(len(pooled))
+        sorted_v = pooled[order]
+        i = 0
+        while i < len(sorted_v):
+            j = i
+            while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0  # midrank
+            i = j
+        ra = ranks[:na].sum()
+        u = ra - na * (na + 1) / 2.0
+        assert row["n_a"] == na and row["n_b"] == nb
+        assert row["u2"] == round(2 * u)
+        _, counts = np.unique(pooled, return_counts=True)
+        tie = float((counts.astype("int64") ** 3 - counts).sum())
+        assert row["tie3"] == int(tie)
+        n = na + nb
+        var = (na * nb / 12.0) * ((n + 1) - tie / (n * (n - 1)))
+        z = (u - na * nb / 2.0) / np.sqrt(var)
+        assert abs(row["z"] - z) < 1e-9
+        assert abs(row["rank_biserial"] - (2 * u / (na * nb) - 1)) < 1e-12

@@ -157,6 +157,12 @@ ALLOW = {
     # 1-row max-abs broadcast normalizing the 64-row direction —
     # the same lazy-scalar shape emb_power_iteration declares.
     "emb_pca_project": {"nested_loop"},
+    # Same two findings as audit_ks, same justification: nested_loop
+    # is global_cumsum's triangular (pid → offset) broadcast join
+    # (constant-size side); single_partition_window is the heuristic
+    # false positive — the plan holds the legitimate 1-row
+    # SinglePartition final agg AND a window hash-partitioned by _pid.
+    "audit_mannwhitney": {"nested_loop", "single_partition_window"},
 }
 
 
