@@ -610,16 +610,18 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 4
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle(k: int, tail: str | None = None) -> str:
     """Unrolled k-iteration BPE trainer in DuckDB SQL. Each round:
     adjacent-pair counts over the current symbolization (weighted by
     word frequency), argmax pair under the (cnt DESC, a, b) total
     order, then the greedy leftmost-non-overlapping merge applied via
-    literal replace on the bracketed form."""
+    literal replace on the bracketed form. ``tail`` overrides the
+    final SELECT (default: the merge table) — llm_bpe_encode appends
+    its per-document encoding pass over the final vocab CTE w{k}."""
     parts = [
         r"""
     WITH w0 AS (
-      SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, freq FROM (
+      SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, freq FROM (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
           FROM documents
@@ -643,17 +645,18 @@ def _bpe_oracle(k: int) -> str:
     ), b{r} AS (
       SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
     ), w{r} AS (
-      SELECT replace(s, '(' || a || ')(' || b || ')',
-                     '(' || a || b || ')') AS s, freq
+      SELECT w, replace(s, '(' || a || ')(' || b || ')',
+                        '(' || a || b || ')') AS s, freq
       FROM w{r - 1}, b{r}
     )"""
         )
-    selects = "\n    UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,"
-        f" cnt FROM b{r}"
-        for r in range(1, k + 1)
-    )
-    return "".join(parts) + "\n    " + selects
+    if tail is None:
+        tail = "\n    UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS sym_a,"
+            f" b AS sym_b, cnt FROM b{r}"
+            for r in range(1, k + 1)
+        )
+    return "".join(parts) + "\n    " + tail
 
 
 @query("llm_bpe_train", oracle=_bpe_oracle(_BPE_MERGES))
@@ -681,6 +684,17 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same O(1)-per-iteration collect pattern as emb_kmeans); the
     vocab table is cached across rounds. At 100 TB the corpus scan
     happens once; k more rounds cost k vocabulary passes."""
+    merges, _ = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, sym_a string, sym_b string, cnt bigint"
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Run the k-round BPE loop; return (merge table rows, final
+    symbolized vocab DataFrame (w, s, freq)). Shared by the trainer
+    key (emits the merges) and the encoder key (consumes the final
+    vocab)."""
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -689,7 +703,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     sym = words.select(
-        F.regexp_replace("w", "(.)", "($1)").alias("s"), "freq"
+        "w", F.regexp_replace("w", "(.)", "($1)").alias("s"), "freq"
     ).localCheckpoint(eager=True)
     merges = []
     for rank in range(1, _BPE_MERGES + 1):
@@ -722,8 +736,81 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"({best['a']}{best['b']})"),
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank bigint, sym_a string, sym_b string, cnt bigint"
+    return merges, sym
+
+
+@query(
+    "llm_bpe_encode",
+    oracle=_bpe_oracle(
+        _BPE_MERGES,
+        tail=rf"""
+    docw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]{{2,}}$') GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * len(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(c * len(str_split(substr(s, 2, len(s) - 2), ')(')))
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(c * len(w)) AS DOUBLE)
+             / CAST(SUM(c * len(str_split(substr(s, 2, len(s) - 2), ')(')))
+                    AS DOUBLE) AS chars_per_token
+    FROM docw JOIN w{_BPE_MERGES} USING (w)
+    GROUP BY doc_id
+    """.replace("docw AS", ", docw AS"),
+    ),
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38: BPE encoding — the inference half of llm_bpe_train: apply
+    the learned merge table to every document and report its token
+    count and chars-per-token compression, the fertility metric that
+    decides whether a tokenizer is worth shipping.
+
+    Encoding rides the trained VOCAB, not the corpus: each distinct
+    word's final symbol count comes from the trainer's end-state
+    symbolization, and a document's token count is Σ count(word) ×
+    n_syms(word) — a per-doc word-count agg joined to the (small,
+    broadcast) vocab. Exact integers + one IEEE division. At 100 TB
+    the corpus is scanned once for the doc-word counts; the merge
+    loop itself is vocabulary-sized (see llm_bpe_train)."""
+    _, sym = _bpe_fit(spark, sf_dir)
+    vocab = sym.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(")
+        )
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    docs = t(spark, sf_dir, "documents")
+    docw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_chars = F.sum(F.col("c") * F.length("w")).cast("bigint")
+    n_toks = F.sum(F.col("c") * F.col("n_syms")).cast("bigint")
+    return (
+        docw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            n_chars.alias("n_chars"),
+            n_toks.alias("n_tokens"),
+            (n_chars.cast("double") / n_toks.cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
     )
 
 

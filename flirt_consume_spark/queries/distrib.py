@@ -706,3 +706,169 @@ def audit_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("z", z)
         .withColumn("rank_biserial", rb)
     )
+
+
+# --- Welch's t-test -------------------------------------------------------
+
+
+@query(
+    "audit_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s1_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                           * CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s2_f,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s1_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                           * CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s2_o,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_p,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s1_p,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                           * CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s2_p
+      FROM orders
+    ), pairs AS (
+      SELECT 'F' AS grp_a, 'O' AS grp_b,
+             n_f AS n_a, n_o AS n_b, s1_f AS s1_a, s1_o AS s1_b,
+             s2_f AS s2_a, s2_o AS s2_b FROM m
+      UNION ALL
+      SELECT 'F', 'P', n_f, n_p, s1_f, s1_p, s2_f, s2_p FROM m
+      UNION ALL
+      SELECT 'O', 'P', n_o, n_p, s1_o, s1_p, s2_o, s2_p FROM m
+    )
+    SELECT grp_a, grp_b, n_a, n_b,
+           CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_diff_units,
+           (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                 / CAST(n_a AS DOUBLE)
+               + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                 / CAST(n_b AS DOUBLE)
+             ) AS t_stat,
+           (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+              / CAST(n_a AS DOUBLE)
+            + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+              / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+              / CAST(n_b AS DOUBLE))
+           * (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                / CAST(n_a AS DOUBLE)
+              + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                / CAST(n_b AS DOUBLE))
+           / ((CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                 / CAST(n_a AS DOUBLE))
+              * (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                   / CAST(n_a AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) - 1.0)
+              + (CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                   / CAST(n_b AS DOUBLE))
+                * (CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                     / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                     / CAST(n_b AS DOUBLE))
+                / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+    FROM pairs
+    """,
+)
+def audit_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: Welch's unequal-variance t-test between every pair of
+    order-status groups over o_totalprice (whole-unit grid) — the
+    parametric companion to audit_mannwhitney, with the
+    Welch-Satterthwaite degrees of freedom.
+
+    Exactness: prices quantize to exact integers (floor to whole
+    units — cents would push Σx² past 2^63 already at sf0.01); the
+    per-group (n, Σx, Σx²) fold in ONE pass over orders (conditional
+    sums — no per-group shuffle, 1 counter row), and the variance
+    numerators n·Σx²−(Σx)² are exact BIGINTs. t and df are fixed
+    IEEE trees over those integers; the shared standard-error term
+    is spelled identically on both engines so every intermediate
+    rounds the same way. Scale: one map-combinable global agg —
+    nothing downstream is data-sized. Σx² lifts to
+    DECIMAL(38) if a group's price mass approaches 2^63."""
+    od = t(spark, sf_dir, "orders")
+    units = F.floor(F.col("o_totalprice")).cast("bigint")
+    aggs = []
+    for s in ("F", "O", "P"):
+        is_s = F.col("o_orderstatus") == s
+        lo = s.lower()
+        aggs += [
+            F.sum(F.when(is_s, 1).otherwise(0)).cast("bigint").alias(f"n_{lo}"),
+            F.sum(F.when(is_s, units).otherwise(0))
+            .cast("bigint")
+            .alias(f"s1_{lo}"),
+            F.sum(F.when(is_s, units * units).otherwise(0))
+            .cast("bigint")
+            .alias(f"s2_{lo}"),
+        ]
+    m = od.agg(*aggs)
+    pairs = [("f", "o"), ("f", "p"), ("o", "p")]
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a.upper()).alias("grp_a"),
+                F.lit(b.upper()).alias("grp_b"),
+                F.col(f"n_{a}").alias("n_a"),
+                F.col(f"n_{b}").alias("n_b"),
+                F.col(f"s1_{a}").alias("s1_a"),
+                F.col(f"s1_{b}").alias("s1_b"),
+                F.col(f"s2_{a}").alias("s2_a"),
+                F.col(f"s2_{b}").alias("s2_b"),
+            )
+            for a, b in pairs
+        ]
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def sem(side: str):
+        n, s1, s2 = f"n_{side}", f"s1_{side}", f"s2_{side}"
+        return (
+            (F.col(n) * F.col(s2) - F.col(s1) * F.col(s1)).cast("double")
+            / (d(n) * (d(n) - F.lit(1.0)))
+            / d(n)
+        )
+
+    mean_diff = d("s1_a") / d("n_a") - d("s1_b") / d("n_b")
+    va, vb = sem("a"), sem("b")
+    t_stat = mean_diff / F.sqrt(va + vb)
+    df = (va + vb) * (va + vb) / (
+        va * va / (d("n_a") - F.lit(1.0)) + vb * vb / (d("n_b") - F.lit(1.0))
+    )
+    return (
+        m.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            mean_diff.alias("mean_diff_units"),
+            t_stat.alias("t_stat"),
+            df.alias("welch_df"),
+        )
+    )

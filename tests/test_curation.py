@@ -268,3 +268,49 @@ def test_contract_clean_fixture_and_dirty_detection(spark):
         bad = {r["rule"]: r["n_violations"] for r in C.audit_contract(spark, SF).collect()}
     assert bad["status_enum"] == 1 and bad["price_positive"] == 1
     assert bad["priority_format"] == 1 and bad["orderkey_unique"] == 1
+
+
+def test_bpe_encode_consistent_with_trainer_vocab(spark):
+    """Each doc's token count must equal the sum over its in-vocab
+    words of the word's symbol count after replaying the learned
+    merges in pure Python."""
+    import re
+    from collections import Counter
+
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in sorted(
+            REGISTRY["llm_bpe_train"].fn(spark, SF).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    got = {r["doc_id"]: r for r in REGISTRY["llm_bpe_encode"].fn(spark, SF).collect()}
+    for d in docs:
+        words = [
+            w for w in d["text"].strip().lower().split()
+            if re.fullmatch(r"[a-z]{2,}", w)
+        ]
+        if not words:
+            assert d["doc_id"] not in got
+            continue
+        row = got[d["doc_id"]]
+        assert row["n_words"] == len(words)
+        assert row["n_chars"] == sum(len(w) for w in words)
+        assert row["n_tokens"] == sum(encode(w) for w in words)
+        assert row["chars_per_token"] == row["n_chars"] / row["n_tokens"]

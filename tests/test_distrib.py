@@ -243,3 +243,28 @@ def test_mannwhitney_matches_midrank_recompute(spark):
         z = (u - na * nb / 2.0) / np.sqrt(var)
         assert abs(row["z"] - z) < 1e-9
         assert abs(row["rank_biserial"] - (2 * u / (na * nb) - 1)) < 1e-12
+
+
+def test_welch_ttest_matches_numpy(spark):
+    od = (
+        load_table(spark, SF, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    od["x"] = np.floor(od.o_totalprice).astype("int64")
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in REGISTRY["audit_ttest"].fn(spark, SF).collect()
+    }
+    assert set(got) == {("F", "O"), ("F", "P"), ("O", "P")}
+    for (a, b), row in got.items():
+        xa = od[od.o_orderstatus == a].x.values.astype("float64")
+        xb = od[od.o_orderstatus == b].x.values.astype("float64")
+        na, nb = len(xa), len(xb)
+        va, vb = xa.var(ddof=1) / na, xb.var(ddof=1) / nb
+        tstat = (xa.mean() - xb.mean()) / np.sqrt(va + vb)
+        dof = (va + vb) ** 2 / (va**2 / (na - 1) + vb**2 / (nb - 1))
+        assert (row["n_a"], row["n_b"]) == (na, nb)
+        assert abs(row["mean_diff_units"] - (xa.mean() - xb.mean())) < 1e-9
+        assert abs(row["t_stat"] - tstat) < 1e-9
+        assert abs(row["welch_df"] - dof) < 1e-6
