@@ -244,6 +244,24 @@ def main() -> None:
         timed_call(f"bfs_x{n}", lambda: _bfs(spark, cu_cnt * n)),
         # Hierarchical reservoir top-k: no whole-group window.
         timed(f"reservoir_x{n}", _rsv(docs_n)),
+        # Gram-novelty: narrow per-doc distinct shingles -> first-seen
+        # agg -> shingle-keyed join back (Zipf-head fanout question).
+        timed(f"novelty_x{n}", _novelty(docs_n)),
+        # Mann-Whitney U: same two-shuffle multi-counter cumsum as KS.
+        timed(f"mwu_x{n}", _mwu(od_n)),
+        # RLE: two user-keyed windows + roll-up.
+        timed(f"rle_x{n}", _rle(multiply(
+            load_table(spark, args.sf, "events"),
+            ["event_id", "user_id"], n, 10_000_000))),
+        # PCA projection pass: exploded vectors joined to a 64-row
+        # broadcast direction (the cov chain is constant-size; the
+        # projection is the data-sized stage probed here).
+        timed(f"pcaproj_x{n}", _pcaproj(salt_embs(
+            load_table(spark, args.sf, "embeddings"), n, 10_000_000))),
+        # BPE trainer loop: corpus collapses to word-freq first, so
+        # the k rounds should be vocab-bound, nearly flat in N
+        # (build inside the clock: the loop collects per round).
+        timed_call(f"bpe_x{n}", lambda: _bpe(spark, docs_n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -289,6 +307,12 @@ def main() -> None:
         timed("interp_x1", _interp(load_table(spark, args.sf, "events"))),
         timed_call("bfs_x1", lambda: _bfs(spark, cu_cnt)),
         timed("reservoir_x1", _rsv(docs)),
+        timed("novelty_x1", _novelty(docs)),
+        timed("mwu_x1", _mwu(od)),
+        timed("rle_x1", _rle(load_table(spark, args.sf, "events"))),
+        timed("pcaproj_x1", _pcaproj(salt_embs(
+            load_table(spark, args.sf, "embeddings"), 1, 10_000_000))),
+        timed_call("bpe_x1", lambda: _bpe(spark, docs)),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -302,7 +326,8 @@ def main() -> None:
                  "setsim", "dupspans", "cumsum", "sweep",
                  "gini", "ancestors", "cov", "simjoin",
                  "powiter", "starcc", "q17", "recursive",
-                 "ks", "interp", "bfs", "reservoir"):
+                 "ks", "interp", "bfs", "reservoir",
+                 "novelty", "mwu", "rle", "pcaproj", "bpe"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -989,6 +1014,135 @@ def _rsv(docs: DataFrame) -> DataFrame:
         "rk",
         F.row_number().over(Window.partitionBy("source").orderBy("pri", "doc_id")),
     ).filter(F.col("rk") <= 10)
+
+
+def _novelty(docs: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+
+
+def _mwu(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    vc = od.select(
+        F.col("o_orderstatus").alias("g"), F.col("o_totalprice").alias("v")
+    ).groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == s, 1).otherwise(0))
+            .cast("bigint").alias(f"c_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    cum = global_cumsum(
+        vc, ["c_f", "c_o", "c_p"], ["v"], ["cum_f", "cum_o", "cum_p"]
+    )
+    ca, cb = F.col("c_f"), F.col("c_o")
+    pa, pb = F.col("cum_f") - ca, F.col("cum_o") - cb
+    return cum.groupBy().agg(
+        F.sum(ca * (2 * (pa + pb) + (ca + cb) + 1)).cast("bigint").alias("r2"),
+        F.sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+        .cast("bigint").alias("t3"),
+        F.max("cum_f").alias("n_f"),
+        F.max("cum_o").alias("n_o"),
+    )
+
+
+def _rle(ev: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_type", "ts",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint").alias("run_id"),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("run_start"),
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+    )
+
+
+def _pcaproj(emb: DataFrame) -> DataFrame:
+    # Direction coefficients are a constant-size artifact; a synthetic
+    # 64-row vl reproduces the projection pass's exact plan shape.
+    spark = emb.sparkSession
+    vl = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("i"), F.lit(7).cast("long").alias("vl")
+    )
+    xs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))")
+        ).alias("_i0", "xl"),
+    ).select("vec_id", (F.col("_i0") + 1).alias("i"), "xl")
+    return (
+        xs.join(F.broadcast(vl), "i")
+        .groupBy("vec_id")
+        .agg(
+            (F.sum(F.col("xl") * F.col("vl")).cast("double") / F.lit(1e15))
+            .alias("score")
+        )
+    )
+
+
+def _bpe(spark, docs: DataFrame) -> DataFrame:
+    # Probe-local replica of queries.curation._bpe_fit over an
+    # arbitrary docs frame (the product helper is sf_dir-keyed).
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    sym = words.select(
+        F.regexp_replace("w", "(.)", "($1)").alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        toks = sym.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(").alias("toks"),
+            "freq",
+        ).filter(F.size("toks") >= 2)
+        pairs = toks.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS a, "
+                    "element_at(toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        cnt = pairs.groupBy("a", "b").agg(
+            F.sum("freq").cast("bigint").alias("cnt")
+        )
+        best = cnt.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        sym = sym.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"({best['a']})({best['b']})"),
+                F.lit(f"({best['a']}{best['b']})"),
+            ),
+        ).localCheckpoint(eager=True)
+    return sym.groupBy().agg(F.count(F.lit(1)).alias("n_words"))
 
 
 if __name__ == "__main__":
