@@ -71,10 +71,10 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 #       audit_kanon, audit_chisq, time_autocorr, time_rle,
 #       sample_systematic, llm_bpe_train, set_union_byname,
 #       agg_delta_method, audit_contract, llm_bpe_encode;
-#       queries/retrieval.py: emb_pca_project; queries/distrib.py:
-#       audit_mannwhitney, audit_ttest)
-#     — that makes 63, overfilling the 50-slot window by 13; push
-#     the last 13 of those keys to round 8 ahead of the
+#       queries/retrieval.py: emb_pca_project, emb_mmr;
+#       queries/distrib.py: audit_mannwhitney, audit_ttest)
+#     — that makes 64, overfilling the 50-slot window by 14; push
+#     the last 14 of those keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -664,3 +664,136 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score")
         )
     )
+
+
+# --- maximal marginal relevance selection --------------------------------
+
+_MMR_K = 5
+_MMR_SENTINEL = -(1 << 62)  # "no selected neighbor yet" max-sim floor
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled k-round greedy MMR in DuckDB SQL: round r picks
+    argmax(2·rel − maxsim) (ties → lowest vec_id), then folds the
+    winner's dot products into every survivor's running max-sim."""
+    parts = [
+        """
+    WITH xs AS (
+      SELECT vec_id, i, CAST(floor(embedding[i] * 1e6) AS BIGINT) AS xl
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ), q AS (
+      SELECT i, xl FROM xs WHERE vec_id = 0
+    ), rel AS (
+      SELECT x.vec_id, CAST(SUM(x.xl * q.xl) AS BIGINT) AS rel
+      FROM xs x JOIN q USING (i) WHERE x.vec_id <> 0 GROUP BY 1
+    ), s0 AS (
+      SELECT vec_id, rel,
+             CAST(-4611686018427387904 AS BIGINT) AS ms
+      FROM rel
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""
+    , b{r} AS (
+      SELECT vec_id, rel, ms FROM s{r - 1}
+      ORDER BY 2 * rel - ms DESC, vec_id LIMIT 1
+    ), d{r} AS (
+      SELECT x.vec_id, CAST(SUM(x.xl * s.xl) AS BIGINT) AS dot
+      FROM xs x JOIN xs s
+        ON s.i = x.i AND s.vec_id = (SELECT vec_id FROM b{r})
+      GROUP BY 1
+    ), s{r} AS (
+      SELECT p.vec_id, p.rel, GREATEST(p.ms, d{r}.dot) AS ms
+      FROM s{r - 1} p JOIN d{r} USING (vec_id)
+      WHERE p.vec_id <> (SELECT vec_id FROM b{r})
+    )"""
+        )
+    tail = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, vec_id, rel, ms FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + tail
+
+
+@query("emb_mmr", oracle=_mmr_oracle(_MMR_K))
+def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39: Maximal Marginal Relevance (Carbonell & Goldstein 1998) —
+    greedy diversified top-k: each round selects the vector
+    maximizing 2·relevance − max-similarity-to-already-selected
+    (the λ=2/3 MMR weighting in integer form), the standard
+    anti-redundancy selection for retrieval results and diverse
+    data subset curation.
+
+    Exactness: relevance and every pairwise similarity are raw
+    quantized dot products (1e-12-unit BIGINTs — monotone in cosine
+    for fixed norms, declared as the similarity kernel), the
+    running max-sim starts at an explicit −2⁶² sentinel (both
+    engines; GREATEST over NULL diverges between engines so no NULL
+    init), and the objective 2·rel − ms is pure integer arithmetic
+    with a vec_id tie-break — every round's argmax is deterministic,
+    so the k-row selection hash-matches the unrolled-CTE oracle.
+
+    Scale: one corpus pass builds the long form + relevance (64-row
+    broadcast query vector); each of the k rounds is a 64-row
+    broadcast join + per-vector hash agg to fold ONE new column of
+    dot products into the running max — k passes over state that
+    never exceeds (vec_id, rel, ms), with the 1-row argmax as the
+    only driver traffic per round (emb_kmeans/llm_bpe_train
+    pattern). No pairwise materialization anywhere: MMR needs only
+    max-sim to the selected SET, which folds incrementally."""
+    emb = t(spark, sf_dir, "embeddings")
+    xs = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))"
+                )
+            ).alias("_i0", "xl"),
+        )
+        .select("vec_id", (F.col("_i0") + 1).alias("i"), "xl")
+        .persist()
+    )
+    qv = xs.filter(F.col("vec_id") == 0).select(
+        "i", F.col("xl").alias("qxl")
+    )
+    rel = (
+        xs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xl") * F.col("qxl")).cast("bigint").alias("rel"))
+    )
+    state = rel.withColumn(
+        "ms", F.lit(_MMR_SENTINEL).cast("bigint")
+    ).localCheckpoint(eager=True)
+    picks = []
+    for rank in range(1, _MMR_K + 1):
+        best = (
+            state.orderBy(
+                (2 * F.col("rel") - F.col("ms")).desc(), "vec_id"
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rank, best["vec_id"], best["rel"], best["ms"]))
+        svec = xs.filter(F.col("vec_id") == best["vec_id"]).select(
+            "i", F.col("xl").alias("sxl")
+        )
+        dots = (
+            xs.join(F.broadcast(svec), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xl") * F.col("sxl")).cast("bigint").alias("dot"))
+        )
+        state = (
+            state.filter(F.col("vec_id") != best["vec_id"])
+            .join(dots, "vec_id")
+            .withColumn("ms", F.greatest(F.col("ms"), F.col("dot")))
+            .drop("dot")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        picks, "sel_rank bigint, vec_id bigint, rel bigint, ms bigint"
+    )

@@ -620,3 +620,53 @@ def test_pca_project_consistent_with_power_iteration(spark):
     for r in emb:
         xl = np.floor(np.array(r["embedding"], dtype="float64") * 1e6).astype("int64")
         assert got[r["vec_id"]] == float(int((xl * vl).sum())) / 1e15
+
+
+def test_mmr_matches_greedy_reference(spark):
+    """Replay greedy MMR in numpy (same integer kernel) and demand
+    the identical selection sequence and state values."""
+    import numpy as np
+
+    from flirt_consume_spark.io import load_table
+    from flirt_consume_spark.queries import REGISTRY
+    from flirt_consume_spark.queries.retrieval import _MMR_K, _MMR_SENTINEL
+
+    SF = "/root/testdata/sf0.001"
+    emb = load_table(spark, SF, "embeddings").collect()
+    X = {
+        r["vec_id"]: np.floor(
+            np.array(r["embedding"], dtype="float64") * 1e6
+        ).astype("int64")
+        for r in emb
+    }
+    q = X[0]
+    rel = {v: int((x * q).sum()) for v, x in X.items() if v != 0}
+    ms = {v: _MMR_SENTINEL for v in rel}
+    expect = []
+    for rank in range(1, _MMR_K + 1):
+        best = min(rel, key=lambda v: (-(2 * rel[v] - ms[v]), v))
+        expect.append((rank, best, rel[best], ms[best]))
+        sx = X[best]
+        del rel[best], ms[best]
+        for v in rel:
+            ms[v] = max(ms[v], int((X[v] * sx).sum()))
+    got = sorted(
+        (r["sel_rank"], r["vec_id"], r["rel"], r["ms"])
+        for r in REGISTRY["emb_mmr"].fn(spark, SF).collect()
+    )
+    assert got == expect
+    # diversification sanity: the selected set is pairwise less
+    # similar than a same-size top-rel set on average
+    sel = [v for _, v, _, _ in expect]
+    toprel = sorted(rel_all := {v: int((x * q).sum()) for v, x in X.items() if v != 0},
+                    key=lambda v: (-rel_all[v], v))[:_MMR_K]
+
+    def avg_pair_dot(ids):
+        tot, n = 0, 0
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    tot += int((X[a] * X[b]).sum()); n += 1
+        return tot / n
+
+    assert avg_pair_dot(sel) <= avg_pair_dot(toprel)
