@@ -70,11 +70,12 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 #       win_nth, set_intersect_all, scan_filemeta, llm_gram_novelty,
 #       audit_kanon, audit_chisq, time_autocorr, time_rle,
 #       sample_systematic, llm_bpe_train, set_union_byname,
-#       agg_delta_method, audit_contract, llm_bpe_encode;
+#       agg_delta_method, audit_contract, llm_bpe_encode,
+#       eval_confusion;
 #       queries/retrieval.py: emb_pca_project, emb_mmr;
 #       queries/distrib.py: audit_mannwhitney, audit_ttest)
-#     — that makes 64, overfilling the 50-slot window by 14; push
-#     the last 14 of those keys to round 8 ahead of the
+#     — that makes 65, overfilling the 50-slot window by 15; push
+#     the last 15 of those keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1048,3 +1048,81 @@ def audit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(rules)}, {stack_expr}) AS (rule, n_violations)",
         "_n AS n_checked",
     )
+
+
+# --- classifier evaluation: confusion matrix -----------------------------
+
+
+@query(
+    "eval_confusion",
+    oracle=rf"""
+    WITH pred AS (
+      SELECT lang AS actual,
+             CASE WHEN len(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> x IN {('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'on', 'for', 'with', 'by', 'is', 'are', 'was', 'be', 'at', 'as', 'it', 'that')}))
+                    / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    >= 0.1
+                  THEN 'en' ELSE 'unk' END AS predicted
+      FROM documents
+    ), cells AS (
+      SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_cell
+      FROM pred GROUP BY 1, 2
+    ), ra AS (
+      SELECT actual, CAST(SUM(n_cell) AS BIGINT) AS n_actual
+      FROM cells GROUP BY 1
+    ), rp AS (
+      SELECT predicted, CAST(SUM(n_cell) AS BIGINT) AS n_pred
+      FROM cells GROUP BY 1
+    )
+    SELECT actual, predicted, n_cell, n_actual, n_pred,
+           CAST(n_cell AS DOUBLE) / CAST(n_actual AS DOUBLE) AS recall_share,
+           CAST(n_cell AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision_share
+    FROM cells JOIN ra USING (actual) JOIN rp USING (predicted)
+    """,
+)
+def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: classifier evaluation — the confusion matrix of the
+    llm_langid heuristic against the documents table's ground-truth
+    lang column, with row/column marginals and the per-cell
+    recall/precision shares (diagonal cells ARE per-class recall and
+    precision; off-diagonal cells are the error decomposition) — the
+    standard eval artifact for any labeling stage in a data pipeline.
+
+    One hash agg to O(classes²) cells, then two broadcast marginal
+    joins (audit_chisq's shape); the two emitted doubles are single
+    divisions of exact integers. At 100 TB the prediction expression
+    fuses into the scan (no UDF) and nothing after the first agg is
+    data-sized."""
+    from flirt_consume_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    ratio = X.stopword_ratio("text")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        F.when(ratio >= 0.1, "en").otherwise("unk").alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    )
+    ra = cells.groupBy("actual").agg(
+        F.sum("n_cell").cast("bigint").alias("n_actual")
+    )
+    rp = cells.groupBy("predicted").agg(
+        F.sum("n_cell").cast("bigint").alias("n_pred")
+    )
+    return (
+        cells.join(F.broadcast(ra), "actual")
+        .join(F.broadcast(rp), "predicted")
+        .select(
+            "actual",
+            "predicted",
+            "n_cell",
+            "n_actual",
+            "n_pred",
+            (F.col("n_cell").cast("double") / F.col("n_actual").cast("double"))
+            .alias("recall_share"),
+            (F.col("n_cell").cast("double") / F.col("n_pred").cast("double"))
+            .alias("precision_share"),
+        )
+    )

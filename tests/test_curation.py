@@ -314,3 +314,23 @@ def test_bpe_encode_consistent_with_trainer_vocab(spark):
         assert row["n_chars"] == sum(len(w) for w in words)
         assert row["n_tokens"] == sum(encode(w) for w in words)
         assert row["chars_per_token"] == row["n_chars"] / row["n_tokens"]
+
+
+def test_confusion_matrix_invariants(spark):
+    out = REGISTRY["eval_confusion"].fn(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").count()
+    assert out.n_cell.sum() == docs
+    for a, grp in out.groupby("actual"):
+        assert grp.n_actual.iloc[0] == grp.n_cell.sum()
+        assert abs(grp.recall_share.sum() - 1.0) < 1e-12
+    for p, grp in out.groupby("predicted"):
+        assert grp.n_pred.iloc[0] == grp.n_cell.sum()
+        assert abs(grp.precision_share.sum() - 1.0) < 1e-12
+    # cells agree with a direct recompute of the langid heuristic
+    pred = (
+        REGISTRY["llm_langid"].fn(spark, SF)
+        .groupBy("actual", "predicted").count().collect()
+    )
+    direct = {(r["actual"], r["predicted"]): r["count"] for r in pred}
+    got = {(r.actual, r.predicted): r.n_cell for _, r in out.iterrows()}
+    assert got == direct
