@@ -1070,6 +1070,26 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum (so the oracle verifies the exact partition of vectors,
     not just sizes)."""
     emb = t(spark, sf_dir, "embeddings")
+    vl, assign = _km_state(spark, sf_dir)
+    sig = vl.groupBy("vec_id").agg(
+        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("sig")
+    )
+    return (
+        assign.join(sig, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("sig").cast("bigint").alias("member_checksum"),
+        )
+    )
+
+
+def _km_state(spark: SparkSession, sf_dir: str):
+    """Lloyd's loop shared by emb_kmeans (emits cluster summaries)
+    and llm_semdedup (consumes the final assignment as its blocking
+    key). Returns (persisted long-form vectors, final (vec_id, cid)
+    assignment)."""
+    emb = t(spark, sf_dir, "embeddings")
     vl = (
         emb.select(
             "vec_id",
@@ -1120,17 +1140,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
         )
-    sig = vl.groupBy("vec_id").agg(
-        F.sum(F.floor(F.col("x") * 1e6).cast("long")).alias("sig")
-    )
-    return (
-        assign.join(sig, "vec_id")
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("sig").cast("bigint").alias("member_checksum"),
-        )
-    )
+    return vl, assign
 
 
 @query(
@@ -1367,4 +1377,75 @@ def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("s").alias("o_orderstatus")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("c").cast("bigint").alias("cents"),
+    )
+
+
+@query(
+    "llm_semdedup",
+    oracle=(
+        """
+    WITH vl AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, pos, x AS c FROM vl WHERE vec_id < 5
+    ),"""
+        + _KM_ITER_SQL.format(i=1, p=0)
+        + ","
+        + _KM_ITER_SQL.format(i=2, p=1)
+        + """
+    , v AS (
+      SELECT e.vec_id, a2.cid,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+      FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
+    )
+    SELECT vec_b AS dup_id, MIN(vec_a) AS canonical_id,
+           MAX(cos_sim) AS best_cos, COUNT(*) AS n_links
+    FROM pairs GROUP BY vec_b
+    """
+    ),
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40: SemDeDup (Abbas et al. 2023) — semantic dedup by
+    CLUSTER-then-dedup: k-means cells (the exactly-verified Lloyd's
+    loop this module already ships) become the blocking key, and
+    cosine near-duplicates are removed only WITHIN a cell —
+    the published recipe for semantic dedup at web scale, where the
+    cluster count is the knob that keeps per-cell pair work bounded
+    (k ≈ corpus/√pairs; here k=5 to keep the oracle's unrolled
+    Lloyd's chain tractable, and the knob is the same `cents` seed
+    set).
+
+    Composition, not new machinery: the final k-means assignment
+    feeds ``embed_dup_pairs`` as its bucket frame (the same pairing/
+    cosine/keep-lowest-id path llm_embed_dedup uses over LSH
+    buckets), so LSH-blocked and cluster-blocked dedup are the same
+    verified kernel under two blocking strategies. Dup policy and
+    output shape match llm_embed_dedup (dup_id → lowest-id
+    canonical). The 6-dp rounded cosine keeps the threshold cut
+    ulp-stable across engines; at 100 TB the only data-sized stages
+    are the Lloyd's passes and ONE shuffle keyed on cell id."""
+    from flirt_consume_spark.operators import similarity as S
+
+    _, assign = _km_state(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = S.embed_dup_pairs(
+        emb,
+        min_cos=0.3,
+        buckets=assign.select("vec_id", F.col("cid").alias("bucket")),
+    )
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("canonical_id"),
+        F.max("cos_sim").alias("best_cos"),
+        F.count(F.lit(1)).alias("n_links"),
     )

@@ -293,3 +293,46 @@ def test_components_agree_on_self_pair_only_nodes(spark):
         r.node: r.comp for r in alternating_star_components(pairs).collect()
     }
     assert prop == star == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_semdedup_pairs_within_kmeans_cells_only(spark):
+    """Every reported duplicate must share its canonical's k-means
+    cell, the cosine must clear the threshold on recompute, and the
+    canonical must be the lowest-id in-cell neighbor above it."""
+    import numpy as np
+
+    from flirt_consume_spark.io import load_table
+    from flirt_consume_spark.queries import REGISTRY
+    from flirt_consume_spark.queries.advanced import _km_state
+
+    SF = "/root/testdata/sf0.001"
+    _, assign = _km_state(spark, SF)
+    cell = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return round(
+            float(va @ vb) / (np.sqrt(va @ va) * np.sqrt(vb @ vb)), 6
+        )
+
+    rows = REGISTRY["llm_semdedup"].fn(spark, SF).collect()
+    for r in rows:
+        assert cell[r["dup_id"]] == cell[r["canonical_id"]]
+        assert r["canonical_id"] < r["dup_id"]
+        assert cos(r["dup_id"], r["canonical_id"]) >= 0.3
+    # completeness: brute-force within-cell pairs >= threshold
+    expect = {}
+    ids = sorted(emb)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] == cell[b] and cos(a, b) >= 0.3:
+                expect.setdefault(b, []).append(a)
+    got = {r["dup_id"]: r for r in rows}
+    assert set(got) == set(expect)
+    for dup, links in expect.items():
+        assert got[dup]["canonical_id"] == min(links)
+        assert got[dup]["n_links"] == len(links)

@@ -623,3 +623,52 @@ def test_nullsafe_join_conserves_rows(spark):
     out = REGISTRY["join_nullsafe"].fn(spark, "/root/testdata/sf0.001")
     n_orders = load_table(spark, "/root/testdata/sf0.001", "orders").count()
     assert out.agg(F.sum("cnt")).collect()[0][0] == n_orders
+
+
+# --- BPE bracket-replace equivalence -------------------------------------
+#
+# llm_bpe_train's core trick: greedy leftmost-non-overlapping BPE
+# merge == literal string replace of '(a)(b)' with '(ab)' on the
+# bracketed symbolization. This property drives random words and
+# random merge sequences through BOTH a tuple-list reference merger
+# and the string-replace path (pure Python here — Spark's replace()
+# and DuckDB's replace() share the same leftmost-non-overlapping
+# contract, pinned cross-engine by the oracle hash-match).
+
+
+def _merge_tuples(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_bracket(s, a, b):
+    return s.replace(f"({a})({b})", f"({a}{b})")
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=12),
+    merges=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            st.text(alphabet="ab", min_size=1, max_size=3),
+        ),
+        max_size=4,
+    ),
+)
+def test_bpe_bracket_replace_equals_tuple_merge(word, merges):
+    syms = list(word)
+    s = "".join(f"({c})" for c in word)
+    for a, b in merges:
+        syms = _merge_tuples(syms, a, b)
+        s = _merge_bracket(s, a, b)
+        assert s == "".join(f"({x})" for x in syms), (word, merges)
+        # symbol concatenation always reconstructs the word
+        assert "".join(syms) == word
