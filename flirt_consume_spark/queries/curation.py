@@ -1126,3 +1126,75 @@ def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_share"),
         )
     )
+
+
+# --- budget-constrained greedy selection ---------------------------------
+
+_BUDGET_CHARS = 30_000
+
+
+@query(
+    "quota_budget_select",
+    oracle=rf"""
+    WITH sc AS (
+      SELECT doc_id,
+             floor((
+               (least(length(text) / 400.0, 1.0)
+                + least(len(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'on', 'for', 'with', 'by', 'is', 'are', 'was', 'be', 'at', 'as', 'it', 'that')))
+                    / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    * 4, 1.0)
+                + (1 - least(length(regexp_replace(text, '[a-zA-Z0-9 ]',
+                                                   '', 'g'))
+                             / length(text) * 10, 1.0))
+                + len(list_distinct(
+                      regexp_split_to_array(lower(trim(text)), '\s+')))
+                    / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               ) / 4) * 1e6) / 1e6 AS quality,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ), c AS (
+      SELECT doc_id, quality, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY quality DESC, doc_id)
+                  AS BIGINT) AS cum_chars
+      FROM sc
+    )
+    SELECT doc_id, quality, n_chars, cum_chars
+    FROM c WHERE cum_chars <= {_BUDGET_CHARS}
+    """,
+)
+def quota_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41: budget-constrained greedy data selection — take documents
+    in descending quality order until a character budget is spent
+    (the "best B tokens" curation step between scoring and packing;
+    quota_per_source caps per group, this caps the TOTAL).
+
+    Determinism: quality is the 1e-6-floored composite score
+    (llm_quality's exact pairing) and the selection order
+    (quality DESC, doc_id) is total. Scale: the prefix sum over that
+    order is ``operators.scale.global_cumsum`` — range-partition +
+    within-partition running sums + broadcast offsets, NO
+    single-reducer window (the SQL window formulation in the oracle
+    is exactly the plan this avoids); the budget filter then prunes
+    everything past the cut before any further stage."""
+    from flirt_consume_spark.operators import text as X
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    docs = t(spark, sf_dir, "documents")
+    q = F.floor(X.quality_score("text") * 1e6) / F.lit(1e6)
+    d = docs.select(
+        "doc_id",
+        q.alias("quality"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).withColumn("negq", -F.col("quality"))
+    cum = global_cumsum(d, ["n_chars"], ["negq", "doc_id"], ["cum_chars"])
+    return (
+        cum.filter(F.col("cum_chars") <= _BUDGET_CHARS)
+        .select(
+            "doc_id",
+            "quality",
+            "n_chars",
+            F.col("cum_chars").cast("bigint").alias("cum_chars"),
+        )
+    )

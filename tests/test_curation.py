@@ -334,3 +334,29 @@ def test_confusion_matrix_invariants(spark):
     direct = {(r["actual"], r["predicted"]): r["count"] for r in pred}
     got = {(r.actual, r.predicted): r.n_cell for _, r in out.iterrows()}
     assert got == direct
+
+
+def test_budget_select_greedy_invariants(spark):
+    from flirt_consume_spark.queries.curation import _BUDGET_CHARS
+
+    out = REGISTRY["quota_budget_select"].fn(spark, SF).toPandas()
+    q = REGISTRY["llm_quality"].fn(spark, SF).toPandas().set_index("doc_id")
+    docs = load_table(spark, SF, "documents").toPandas().set_index("doc_id")
+    # budget respected, cumsum consistent with the declared order
+    assert out.cum_chars.max() <= _BUDGET_CHARS
+    ordered = out.sort_values(["quality", "doc_id"], ascending=[False, True])
+    assert (ordered.n_chars.cumsum().values == ordered.cum_chars.values).all()
+    # recompute the greedy choice directly and compare sets exactly:
+    # stable two-key order (quality desc, doc_id asc), keep every row
+    # whose running cumulative char count stays within budget
+    sel = set(out.doc_id)
+    full = docs.assign(quality=q.quality, n=docs.text.str.len())
+    greedy = full.sort_index().sort_values(
+        "quality", kind="mergesort", ascending=False
+    )
+    expect, cum = [], 0
+    for doc_id, row in greedy.iterrows():
+        cum += row.n
+        if cum <= _BUDGET_CHARS:
+            expect.append(doc_id)
+    assert sorted(expect) == sorted(sel)

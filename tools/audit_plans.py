@@ -163,6 +163,9 @@ ALLOW = {
     # false positive — the plan holds the legitimate 1-row
     # SinglePartition final agg AND a window hash-partitioned by _pid.
     "audit_mannwhitney": {"nested_loop", "single_partition_window"},
+    # global_cumsum's triangular (pid → offset) broadcast join —
+    # num_partitions rows, constant in data size (sort_global shape).
+    "quota_budget_select": {"nested_loop"},
 }
 
 
