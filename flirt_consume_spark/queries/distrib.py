@@ -872,3 +872,137 @@ def audit_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.alias("welch_df"),
         )
     )
+
+
+# --- Kaplan-Meier survival curve -----------------------------------------
+
+
+@query(
+    "time_survival",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS DATE) AS d0,
+             CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS DATE) AS dp,
+             CAST(MAX(ts) AS DATE) AS dmax
+      FROM events GROUP BY 1
+    ), dur AS (
+      SELECT user_id,
+             CASE WHEN dp IS NOT NULL
+                  THEN CAST(date_diff('day', d0, dp) AS BIGINT)
+                  ELSE CAST(date_diff('day', d0, dmax) AS BIGINT)
+             END AS dur,
+             CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ), byd AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(ev) AS BIGINT) AS d_events
+      FROM dur GROUP BY 1
+    ), cum AS (
+      SELECT dur, n_total, d_events,
+             CAST(SUM(n_total) OVER (ORDER BY dur) AS BIGINT) AS cum_n
+      FROM byd
+    ), tot AS (SELECT CAST(MAX(cum_n) AS BIGINT) AS n FROM cum),
+    curve AS (
+      SELECT dur, d_events,
+             n - (cum_n - n_total) AS n_at_risk
+      FROM cum, tot WHERE d_events > 0
+    ), packed AS (
+      SELECT list(
+               {'dur': dur, 'd': d_events, 'n': n_at_risk} ORDER BY dur
+             ) AS a
+      FROM curve
+    ), ex AS (
+      SELECT unnest(a) AS s, generate_subscripts(a, 1) AS i, a
+      FROM packed
+    )
+    SELECT s.dur AS dur_days, s.d AS d_events, s.n AS n_at_risk,
+           CAST(s.n - s.d AS DOUBLE) / CAST(s.n AS DOUBLE) AS step_factor,
+           list_reduce(
+             list_transform(a[1:i],
+               x -> CAST(x.n - x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+             (acc, x) -> acc * x
+           ) AS survival
+    FROM ex
+    """,
+)
+def time_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: Kaplan-Meier survival curve — time from a user's first
+    event to first purchase, right-censored at their last observed
+    event: Ŝ(t) = Π_{t_i ≤ t} (1 − d_i/n_i), the standard
+    time-to-conversion estimator under incomplete observation.
+
+    Exactness: durations are integer DAYS, the at-risk counts come
+    from integer cumulative sums, each step factor is one division of
+    exact BIGINTs, and the cumulative product is a SEQUENTIAL
+    LEFT-TO-RIGHT fold over the ascending-time factor list on BOTH
+    engines (Spark ``F.aggregate`` over a sorted array / DuckDB
+    ``list_reduce`` over an ORDER BY list — same association, so the
+    IEEE product is bit-identical; a windowed product's internal
+    order would be implementation-defined). Scale: per-user fold +
+    per-day agg are map-combinable hash aggs; the curve itself is
+    BOUNDED (one row per distinct whole-day event duration), so the
+    packed-array prefix fold is O(T²) over a constant-size table —
+    the data-sized stages are two aggregations, nothing more. The
+    ascending cumulative for at-risk counts is n_total's prefix sum
+    (derived, like audit_ks, from the single agg output)."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")).cast(
+                "date"
+            )
+        ).alias("dp"),
+        F.max(F.col("ts").cast("date")).alias("dmax"),
+    )
+    dur = per_user.select(
+        F.when(
+            F.col("dp").isNotNull(), F.datediff("dp", "d0")
+        )
+        .otherwise(F.datediff("dmax", "d0"))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    byd = dur.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("ev").cast("bigint").alias("d_events"),
+    )
+    cum = global_cumsum(byd, ["n_total"], ["dur"], ["cum_n"])
+    tot = cum.groupBy().agg(F.max("cum_n").cast("bigint").alias("n"))
+    curve = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "dur",
+            F.col("d_events").alias("d"),
+            (F.col("n") - (F.col("cum_n") - F.col("n_total"))).alias(
+                "n_at_risk"
+            ),
+        )
+    )
+    packed = curve.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "d", F.col("n_at_risk").alias("n")))
+        ).alias("a")
+    )
+    factor = lambda x: (x["n"] - x["d"]).cast("double") / x["n"].cast(  # noqa: E731
+        "double"
+    )
+    ex = packed.select(F.col("a"), F.posexplode("a").alias("i", "s"))
+    return ex.select(
+        F.col("s.dur").alias("dur_days"),
+        F.col("s.d").alias("d_events"),
+        F.col("s.n").alias("n_at_risk"),
+        ((F.col("s.n") - F.col("s.d")).cast("double") / F.col("s.n").cast("double"))
+        .alias("step_factor"),
+        F.aggregate(
+            F.transform(
+                F.slice(F.col("a"), F.lit(1), F.col("i") + 1), factor
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("survival"),
+    )

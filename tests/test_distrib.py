@@ -268,3 +268,44 @@ def test_welch_ttest_matches_numpy(spark):
         assert abs(row["mean_diff_units"] - (xa.mean() - xb.mean())) < 1e-9
         assert abs(row["t_stat"] - tstat) < 1e-9
         assert abs(row["welch_df"] - dof) < 1e-6
+
+
+def test_kaplan_meier_matches_lifelines_free_recompute(spark):
+    """Recompute the KM estimator from first principles (durations,
+    risk sets, sequential product) in pure Python."""
+    ev = load_table(spark, SF, "events").toPandas()
+    durs = []
+    for uid, grp in ev.groupby("user_id"):
+        d0 = grp.ts.min().date()
+        pur = grp[grp.event_type == "purchase"]
+        if len(pur):
+            durs.append(((pur.ts.min().date() - d0).days, 1))
+        else:
+            durs.append(((grp.ts.max().date() - d0).days, 0))
+    import collections
+
+    byd = collections.defaultdict(lambda: [0, 0])
+    for d, e in durs:
+        byd[d][0] += 1
+        byd[d][1] += e
+    total = len(durs)
+    rows = {}
+    seen = 0
+    surv = 1.0
+    for d in sorted(byd):
+        n_tot, d_ev = byd[d]
+        n_risk = total - seen
+        seen += n_tot
+        if d_ev > 0:
+            surv = surv * ((n_risk - d_ev) / n_risk)
+            rows[d] = (d_ev, n_risk, (n_risk - d_ev) / n_risk, surv)
+    got = {r["dur_days"]: r for r in REGISTRY["time_survival"].fn(spark, SF).collect()}
+    assert set(got) == set(rows)
+    for d, (d_ev, n_risk, f, s) in rows.items():
+        r = got[d]
+        assert (r["d_events"], r["n_at_risk"]) == (d_ev, n_risk)
+        assert r["step_factor"] == f
+        assert abs(r["survival"] - s) < 1e-15
+    # survival is monotone non-increasing in time
+    xs = [got[d]["survival"] for d in sorted(got)]
+    assert all(a >= b for a, b in zip(xs, xs[1:]))

@@ -166,6 +166,13 @@ ALLOW = {
     # global_cumsum's triangular (pid → offset) broadcast join —
     # num_partitions rows, constant in data size (sort_global shape).
     "quota_budget_select": {"nested_loop"},
+    # nested_loop: global_cumsum's triangular offsets join + the
+    # 1-row total broadcast (audit_ks shape). single_partition_window
+    # is the llm_tfidf heuristic false positive (legitimate 1-row
+    # scalar aggs + a _pid-hashpartitioned window in the same plan);
+    # the curve-packing collect itself aggregates a BOUNDED table
+    # (one row per distinct whole-day duration).
+    "time_survival": {"nested_loop", "single_partition_window"},
 }
 
 
