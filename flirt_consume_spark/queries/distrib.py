@@ -1006,3 +1006,94 @@ def time_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x,
         ).alias("survival"),
     )
+
+
+# --- Holt double-exponential smoothing -----------------------------------
+
+
+@query(
+    "time_holt",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             value AS x
+      FROM events
+    ), nn AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n FROM seq GROUP BY 1
+    ), rec AS (
+      SELECT user_id, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             0.5 * s.x + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN seq s
+        ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT rec.user_id, n, l AS level, b AS trend,
+           l + b AS forecast_1
+    FROM rec JOIN nn ON nn.user_id = rec.user_id
+    WHERE rn = n
+    """,
+)
+def time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24: Holt double-exponential smoothing (level + trend,
+    α=β=1/2) folded over each user's event-value series, emitting the
+    final state and the one-step-ahead forecast — the genuinely
+    RECURSIVE time-series op (each state depends on the previous
+    one; unlike win_ewma there is no closed form to unroll).
+
+    Exactness: α=β=1/2 makes every smoothing multiplier exactly
+    representable, and both engines execute the IDENTICAL sequence
+    of IEEE ops in series order — Spark as a left fold
+    (``F.aggregate`` with a struct accumulator over the per-user
+    sorted array) and DuckDB as a recursive CTE stepping rn → rn+1 —
+    so the final (level, trend) match bit-for-bit. Scale: one hash
+    agg packs each user's BOUNDED history (collect_list keyed by the
+    high-cardinality user id — embarrassingly parallel, no window,
+    no cross-user state); the fold runs inside codegen per row. The
+    oracle's recursive join is the same recurrence spelled
+    relationally."""
+    ev = t(spark, sf_dir, "events")
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("x"),
+                    )
+                )
+            ).alias("sarr")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(sarr, s -> s.x)").alias("xs"),
+        )
+    )
+    new_l = "0.5 * x + 0.5 * (acc.l + acc.b)"
+    fold = F.expr(
+        f"""aggregate(
+              slice(xs, 2, greatest(size(xs) - 1, 0)),
+              named_struct('l', xs[0], 'b', CAST(0.0 AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', {new_l},
+                'b', 0.5 * (({new_l}) - acc.l) + 0.5 * acc.b
+              )
+            )"""
+    )
+    return arr.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n"),
+        fold.alias("_st"),
+    ).select(
+        "user_id",
+        "n",
+        F.col("_st.l").alias("level"),
+        F.col("_st.b").alias("trend"),
+        (F.col("_st.l") + F.col("_st.b")).alias("forecast_1"),
+    )

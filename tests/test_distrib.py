@@ -309,3 +309,19 @@ def test_kaplan_meier_matches_lifelines_free_recompute(spark):
     # survival is monotone non-increasing in time
     xs = [got[d]["survival"] for d in sorted(got)]
     assert all(a >= b for a, b in zip(xs, xs[1:]))
+
+
+def test_holt_matches_python_recursion(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    got = {r["user_id"]: r for r in REGISTRY["time_holt"].fn(spark, SF).collect()}
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        xs = list(grp.value.values)
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+        r = got[uid]
+        assert r["n"] == len(xs)
+        assert r["level"] == l and r["trend"] == b
+        assert r["forecast_1"] == l + b
