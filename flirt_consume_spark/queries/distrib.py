@@ -1097,3 +1097,87 @@ def time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_st.b").alias("trend"),
         (F.col("_st.l") + F.col("_st.b")).alias("forecast_1"),
     )
+
+
+# --- local-level Kalman filter -------------------------------------------
+
+
+@query(
+    "time_kalman",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             value AS x
+      FROM events
+    ), nn AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n FROM seq GROUP BY 1
+    ), rec AS (
+      SELECT user_id, rn, x AS m, CAST(1.0 AS DOUBLE) AS p
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             r.m + ((r.p + 1.0) / (r.p + 2.0)) * (s.x - r.m),
+             (1.0 - ((r.p + 1.0) / (r.p + 2.0))) * (r.p + 1.0)
+      FROM rec r JOIN seq s
+        ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT rec.user_id, n, m AS state_mean, p AS state_var
+    FROM rec JOIN nn ON nn.user_id = rec.user_id
+    WHERE rn = n
+    """,
+)
+def time_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25: 1-D local-level Kalman filter (process noise q=1,
+    observation noise r=1) over each user's event-value series — the
+    optimal online denoiser for a drifting level, and with time_holt
+    the second member of the genuinely-recursive smoother family
+    (gain and variance both depend on the previous step; no closed
+    form).
+
+    Per step: predict p⁻ = p+q; gain k = p⁻/(p⁻+r); m += k(x−m);
+    p = (1−k)p⁻. The gain expression is spelled ONCE and reused
+    verbatim in both update lines on both engines, so every IEEE
+    intermediate is shared and the final (mean, variance) match
+    bit-for-bit — Spark folds the per-user sorted array in codegen,
+    the oracle steps the identical recurrence as a recursive CTE.
+    Scale story identical to time_holt: one user-keyed hash agg,
+    bounded per-user history, zero cross-user state."""
+    ev = t(spark, sf_dir, "events")
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("x"),
+                    )
+                )
+            ).alias("sarr")
+        )
+        .select("user_id", F.expr("transform(sarr, s -> s.x)").alias("xs"))
+    )
+    gain = "((acc.p + 1.0) / (acc.p + 2.0))"
+    fold = F.expr(
+        f"""aggregate(
+              slice(xs, 2, greatest(size(xs) - 1, 0)),
+              named_struct('m', xs[0], 'p', CAST(1.0 AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'm', acc.m + {gain} * (x - acc.m),
+                'p', (1.0 - {gain}) * (acc.p + 1.0)
+              )
+            )"""
+    )
+    return arr.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n"),
+        fold.alias("_st"),
+    ).select(
+        "user_id",
+        "n",
+        F.col("_st.m").alias("state_mean"),
+        F.col("_st.p").alias("state_var"),
+    )

@@ -325,3 +325,23 @@ def test_holt_matches_python_recursion(spark):
         assert r["n"] == len(xs)
         assert r["level"] == l and r["trend"] == b
         assert r["forecast_1"] == l + b
+
+
+def test_kalman_matches_python_recursion(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    got = {r["user_id"]: r for r in REGISTRY["time_kalman"].fn(spark, SF).collect()}
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        xs = list(grp.value.values)
+        m, p = xs[0], 1.0
+        for x in xs[1:]:
+            k = (p + 1.0) / (p + 2.0)
+            m = m + k * (x - m)
+            p = (1.0 - k) * (p + 1.0)
+        r = got[uid]
+        assert r["n"] == len(xs)
+        assert r["state_mean"] == m and r["state_var"] == p
+        # with q=r=1 the posterior variance is bounded and converges
+        # to the fixed point p* = (sqrt(5)-1)/2 ≈ 0.618
+        assert 0.0 < r["state_var"] <= 2.0
+        if r["n"] >= 10:
+            assert abs(r["state_var"] - 0.6180339887498949) < 1e-9
