@@ -614,3 +614,118 @@ def cms_cells_stream(events: DataFrame) -> DataFrame:
     from flirt_consume_spark.operators.sketch import cms_cells
 
     return cms_cells(events.select("user_id"), "user_id")
+
+
+def series_stream_sink(spark: SparkSession, out_dir: str) -> None:
+    """S18/T12: custom STREAMING Python data SINK (PySpark 4
+    ``DataSourceStreamWriter``) — the write-side twin of
+    read_series_stream and the streaming twin of sink_pyds' batch
+    commit protocol. Executors write task-local jsonl files and
+    return them as WriterCommitMessages; the driver's commit()
+    publishes ``manifest-epoch-N.json`` per micro-batch. The epoch
+    manifest is REWRITTEN atomically (tmp + rename) if a batch is
+    re-delivered after a restart, so replayed epochs replace —
+    never duplicate — their output: readers take exactly the files
+    the manifests name, and stray files from failed/speculative
+    tasks are invisible. Runs the deterministic series stream to
+    completion with availableNow."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class FileMsg(WriterCommitMessage):
+        def __init__(self, path, n):
+            self.path = path
+            self.n = n
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, iterator):
+            name = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(name, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                    n += 1
+            return FileMsg(name, n)
+
+        def commit(self, messages, batchId):
+            manifest = {
+                "epoch": batchId,
+                "files": sorted(
+                    m.path for m in messages if m is not None and m.n > 0
+                ),
+                "rows": sum(m.n for m in messages if m is not None),
+            }
+            tmp = os.path.join(self.path, f".manifest-{batchId}.tmp")
+            final = os.path.join(self.path, f"manifest-epoch-{batchId}.json")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, sort_keys=True)
+            os.replace(tmp, final)
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlStreamSink)
+    os.makedirs(out_dir, exist_ok=True)
+    q = (
+        read_series_stream(spark)
+        .writeStream.format("jsonl_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # The simple stream reader has no end-of-stream marker for
+    # availableNow, so drive with a fast trigger and stop once every
+    # series row has been COMMITTED through an epoch manifest.
+    import glob
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        n = 0
+        for mpath in glob.glob(os.path.join(out_dir, "manifest-epoch-*.json")):
+            with open(mpath) as fh:
+                n += json.load(fh)["rows"]
+        if n >= 6000:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+
+def read_sink_manifests(out_dir: str):
+    """Manifest-faithful read-back: exactly the rows in files the
+    epoch manifests name (the read path a downstream consumer of the
+    sink would implement)."""
+    import glob
+    import json
+    import os
+
+    rows, epochs = [], []
+    for mpath in sorted(glob.glob(os.path.join(out_dir, "manifest-epoch-*.json"))):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        epochs.append((m["epoch"], m["rows"]))
+        for fpath in m["files"]:
+            with open(fpath) as fh:
+                rows.extend(json.loads(line) for line in fh)
+    return rows, epochs

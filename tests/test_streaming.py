@@ -442,3 +442,31 @@ def test_cms_stream_state_is_constant_and_merges(spark, source_dir, tmp_path):
     w = sorted(map(tuple, want.collect()))
     assert g == w  # stream-folded sketch == batch sketch, cell for cell
     assert len(g) <= CMS_D * CMS_W  # state bounded by the sketch size
+
+
+def test_python_stream_sink_manifest_commit(spark, tmp_path):
+    """T12/S18: the custom Python streaming sink must (a) land exactly
+    the series rows across its epoch manifests, and (b) hide files no
+    manifest names (failed/speculative task leftovers)."""
+    import json
+    import os
+
+    from flirt_consume_spark.streaming.jobs import (
+        read_sink_manifests,
+        series_stream_sink,
+    )
+
+    out = str(tmp_path / "sink")
+    series_stream_sink(spark, out)
+    # plant an orphan part file no manifest references
+    orphan = os.path.join(out, "part-orphan.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"i": 999999, "m": 0, "x": 0.0}) + "\n")
+    rows, epochs = read_sink_manifests(out)
+    assert sum(n for _, n in epochs) == 6000
+    got = sorted((r["i"], r["m"], r["x"]) for r in rows)
+    expect = sorted((k, (k * k) % 97, k / 7.0) for k in range(6000))
+    assert got == expect  # orphan invisible, nothing lost or doubled
+    # epoch ids are unique (re-delivery would REPLACE, not append)
+    ids = [e for e, _ in epochs]
+    assert len(ids) == len(set(ids))
