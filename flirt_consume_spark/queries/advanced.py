@@ -1084,11 +1084,27 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_state(spark: SparkSession, sf_dir: str):
+# Session-scoped cache of the Lloyd's-loop result: emb_kmeans and
+# llm_semdedup both consume the same (vl, assignment) state — compute
+# it once per (session, sf, k), the staged-intermediate shape of a
+# real cluster-then-X pipeline (same pattern as llm._LSH_PAIR_CACHE).
+_KM_STATE_CACHE: dict = {}
+
+
+def _km_state(spark: SparkSession, sf_dir: str, k: int = 5):
     """Lloyd's loop shared by emb_kmeans (emits cluster summaries)
     and llm_semdedup (consumes the final assignment as its blocking
     key). Returns (persisted long-form vectors, final (vec_id, cid)
-    assignment)."""
+    assignment). ``k`` is the SCALE KNOB for cluster-blocked
+    consumers: per-cell pair work in llm_semdedup is ~N²/k, so k
+    grows with the corpus (SemDeDup uses k in the tens of thousands
+    at web scale); the oracle-checked keys pin k=5 so the unrolled
+    Lloyd's SQL stays tractable, and the probe suite exercises the
+    scaled-k path."""
+    ck = (spark.sparkContext.applicationId, sf_dir, k)
+    hit = _KM_STATE_CACHE.get(ck)
+    if hit is not None:
+        return hit
     emb = t(spark, sf_dir, "embeddings")
     vl = (
         emb.select(
@@ -1103,7 +1119,7 @@ def _km_state(spark: SparkSession, sf_dir: str):
         # re-exploding the parquet scan 5x.
         .persist()
     )
-    cents = vl.filter(F.col("vec_id") < 5).select(
+    cents = vl.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
     )
     for _ in range(2):
@@ -1140,6 +1156,8 @@ def _km_state(spark: SparkSession, sf_dir: str):
                 ).alias("c")
             )
         )
+    assign = assign.persist()
+    _KM_STATE_CACHE[ck] = (vl, assign)
     return vl, assign
 
 

@@ -690,11 +690,21 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped cache: llm_bpe_train and llm_bpe_encode share one
+# training run per (session, sf) — the train-once / apply-many shape
+# of a real tokenizer pipeline (llm._LSH_PAIR_CACHE pattern).
+_BPE_FIT_CACHE: dict = {}
+
+
 def _bpe_fit(spark: SparkSession, sf_dir: str):
     """Run the k-round BPE loop; return (merge table rows, final
     symbolized vocab DataFrame (w, s, freq)). Shared by the trainer
     key (emits the merges) and the encoder key (consumes the final
     vocab)."""
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_FIT_CACHE.get(ck)
+    if hit is not None:
+        return hit
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -736,6 +746,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
                 F.lit(f"({best['a']}{best['b']})"),
             ),
         ).localCheckpoint(eager=True)
+    _BPE_FIT_CACHE[ck] = (merges, sym)
     return merges, sym
 
 

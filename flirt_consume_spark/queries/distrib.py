@@ -759,36 +759,46 @@ def audit_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
               - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
            / sqrt(
-               CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+               (CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+                 - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
                  / CAST(n_a AS DOUBLE)
-               + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+               + (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+                 - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
                  / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
                  / CAST(n_b AS DOUBLE)
              ) AS t_stat,
-           (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+           ((CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+                 - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
               / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
               / CAST(n_a AS DOUBLE)
-            + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+            + (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+                 - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
               / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
               / CAST(n_b AS DOUBLE))
-           * (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+           * ((CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+                 - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
                 / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
                 / CAST(n_a AS DOUBLE)
-              + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+              + (CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+                 - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
                 / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
                 / CAST(n_b AS DOUBLE))
-           / ((CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+           / (((CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+                 - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
                  / CAST(n_a AS DOUBLE))
-              * (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+              * ((CAST(n_a AS DOUBLE) * CAST(s2_a AS DOUBLE)
+                 - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
                    / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
                    / CAST(n_a AS DOUBLE))
               / (CAST(n_a AS DOUBLE) - 1.0)
-              + (CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+              + ((CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+                 - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
                    / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
                    / CAST(n_b AS DOUBLE))
-                * (CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                * ((CAST(n_b AS DOUBLE) * CAST(s2_b AS DOUBLE)
+                 - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
                      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
                      / CAST(n_b AS DOUBLE))
                 / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
@@ -804,13 +814,15 @@ def audit_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: prices quantize to exact integers (floor to whole
     units — cents would push Σx² past 2^63 already at sf0.01); the
     per-group (n, Σx, Σx²) fold in ONE pass over orders (conditional
-    sums — no per-group shuffle, 1 counter row), and the variance
-    numerators n·Σx²−(Σx)² are exact BIGINTs. t and df are fixed
-    IEEE trees over those integers; the shared standard-error term
-    is spelled identically on both engines so every intermediate
-    rounds the same way. Scale: one map-combinable global agg —
-    nothing downstream is data-sized. Σx² lifts to
-    DECIMAL(38) if a group's price mass approaches 2^63."""
+    sums — no per-group shuffle, 1 counter row) and are exact
+    BIGINTs. The variance numerator n·Σx²−(Σx)² is evaluated in
+    DOUBLE (at sf0.1 (Σx)² already exceeds 2⁶³; the subtraction has
+    no catastrophic cancellation here because var/mean² is O(1) for
+    this distribution), and t/df are fixed IEEE trees spelled
+    identically on both engines so every intermediate rounds the
+    same way. Scale: one map-combinable global agg — nothing
+    downstream is data-sized. The Σx² SUM itself lifts to
+    DECIMAL(38) if a group's squared price mass approaches 2^63."""
     od = t(spark, sf_dir, "orders")
     units = F.floor(F.col("o_totalprice")).cast("bigint")
     aggs = []
@@ -848,7 +860,7 @@ def audit_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sem(side: str):
         n, s1, s2 = f"n_{side}", f"s1_{side}", f"s2_{side}"
         return (
-            (F.col(n) * F.col(s2) - F.col(s1) * F.col(s1)).cast("double")
+            (d(n) * d(s2) - d(s1) * d(s1))
             / (d(n) * (d(n) - F.lit(1.0)))
             / d(n)
         )

@@ -540,12 +540,23 @@ emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(
 )
 
 
+# Session-scoped cache: emb_power_iteration and emb_pca_project share
+# one covariance/iterate chain per (session, sf) — compute the
+# constant-size direction once, project many (llm._LSH_PAIR_CACHE
+# pattern).
+_POWER_W_CACHE: dict = {}
+
+
 def _power_w(spark: SparkSession, sf_dir: str):
     """Un-normalized {_POWER_ITERS}-step power iterate (i, w) plus the
     1-row max-abs normalizer — shared by emb_power_iteration (which
     emits the 1e-9-floored direction) and emb_pca_project (which
     needs the INTEGER 1e-9-grid coefficients so projection sums stay
     exact)."""
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _POWER_W_CACHE.get(ck)
+    if hit is not None:
+        return hit
     cov = _cov_long(spark, sf_dir).persist()
     # Iterate WITHOUT intermediate normalization: |cov| <= ~1, so 3
     # un-normalized iterates stay well inside double range, and
@@ -573,6 +584,8 @@ def _power_w(spark: SparkSession, sf_dir: str):
             )
         )
     mx = w.agg(F.max(F.abs(F.col("w"))).alias("_m"))
+    w = w.persist()
+    _POWER_W_CACHE[ck] = (w, mx)
     return w, mx
 
 

@@ -262,6 +262,17 @@ def main() -> None:
         # the k rounds should be vocab-bound, nearly flat in N
         # (build inside the clock: the loop collects per round).
         timed_call(f"bpe_x{n}", lambda: _bpe(spark, docs_n)),
+        # Holt/Kalman: per-user pack + codegen fold — linear, no
+        # cross-user state.
+        timed(f"holt_x{n}", _holt(multiply(
+            load_table(spark, args.sf, "events"),
+            ["event_id", "user_id"], n, 10_000_000))),
+        # SemDeDup with the k knob applied (k = 5n cells at n x the
+        # vectors, per the operator's documented scaling rule — cell
+        # population stays constant so pair work stays ~N²/k).
+        timed_call(f"semdedup_x{n}", lambda: _semdedup(spark, salt_embs(
+            load_table(spark, args.sf, "embeddings"), n, 10_000_000),
+            5 * n)),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -313,6 +324,11 @@ def main() -> None:
         timed("pcaproj_x1", _pcaproj(salt_embs(
             load_table(spark, args.sf, "embeddings"), 1, 10_000_000))),
         timed_call("bpe_x1", lambda: _bpe(spark, docs)),
+        timed("holt_x1", _holt(load_table(spark, args.sf, "events"))),
+        timed_call("semdedup_x1", lambda: _semdedup(
+            spark, salt_embs(
+                load_table(spark, args.sf, "embeddings"), 1, 10_000_000),
+            5)),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -327,7 +343,8 @@ def main() -> None:
                  "gini", "ancestors", "cov", "simjoin",
                  "powiter", "starcc", "q17", "recursive",
                  "ks", "interp", "bfs", "reservoir",
-                 "novelty", "mwu", "rle", "pcaproj", "bpe"):
+                 "novelty", "mwu", "rle", "pcaproj", "bpe",
+                 "holt", "semdedup"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -1143,6 +1160,97 @@ def _bpe(spark, docs: DataFrame) -> DataFrame:
             ),
         ).localCheckpoint(eager=True)
     return sym.groupBy().agg(F.count(F.lit(1)).alias("n_words"))
+
+
+def _holt(ev: DataFrame) -> DataFrame:
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("tt"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("x"),
+                    )
+                )
+            ).alias("sarr")
+        )
+        .select("user_id", F.expr("transform(sarr, s -> s.x)").alias("xs"))
+    )
+    new_l = "0.5 * x + 0.5 * (acc.l + acc.b)"
+    fold = F.expr(
+        f"""aggregate(
+              slice(xs, 2, greatest(size(xs) - 1, 0)),
+              named_struct('l', xs[0], 'b', CAST(0.0 AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', {new_l},
+                'b', 0.5 * (({new_l}) - acc.l) + 0.5 * acc.b
+              )
+            )"""
+    )
+    return arr.select("user_id", fold.alias("_st")).select(
+        "user_id", F.col("_st.l").alias("level"), F.col("_st.b").alias("trend")
+    )
+
+
+def _semdedup(spark, emb: DataFrame, k: int) -> DataFrame:
+    # Probe-local cluster-then-dedup with a k-cell Lloyd's pass over
+    # an arbitrary embeddings frame (the product helper is
+    # sf_dir-keyed); blocking + pairing mirror queries.advanced.
+    from pyspark.sql.window import Window
+
+    from flirt_consume_spark.operators.similarity import embed_dup_pairs
+
+    vl = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ),
+        )
+        .select("vec_id", F.col("pos"), F.col("col").alias("x"))
+        .persist()
+    )
+    seeds = vl.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    cents = vl.join(F.broadcast(seeds), "vec_id").select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
+    )
+    for _ in range(2):
+        d = (
+            vl.join(cents, "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("x") - F.col("c"))
+                        * (F.col("x") - F.col("c")) * 1e15
+                    ).cast("long")
+                ).alias("dq")
+            )
+        )
+        rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("dq", "cid"))
+        assign = d.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "vec_id", "cid"
+        )
+        cents = (
+            assign.join(vl, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * 1e9).cast("long")) / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+    pairs = embed_dup_pairs(
+        emb, min_cos=0.3,
+        buckets=assign.select("vec_id", F.col("cid").alias("bucket")),
+    )
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_links"),
+    )
 
 
 if __name__ == "__main__":
