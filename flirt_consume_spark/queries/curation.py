@@ -1209,3 +1209,81 @@ def quota_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_chars").cast("bigint").alias("cum_chars"),
         )
     )
+
+
+# --- precision-recall curve ----------------------------------------------
+
+
+@query(
+    "eval_pr_curve",
+    oracle=r"""
+    WITH scored AS (
+      SELECT floor(len(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'on', 'for', 'with', 'by', 'is', 'are', 'was', 'be', 'at', 'as', 'it', 'that')))
+                   / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   * 1e6) / 1e6 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), by_score AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1
+    ), cum AS (
+      SELECT score, n, n_pos,
+             CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY score DESC) AS BIGINT)
+               AS cum_pos
+      FROM by_score
+    ), tot AS (SELECT CAST(MAX(cum_pos) AS BIGINT) AS p FROM cum)
+    SELECT score AS threshold, cum_n, cum_pos,
+           CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS precision_at,
+           CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) AS recall_at
+    FROM cum, tot
+    """,
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: precision-recall curve — one (precision, recall) point
+    per distinct score threshold of the langid en-ratio scorer
+    against the ground-truth lang label; with eval_confusion this
+    completes the classifier-evaluation pair (fixed operating point
+    vs the full threshold sweep).
+
+    The curve derives entirely from integer cumulative counts over
+    the DESCENDING score order: per-score (n, n_pos) from one hash
+    agg, then ONE multi-counter ``global_cumsum`` (range shuffle
+    amortized over both counters, no single-reducer window — the
+    oracle's SQL windows are exactly the plan this avoids), then two
+    single divisions per point. Output is BOUNDED at one row per
+    distinct score (the 1e-6-floored ratio grid). At 100 TB the
+    data-sized work is the scoring scan + two shuffles."""
+    from flirt_consume_spark.operators import text as X
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)).alias(
+            "score"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    ).withColumn("negs", -F.col("score"))
+    cum = global_cumsum(
+        by_score, ["n", "n_pos"], ["negs"], ["cum_n", "cum_pos"]
+    )
+    tot = cum.groupBy().agg(F.max("cum_pos").cast("bigint").alias("p"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            F.col("cum_n").cast("bigint").alias("cum_n"),
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+            .alias("precision_at"),
+            (F.col("cum_pos").cast("double") / F.col("p").cast("double"))
+            .alias("recall_at"),
+        )
+    )

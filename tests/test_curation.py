@@ -360,3 +360,27 @@ def test_budget_select_greedy_invariants(spark):
         if cum <= _BUDGET_CHARS:
             expect.append(doc_id)
     assert sorted(expect) == sorted(sel)
+
+
+def test_pr_curve_matches_sklearn_free_sweep(spark):
+    """Recompute the PR sweep directly from per-doc (score, label)."""
+    # en_ratio is llm_langid's emitted score; actual is the label
+    langid = REGISTRY["llm_langid"].fn(spark, SF).toPandas()
+    s = langid.en_ratio.values
+    y = (langid.actual == "en").astype(int).values
+    got = {r["threshold"]: r for r in REGISTRY["eval_pr_curve"].fn(spark, SF).collect()}
+    P = y.sum()
+    for tau in sorted(set(s)):
+        mask = s >= tau
+        tp = int(y[mask].sum())
+        k = int(mask.sum())
+        r = got[tau]
+        assert (r["cum_n"], r["cum_pos"]) == (k, tp)
+        assert r["precision_at"] == tp / k
+        assert r["recall_at"] == tp / P
+    assert set(got) == set(s)
+    # recall grows monotonically as the threshold relaxes
+    ordered = [got[t] for t in sorted(got, reverse=True)]
+    rec = [r["recall_at"] for r in ordered]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    assert rec[-1] == 1.0

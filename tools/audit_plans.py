@@ -173,6 +173,11 @@ ALLOW = {
     # the curve-packing collect itself aggregates a BOUNDED table
     # (one row per distinct whole-day duration).
     "time_survival": {"nested_loop", "single_partition_window"},
+    # Same audit_ks shape: nested_loop = global_cumsum's triangular
+    # offsets join + the 1-row positives-total broadcast;
+    # single_partition_window = the heuristic false positive
+    # (legitimate 1-row scalar aggs + a _pid-partitioned window).
+    "eval_pr_curve": {"nested_loop", "single_partition_window"},
 }
 
 
