@@ -1287,3 +1287,135 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at"),
         )
     )
+
+
+# --- rank-based AUC -------------------------------------------------------
+
+
+@query(
+    "eval_auc",
+    oracle=r"""
+    WITH scored AS (
+      SELECT floor(len(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'on', 'for', 'with', 'by', 'is', 'are', 'was', 'be', 'at', 'as', 'it', 'that')))
+                   / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   * 1e6) / 1e6 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), vc AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(SUM(1 - y) AS BIGINT) AS c0
+      FROM scored GROUP BY 1
+    ), cum AS (
+      SELECT c1, c0,
+             SUM(c1) OVER (ORDER BY score) AS cum1,
+             SUM(c0) OVER (ORDER BY score) AS cum0
+      FROM vc
+    ), m AS (
+      SELECT
+        CAST(SUM(c1 * (2 * ((cum1 - c1) + (cum0 - c0))
+                       + (c1 + c0) + 1)) AS BIGINT) AS r2,
+        CAST(SUM(c1 * c0) AS BIGINT) AS n_tied_pairs,
+        CAST(MAX(cum1) AS BIGINT) AS n_pos,
+        CAST(MAX(cum0) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           r2 - n_pos * (n_pos + 1) AS u2,
+           n_tied_pairs,
+           CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM m
+    """,
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: exact ROC AUC of the langid en-ratio scorer via the
+    rank-sum identity AUC = U/(n₊·n₋) — P(score₊ > score₋) with ties
+    counted half, the threshold-free summary completing the eval
+    trio (confusion matrix = one operating point, PR curve = the
+    sweep, AUC = the scalar).
+
+    Same doubled-midrank integer machinery as audit_mannwhitney
+    (2·midrank over the pooled ascending-score order is an integer,
+    so 2R₊, the doubled statistic u2 = 2U, and the tied-pair count
+    are exact BIGINTs; AUC is one division). ONE multi-counter
+    ``global_cumsum`` over per-score counts — two shuffles total at
+    any scale, output is a single row."""
+    from flirt_consume_spark.operators import text as X
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)).alias(
+            "score"
+        ),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    vc = scored.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("c0"),
+    )
+    cum = global_cumsum(vc, ["c1", "c0"], ["score"], ["cum1", "cum0"])
+    c1, c0 = F.col("c1"), F.col("c0")
+    before = (F.col("cum1") - c1) + (F.col("cum0") - c0)
+    m = cum.groupBy().agg(
+        F.sum(c1 * (2 * before + (c1 + c0) + 1)).cast("bigint").alias("r2"),
+        F.sum(c1 * c0).cast("bigint").alias("n_tied_pairs"),
+        F.max("cum1").cast("bigint").alias("n_pos"),
+        F.max("cum0").cast("bigint").alias("n_neg"),
+    )
+    u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return m.select(
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        "n_tied_pairs",
+        (
+            u2.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+# --- parameterized SQL ----------------------------------------------------
+
+
+@query(
+    "sql_params",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: parameterized SQL — ``spark.sql`` with NAMED PARAMETERS
+    (:threshold / :status, server-side typed literals, no string
+    splicing — the injection-safe path for templated analytics) and
+    a DATAFRAME template argument ({orders} — plan-level
+    composition, not a temp-view side effect).
+
+    The named parameters fold to constants at plan time, so the
+    filter pushes into the parquet scan exactly as a literal
+    predicate would. One hash agg after the pushed scan."""
+    od = t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {orders}
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 100000.0, "status": "O"},
+        orders=od,
+    )

@@ -384,3 +384,34 @@ def test_pr_curve_matches_sklearn_free_sweep(spark):
     rec = [r["recall_at"] for r in ordered]
     assert all(a <= b for a, b in zip(rec, rec[1:]))
     assert rec[-1] == 1.0
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC must equal the literal P(score+ > score-) + 0.5 P(tie),
+    computed by brute force over all (pos, neg) pairs."""
+    langid = REGISTRY["llm_langid"].fn(spark, SF).toPandas()
+    s = langid.en_ratio.values
+    y = (langid.actual == "en").values
+    pos, neg = s[y], s[~y]
+    wins = sum((p > q) for p in pos for q in neg)
+    ties = sum((p == q) for p in pos for q in neg)
+    r = REGISTRY["eval_auc"].fn(spark, SF).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["n_tied_pairs"] == ties
+    assert r["u2"] == 2 * wins + ties
+    assert r["auc"] == (2 * wins + ties) / (2.0 * len(pos) * len(neg))
+
+
+def test_sql_params_fold_to_pushed_literals(spark):
+    out = REGISTRY["sql_params"].fn(spark, SF)
+    od = load_table(spark, SF, "orders").toPandas()
+    sub = od[(od.o_totalprice > 100000.0) & (od.o_orderstatus == "O")]
+    got = {r["o_orderpriority"]: (r["n"], r["cents"]) for r in out.collect()}
+    for pri, grp in sub.groupby("o_orderpriority"):
+        assert got[pri] == (
+            len(grp),
+            int(np.floor(grp.o_totalprice.values * 1e2).astype("int64").sum()),
+        )
+    # the named parameter reaches the scan as a pushed literal filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "100000" in plan

@@ -178,6 +178,10 @@ ALLOW = {
     # single_partition_window = the heuristic false positive
     # (legitimate 1-row scalar aggs + a _pid-partitioned window).
     "eval_pr_curve": {"nested_loop", "single_partition_window"},
+    # Same audit_ks/mannwhitney shape (one multi-counter cumsum +
+    # 1-row scalar aggs): triangular offsets broadcast + the
+    # heuristic window false positive.
+    "eval_auc": {"nested_loop", "single_partition_window"},
 }
 
 
