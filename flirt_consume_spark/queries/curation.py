@@ -1419,3 +1419,88 @@ def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"threshold": 100000.0, "status": "O"},
         orders=od,
     )
+
+
+# --- k-anonymity generalization ladder -----------------------------------
+
+
+@query(
+    "anon_generalize",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             CAST(c_nationkey AS BIGINT) AS nat,
+             CAST(n_regionkey AS BIGINT) AS reg
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ), g0 AS (
+      SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n0
+      FROM c GROUP BY 1, 2
+    ), g1 AS (
+      SELECT reg, seg, CAST(COUNT(*) AS BIGINT) AS n1
+      FROM c GROUP BY 1, 2
+    ), g2 AS (
+      SELECT reg, CAST(COUNT(*) AS BIGINT) AS n2 FROM c GROUP BY 1
+    ), lv AS (
+      SELECT c.c_custkey,
+             CASE WHEN g0.n0 >= {_KANON_K} THEN 0
+                  WHEN g1.n1 >= {_KANON_K} THEN 1
+                  WHEN g2.n2 >= {_KANON_K} THEN 2
+                  ELSE 3 END AS level
+      FROM c
+      JOIN g0 ON g0.nat = c.nat AND g0.seg = c.seg
+      JOIN g1 ON g1.reg = c.reg AND g1.seg = c.seg
+      JOIN g2 ON g2.reg = c.reg
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM lv GROUP BY 1
+    """,
+)
+def anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: k-anonymity generalization ladder (Samarati's lattice
+    climb, one path): for each record, the MINIMAL coarsening of the
+    quasi-identifier (nation,segment) → (region,segment) → (region)
+    → suppress at which its group reaches k={_k} — the action side
+    of audit_kanon's detection (which groups are unsafe → how much
+    must each record generalize to publish safely). Output: how many
+    records can be released at each level.
+
+    All three lattice levels' group sizes come from aggregations
+    over constant-size group domains; each joins back as a BROADCAST
+    (the group tables are O(|nations|·|segments|)), so the record
+    pass is one scan + three broadcast hash joins + one final
+    constant-size agg — no data-sized shuffle anywhere. Exact
+    integer counts throughout.
+    """.replace("{_k}", str(_KANON_K))
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").cast("bigint").alias("reg"),
+    )
+    c = cu.join(F.broadcast(na), "c_nationkey").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        "reg",
+    )
+    g0 = c.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    g1 = c.groupBy("reg", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    g2 = c.groupBy("reg").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    level = (
+        F.when(F.col("n0") >= _KANON_K, 0)
+        .when(F.col("n1") >= _KANON_K, 1)
+        .when(F.col("n2") >= _KANON_K, 2)
+        .otherwise(3)
+    )
+    return (
+        c.join(F.broadcast(g0), ["nat", "seg"])
+        .join(F.broadcast(g1), ["reg", "seg"])
+        .join(F.broadcast(g2), "reg")
+        .select(level.cast("bigint").alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

@@ -415,3 +415,27 @@ def test_sql_params_fold_to_pushed_literals(spark):
     # the named parameter reaches the scan as a pushed literal filter
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "100000" in plan
+
+
+def test_generalization_ladder_levels(spark):
+    cu = load_table(spark, SF, "customer").toPandas()
+    na = load_table(spark, SF, "nation").toPandas().set_index("n_nationkey")
+    cu["reg"] = cu.c_nationkey.map(na.n_regionkey)
+    g0 = cu.groupby(["c_nationkey", "c_mktsegment"]).size()
+    g1 = cu.groupby(["reg", "c_mktsegment"]).size()
+    g2 = cu.groupby("reg").size()
+    import collections
+
+    counts = collections.Counter()
+    for _, r in cu.iterrows():
+        if g0[(r.c_nationkey, r.c_mktsegment)] >= _KANON_K:
+            counts[0] += 1
+        elif g1[(r.reg, r.c_mktsegment)] >= _KANON_K:
+            counts[1] += 1
+        elif g2[r.reg] >= _KANON_K:
+            counts[2] += 1
+        else:
+            counts[3] += 1
+    got = {r["level"]: r["n_customers"] for r in REGISTRY["anon_generalize"].fn(spark, SF).collect()}
+    assert got == dict(counts)
+    assert sum(got.values()) == len(cu)
