@@ -1101,7 +1101,13 @@ def _km_state(spark: SparkSession, sf_dir: str, k: int = 5):
     at web scale); the oracle-checked keys pin k=5 so the unrolled
     Lloyd's SQL stays tractable, and the probe suite exercises the
     scaled-k path."""
-    ck = (spark.sparkContext.applicationId, sf_dir, k)
+    from flirt_consume_spark.io import source_fingerprint
+
+    ck = (
+        spark.sparkContext.applicationId,
+        source_fingerprint(sf_dir, "embeddings"),
+        k,
+    )
     hit = _KM_STATE_CACHE.get(ck)
     if hit is not None:
         return hit

@@ -701,7 +701,12 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     symbolized vocab DataFrame (w, s, freq)). Shared by the trainer
     key (emits the merges) and the encoder key (consumes the final
     vocab)."""
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    from flirt_consume_spark.io import source_fingerprint
+
+    ck = (
+        spark.sparkContext.applicationId,
+        source_fingerprint(sf_dir, "documents"),
+    )
     hit = _BPE_FIT_CACHE.get(ck)
     if hit is not None:
         return hit

@@ -553,7 +553,12 @@ def _power_w(spark: SparkSession, sf_dir: str):
     emits the 1e-9-floored direction) and emb_pca_project (which
     needs the INTEGER 1e-9-grid coefficients so projection sums stay
     exact)."""
-    ck = (spark.sparkContext.applicationId, sf_dir)
+    from flirt_consume_spark.io import source_fingerprint
+
+    ck = (
+        spark.sparkContext.applicationId,
+        source_fingerprint(sf_dir, "embeddings"),
+    )
     hit = _POWER_W_CACHE.get(ck)
     if hit is not None:
         return hit
