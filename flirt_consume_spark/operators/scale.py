@@ -362,7 +362,10 @@ def global_rank(
     )
     return (
         ranged.join(F.broadcast(offs), "_pid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_loc") + 1).cast("int"))
+        # LONG, not INT: a global rank is data-sized — int32 overflows
+        # past ~2.1e9 rows, which a 100-TB table exceeds by orders of
+        # magnitude. (Matches row_number()'s BIGINT on the SQL side.)
+        .withColumn(rank_col, (F.col("_off") + F.col("_loc") + 1).cast("long"))
         .drop("_pid", "_loc", "_off")
     )
 
