@@ -789,13 +789,16 @@ def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     picks = []
     for rank in range(1, _MMR_K + 1):
-        best = (
+        top = (
             state.orderBy(
                 (2 * F.col("rel") - F.col("ms")).desc(), "vec_id"
             )
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # corpus smaller than k: emit what exists
+            break
+        best = top[0]
         picks.append((rank, best["vec_id"], best["rel"], best["ms"]))
         svec = xs.filter(F.col("vec_id") == best["vec_id"]).select(
             "i", F.col("xl").alias("sxl")
