@@ -729,3 +729,22 @@ def read_sink_manifests(out_dir: str):
             with open(fpath) as fh:
                 rows.extend(json.loads(line) for line in fh)
     return rows, epochs
+
+
+def stream_dedup_within(events: DataFrame, delay: str = "5 minutes") -> DataFrame:
+    """T13: ``dropDuplicatesWithinWatermark`` — the bounded-state
+    dedup CONTRACT made explicit: duplicates of a key are removed
+    only while the key's first arrival is within the watermark delay;
+    once the watermark passes it, state evicts and a late re-arrival
+    is emitted AGAIN. Unlike T5's ``dropDuplicates`` (exact key
+    dedup, where duplicate rows must match on the dedup columns and
+    correctness silently depends on state retention), this operator
+    GUARANTEES state is bounded by the delay and tolerates duplicate
+    rows whose event times differ slightly — the semantics a 100-TB
+    at-least-once ingest actually wants to declare."""
+    src = (
+        events.withWatermark("ts", delay) if events.isStreaming else events
+    )
+    if events.isStreaming:
+        return src.dropDuplicatesWithinWatermark(["event_id"])
+    return src.dropDuplicates(["event_id"])

@@ -470,3 +470,64 @@ def test_python_stream_sink_manifest_commit(spark, tmp_path):
     # epoch ids are unique (re-delivery would REPLACE, not append)
     ids = [e for e, _ in epochs]
     assert len(ids) == len(set(ids))
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """T13: in-window duplicates drop; a re-arrival AFTER the key's
+    state evicted (watermark passed its event time) emits again —
+    the documented bounded-state contract of
+    dropDuplicatesWithinWatermark."""
+    import datetime as dt
+    import time
+
+    src = tmp_path / "dwsrc"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, 10, m)) for i, m in rows],
+            "event_id long, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    write_batch("b1", [(1, 0), (99, 5)])
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = jobs.stream_dedup_within(stream, "5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ddww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ddww"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def wait_rows(n, deadline=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            if spark.table("t_ddww").count() >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {n} rows")
+
+    wait_rows(2)  # 1@10:00 and 99@10:05 pass; watermark -> 10:00
+    # duplicate of key 1 WITHIN the delay -> dropped; 98@10:30
+    # advances the watermark to 10:25, evicting key 1's state
+    write_batch("b2", [(1, 2), (98, 30)])
+    wait_rows(3)
+    # re-arrival of key 1 after eviction -> emitted AGAIN
+    write_batch("b3", [(1, 28)])
+    wait_rows(4)
+    q.stop()
+    got = sorted(
+        (r["event_id"], r["ts"].minute) for r in spark.table("t_ddww").collect()
+    )
+    assert got == [(1, 0), (1, 28), (98, 30), (99, 5)]
