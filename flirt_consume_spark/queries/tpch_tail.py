@@ -415,3 +415,66 @@ def shape_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("value_cents"), "l_partkey")
         .select("l_partkey", "part_value")
     )
+
+
+@query(
+    "shape_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 4)},
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def shape_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter — the last of the 22
+    TPC-H query shapes, completing the full sweep (Q1≈agg_route,
+    Q2≈sql_min_cost, Q3/Q4/Q5/Q7/Q8/Q9/Q12/Q13/Q18 in shapes.py,
+    Q6/Q11/Q14/Q15/Q16/Q17/Q19/Q20 here, Q21≈sql_waiting_orders,
+    Q22≈sql_distant_customers).
+
+    Plan shape: the quarter predicate prunes ORDERS at the scan, the
+    return-flag predicate prunes LINEITEM at the scan, the pruned
+    orders join lineitem on the fact key, customers/nation ride
+    broadcast joins, and the top-20 is a TakeOrdered (per-partition
+    heaps — no global sort shuffle). Revenue is the exact
+    integer-unit sum; ties break on c_custkey."""
+    cu = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(
+            F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"]
+        )
+    )
+    rev = dsum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4
+    )
+    return (
+        j.groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .agg(rev)
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
