@@ -1509,3 +1509,72 @@ def anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("level")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+# --- ANSI-safe arithmetic (try_* family) ----------------------------------
+
+
+@query(
+    "scalar_try",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_null,
+           CAST(SUM(CASE WHEN o_custkey % 7 <> 0 THEN
+                  CAST(floor(o_totalprice / (o_custkey % 7) * 1e6)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS safe_div_units,
+           CAST(SUM(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1)
+                                       AS INTEGER) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS INTEGER)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_parsed,
+           CAST(SUM(CASE WHEN str_split(o_orderpriority, '-')[3]
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_elem3
+    FROM orders
+    """,
+)
+def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: error-safe expression surface — this engine runs with
+    ``spark.sql.ansi.enabled`` (invalid arithmetic FAILS rather than
+    silently wrapping, which is how the bench caught a real
+    overflow), so the ``try_*`` family is the declared escape hatch:
+    try_divide (NULL on zero divisor), try_to_number (NULL on
+    malformed numerics), try_element_at (NULL past the array end) —
+    each exercised here and folded into one global counter row.
+
+    The oracle spells the identical semantics with DuckDB's
+    equivalents (NULL division is native there; TRY_CAST; list
+    indexing past the end is NULL). The safe-division sum quantizes
+    each surviving quotient to 1e-6 units — exact single divisions,
+    order-independent integer sum. One scan, one 1-row aggregate."""
+    od = t(spark, sf_dir, "orders")
+    div = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7)
+    parsed = F.try_to_number(
+        F.substring("o_orderpriority", 1, 1), F.lit("9")
+    )
+    bad = F.try_to_number(F.col("o_orderstatus"), F.lit("9"))
+    elem3 = F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3))
+    return od.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(div.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.sum(
+            F.when(div.isNotNull(), F.floor(div * 1e6).cast("long")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("safe_div_units"),
+        F.sum(F.when(parsed.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parsed"),
+        F.sum(F.when(bad.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_parsed"),
+        F.sum(F.when(elem3.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_elem3"),
+    )
