@@ -77,8 +77,8 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 #       queries/advanced.py: llm_semdedup;
 #       queries/retrieval.py: emb_pca_project, emb_mmr;
 #       queries/distrib.py: audit_mannwhitney, audit_ttest)
-#     — that makes 76, overfilling the 50-slot window by 26; push
-#     the last 26 of those keys to round 8 ahead of the
+#     — that makes 77, overfilling the 50-slot window by 27; push
+#     the last 27 of those keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1193,3 +1193,103 @@ def time_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_st.m").alias("state_mean"),
         F.col("_st.p").alias("state_var"),
     )
+
+
+# --- lead-lag cross-correlation ------------------------------------------
+
+
+@query(
+    "time_crosscorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT unnest(generate_series(-3, 3)) AS lag
+    ), paired AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ), m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM paired GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n, sx, sy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS xcorr
+    FROM m
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def time_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26: lead-lag cross-correlation — corr(view volume on day d,
+    purchase volume on day d+L) for L ∈ [−3, 3], the screening stat
+    for "does one series LEAD the other?" before any causal analysis
+    (time_autocorr's two-series sibling).
+
+    The event stream collapses to its daily two-counter table FIRST
+    (one hash agg — the series length is bounded by the calendar, so
+    everything after is constant-size); the 7 lags come from a
+    broadcast explode joined back on shifted dates, and each lag's
+    Pearson r uses the exact-BIGINT moment recipe (counts are
+    integers; the only non-arithmetic op is IEEE sqrt). Degenerate
+    (constant) series are excluded by the exact integer variance
+    numerators. Nothing after the first agg is data-sized."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    paired = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+        .select("lag", "x", F.col("y2").alias("y"))
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return (
+        m.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n",
+            "sx",
+            "sy",
+            r.alias("xcorr"),
+        )
+    )

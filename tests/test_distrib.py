@@ -345,3 +345,30 @@ def test_kalman_matches_python_recursion(spark):
         assert 0.0 < r["state_var"] <= 2.0
         if r["n"] >= 10:
             assert abs(r["state_var"] - 0.6180339887498949) < 1e-9
+
+
+def test_crosscorr_matches_numpy(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["d"] = ev.ts.dt.date
+    daily = (
+        ev.assign(
+            x=(ev.event_type == "view").astype(int),
+            y=(ev.event_type == "purchase").astype(int),
+        )
+        .groupby("d")[["x", "y"]]
+        .sum()
+    )
+    got = {r["lag"]: r for r in REGISTRY["time_crosscorr"].fn(spark, SF).collect()}
+    import datetime as dt
+
+    for lag in range(-3, 4):
+        shifted = daily.copy()
+        shifted.index = [d - dt.timedelta(days=lag) for d in daily.index]
+        j = daily.join(shifted[["y"]], rsuffix="_l", how="inner").dropna()
+        x, y = j.x.values.astype(float), j.y_l.values.astype(float)
+        if len(x) < 2 or x.std() == 0 or y.std() == 0:
+            assert lag not in got
+            continue
+        r = got[lag]
+        assert r["n"] == len(x)
+        assert abs(r["xcorr"] - np.corrcoef(x, y)[0, 1]) < 1e-9

@@ -182,6 +182,9 @@ ALLOW = {
     # 1-row scalar aggs): triangular offsets broadcast + the
     # heuristic window false positive.
     "eval_auc": {"nested_loop", "single_partition_window"},
+    # 7-row lag table cross-joined into the bounded daily series —
+    # constant-size broadcast side by construction.
+    "time_crosscorr": {"nested_loop"},
 }
 
 
