@@ -72,13 +72,14 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 #       sample_systematic, llm_bpe_train, set_union_byname,
 #       agg_delta_method, audit_contract, llm_bpe_encode,
 #       eval_confusion, quota_budget_select, eval_pr_curve,
-#       eval_auc, sql_params, anon_generalize, scalar_try;
+#       eval_auc, sql_params, anon_generalize, scalar_try,
+#       eval_calibration;
 #       queries/tpch_tail.py: shape_returned_items;
 #       queries/advanced.py: llm_semdedup;
 #       queries/retrieval.py: emb_pca_project, emb_mmr;
 #       queries/distrib.py: audit_mannwhitney, audit_ttest)
-#     — that makes 77, overfilling the 50-slot window by 27; push
-#     the last 27 of those keys to round 8 ahead of the
+#     — that makes 78, overfilling the 50-slot window by 28; push
+#     the last 28 of those keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1578,3 +1578,75 @@ def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_elem3"),
     )
+
+
+# --- calibration (reliability) bins --------------------------------------
+
+_CAL_BINS = 10
+
+
+@query(
+    "eval_calibration",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT floor(len(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'on', 'for', 'with', 'by', 'is', 'are', 'was', 'be', 'at', 'as', 'it', 'that')))
+                   / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   * 1e6) / 1e6 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), binned AS (
+      SELECT LEAST(CAST(floor(score * {_CAL_BINS}) AS BIGINT),
+                   {_CAL_BINS - 1}) AS bin,
+             CAST(floor(score * 1e6) AS BIGINT) AS s_u, y
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(s_u) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+             AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+    FROM binned GROUP BY 1
+    """,
+)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: calibration (reliability) bins — per decile of the langid
+    en-ratio score: count, positives, mean score, and observed
+    positive rate. The |pos_rate − mean_score| gap per bin is the
+    reliability-diagram reading, and its n-weighted fold is the
+    expected calibration error; the deterministic bin table is
+    emitted (the scalar ECE would sum doubles in arbitrary order).
+    Completes the eval family: operating point (Q18), sweep (Q19),
+    ranking (Q20), probability quality (this).
+
+    Scores sit on the 1e-6 grid, so the per-bin mean is an exact
+    integer sum lifted by two divisions spelled identically on both
+    engines; bin ids are exact integer floors with the top edge
+    clamped into the last bin. One hash agg over ≤ {_b} groups.
+    """.replace("{_b}", str(_CAL_BINS))
+    from flirt_consume_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    score = F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)
+    binned = docs.select(
+        F.least(
+            F.floor(score * _CAL_BINS).cast("bigint"),
+            F.lit(_CAL_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.floor(score * 1e6).cast("bigint").alias("s_u"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (
+            F.sum("s_u").cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_score"),
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "pos_rate"
+        ),
+    )

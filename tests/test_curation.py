@@ -439,3 +439,22 @@ def test_generalization_ladder_levels(spark):
     got = {r["level"]: r["n_customers"] for r in REGISTRY["anon_generalize"].fn(spark, SF).collect()}
     assert got == dict(counts)
     assert sum(got.values()) == len(cu)
+
+
+def test_calibration_bins_match_direct_binning(spark):
+    from flirt_consume_spark.queries.curation import _CAL_BINS
+
+    langid = REGISTRY["llm_langid"].fn(spark, SF).toPandas()
+    s = langid.en_ratio.values
+    y = (langid.actual == "en").astype(int).values
+    bins = np.minimum(np.floor(s * _CAL_BINS).astype(int), _CAL_BINS - 1)
+    got = {r["bin"]: r for r in REGISTRY["eval_calibration"].fn(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for b in set(bins):
+        mask = bins == b
+        r = got[b]
+        assert r["n"] == int(mask.sum())
+        assert r["n_pos"] == int(y[mask].sum())
+        su = np.floor(s[mask] * 1e6).astype("int64").sum()
+        assert r["mean_score"] == su / 1e6 / mask.sum()
+        assert r["pos_rate"] == y[mask].sum() / mask.sum()
