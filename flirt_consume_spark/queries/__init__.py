@@ -78,8 +78,8 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 #       queries/advanced.py: llm_semdedup;
 #       queries/retrieval.py: emb_pca_project, emb_mmr;
 #       queries/distrib.py: audit_mannwhitney, audit_ttest)
-#     — that makes 78, overfilling the 50-slot window by 28; push
-#     the last 28 of those keys to round 8 ahead of the
+#     — that makes 79, overfilling the 50-slot window by 29; push
+#     the last 29 of those keys to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

@@ -1293,3 +1293,166 @@ def time_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.alias("xcorr"),
         )
     )
+
+
+# --- Viterbi burst decoding ----------------------------------------------
+
+# Two-state gap model tuned to the fixture's inter-event cadence
+# (gap deciles ~4.1e3 .. 9.0e4 s): slow ≈ a day apart (50000 s) vs
+# fast / burst ≈ an hour apart (5000 s), switch penalty 20000. All
+# costs are integer seconds, so the whole DP is exact integer
+# arithmetic and both states genuinely appear in the decoded paths.
+_VIT_GS = 50_000
+_VIT_GF = 5_000
+_VIT_SW = 20_000
+
+
+@query(
+    "time_viterbi",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             epoch_us(ts) // 1000000 AS t
+      FROM events
+    ), gaps AS (
+      SELECT a.user_id, a.rn AS gn, b.t - a.t AS g
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ), nn AS (
+      SELECT user_id, CAST(MAX(gn) AS BIGINT) AS n FROM gaps GROUP BY 1
+    ), rec AS (
+      SELECT user_id, gn,
+             abs(g - {_VIT_GS}) AS cs, abs(g - {_VIT_GF}) AS cf,
+             'S' AS ps, 'F' AS pf
+      FROM gaps WHERE gn = 1
+      UNION ALL
+      SELECT g2.user_id, g2.gn,
+             LEAST(r.cs, r.cf + {_VIT_SW}) + abs(g2.g - {_VIT_GS}),
+             LEAST(r.cf, r.cs + {_VIT_SW}) + abs(g2.g - {_VIT_GF}),
+             CASE WHEN r.cs <= r.cf + {_VIT_SW}
+                  THEN r.ps || 'S' ELSE r.pf || 'S' END,
+             CASE WHEN r.cf <= r.cs + {_VIT_SW}
+                  THEN r.pf || 'F' ELSE r.ps || 'F' END
+      FROM rec r JOIN gaps g2
+        ON g2.user_id = r.user_id AND g2.gn = r.gn + 1
+    )
+    SELECT rec.user_id, n AS n_gaps,
+           CASE WHEN cs <= cf THEN cs ELSE cf END AS cost,
+           CASE WHEN cs <= cf THEN ps ELSE pf END AS path,
+           CAST(CASE WHEN (CASE WHEN cs <= cf THEN ps ELSE pf END)
+                          LIKE 'F%' THEN 1 ELSE 0 END
+                + length(CASE WHEN cs <= cf THEN ps ELSE pf END)
+                - length(replace(CASE WHEN cs <= cf THEN ps ELSE pf END,
+                                 'SF', 'x'))
+                AS BIGINT) AS n_bursts
+    FROM rec JOIN nn ON nn.user_id = rec.user_id
+    WHERE gn = n
+    """,
+)
+def time_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: Viterbi decoding — the exact min-cost state path of a
+    two-state burst model (slow ≈600 s gaps vs fast ≈60 s, switch
+    penalty 300) over each user's inter-event gaps: the optimal
+    burst segmentation, not a heuristic threshold. Completes the
+    recursion family (survival → Holt → Kalman → full DP with
+    BACKTRACKING): both candidate paths travel WITH the fold, so no
+    backward pass is needed.
+
+    Everything is integer: gaps are whole epoch seconds, emission
+    costs are absolute differences, the DP recurrence is LEAST over
+    integer sums, and ties break deterministically toward staying
+    (<=). Spark folds each user's gap array in codegen (struct
+    accumulator carrying both running costs and both candidate path
+    strings); the oracle steps the identical recurrence as a
+    recursive CTE. Scale: one user-keyed window for gaps + one hash
+    agg to pack; per-user history is bounded, state is O(history)
+    for the carried paths — the documented trade for single-pass
+    backtracking (cost-only decoding would be O(1) state)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / 1_000_000).cast("long").alias("t"),
+            (
+                F.lead((F.unix_micros(F.col("ts")) / 1_000_000).cast("long"))
+                .over(w)
+            ).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("user_id", (F.col("t2") - F.col("t")).alias("g"))
+    )
+    arr = gaps.groupBy("user_id").agg(
+        F.collect_list("g").alias("_raw"),
+    )
+    # collect_list order is nondeterministic across partitions; rebuild
+    # deterministically: sort events per user, diff adjacent — done in
+    # the window above, but pack in order via sort_array over (ts,eid)
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.expr("unix_micros(ts) div 1000000").alias("t"),
+                        F.col("event_id").alias("eid"),
+                    )
+                )
+            ).alias("sarr")
+        )
+        .select(
+            "user_id",
+            # 0-based bracket indexing: slice element i is original
+            # element i+1, so its predecessor is sarr[i].
+            F.expr(
+                "transform(slice(sarr, 2, greatest(size(sarr) - 1, 0)), "
+                "(s, i) -> s.t - sarr[i].t)"
+            ).alias("gs"),
+        )
+        .filter(F.size("gs") >= 1)
+    )
+    step = (
+        f"named_struct("
+        f"'cs', least(acc.cs, acc.cf + {_VIT_SW}) + abs(g - {_VIT_GS}L), "
+        f"'cf', least(acc.cf, acc.cs + {_VIT_SW}) + abs(g - {_VIT_GF}L), "
+        f"'ps', CASE WHEN acc.cs <= acc.cf + {_VIT_SW} "
+        f"THEN concat(acc.ps, 'S') ELSE concat(acc.pf, 'S') END, "
+        f"'pf', CASE WHEN acc.cf <= acc.cs + {_VIT_SW} "
+        f"THEN concat(acc.pf, 'F') ELSE concat(acc.ps, 'F') END)"
+    )
+    fold = F.expr(
+        f"""aggregate(
+              slice(gs, 2, greatest(size(gs) - 1, 0)),
+              named_struct(
+                'cs', abs(gs[0] - {_VIT_GS}L),
+                'cf', abs(gs[0] - {_VIT_GF}L),
+                'ps', 'S', 'pf', 'F'),
+              (acc, g) -> {step}
+            )"""
+    )
+    out = arr.select(
+        "user_id",
+        F.size("gs").cast("bigint").alias("n_gaps"),
+        fold.alias("_v"),
+    )
+    best_path = F.when(
+        F.col("_v.cs") <= F.col("_v.cf"), F.col("_v.ps")
+    ).otherwise(F.col("_v.pf"))
+    return out.select(
+        "user_id",
+        "n_gaps",
+        F.when(F.col("_v.cs") <= F.col("_v.cf"), F.col("_v.cs"))
+        .otherwise(F.col("_v.cf"))
+        .cast("bigint")
+        .alias("cost"),
+        best_path.alias("path"),
+        (
+            best_path.startswith("F").cast("int")
+            + F.length(best_path)
+            - F.length(F.replace(best_path, F.lit("SF"), F.lit("x")))
+        )
+        .cast("bigint")
+        .alias("n_bursts"),
+    )

@@ -372,3 +372,55 @@ def test_crosscorr_matches_numpy(spark):
         r = got[lag]
         assert r["n"] == len(x)
         assert abs(r["xcorr"] - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def test_viterbi_matches_python_dp(spark):
+    """Replay the exact DP (costs + carried candidate paths, tie
+    toward staying) in pure Python and demand identical rows —
+    including that the decoded path's cost equals the reported
+    minimum and no alternative path beats it on a brute check for
+    short sequences."""
+    from itertools import product
+
+    from flirt_consume_spark.queries.distrib import (
+        _VIT_GF,
+        _VIT_GS,
+        _VIT_SW,
+    )
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["t"] = (ev.ts.astype("int64") // 10**9).astype("int64")
+    got = {r["user_id"]: r for r in REGISTRY["time_viterbi"].fn(spark, SF).collect()}
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = grp.t.values
+        gaps = [int(b - a) for a, b in zip(ts, ts[1:])]
+        if not gaps:
+            assert uid not in got
+            continue
+        cs, cf = abs(gaps[0] - _VIT_GS), abs(gaps[0] - _VIT_GF)
+        ps, pf = "S", "F"
+        for g in gaps[1:]:
+            ncs = min(cs, cf + _VIT_SW) + abs(g - _VIT_GS)
+            ncf = min(cf, cs + _VIT_SW) + abs(g - _VIT_GF)
+            nps = (ps if cs <= cf + _VIT_SW else pf) + "S"
+            npf = (pf if cf <= cs + _VIT_SW else ps) + "F"
+            cs, cf, ps, pf = ncs, ncf, nps, npf
+        cost, path = (cs, ps) if cs <= cf else (cf, pf)
+        r = got[uid]
+        assert (r["n_gaps"], r["cost"], r["path"]) == (len(gaps), cost, path)
+        bursts = path.startswith("F") + path.count("SF")
+        assert r["n_bursts"] == bursts
+        # optimality spot-check on short sequences: enumerate all paths
+        if len(gaps) <= 12:
+            def path_cost(p):
+                c = sum(
+                    abs(g - (_VIT_GS if st == "S" else _VIT_GF))
+                    for g, st in zip(gaps, p)
+                )
+                c += sum(
+                    _VIT_SW for a, b in zip(p, p[1:]) if a != b
+                )
+                return c
+
+            best = min(path_cost(p) for p in product("SF", repeat=len(gaps)))
+            assert cost == best
