@@ -183,3 +183,28 @@ def test_xml_roundtrip_full_row_parity(spark, tmp_path):
     assert back.count() == orders.count()
     assert back.exceptAll(orders).count() == 0
     assert orders.exceptAll(back).count() == 0
+
+
+def test_observe_metrics_match_rows_that_flowed(spark):
+    """S19: DataFrame.observe collects metrics as a side effect of
+    the action — for exactly the rows that passed the observed node,
+    with no second scan. The downstream filter must NOT change the
+    observed numbers (observation sits above it)."""
+    from flirt_consume_spark.io import load_table
+    from flirt_consume_spark.operators.observe import observed_quality
+
+    od = load_table(spark, "/root/testdata/sf0.001", "orders")
+    observed, obs = observed_quality(od)
+    # downstream work: filter + aggregate — ONE action drives both
+    # the answer and the metrics
+    kept = observed.filter("o_orderstatus = 'O'").count()
+    m = obs.get
+    import numpy as np
+
+    pdf = od.toPandas()
+    assert m["n_rows"] == len(pdf)
+    assert m["n_null_price"] == int(pdf.o_totalprice.isna().sum())
+    assert m["sum_cents"] == int(
+        np.floor(pdf.o_totalprice.values * 100).astype("int64").sum()
+    )
+    assert kept == (pdf.o_orderstatus == "O").sum()
