@@ -185,6 +185,21 @@ ALLOW = {
     # 7-row lag table cross-joined into the bounded daily series —
     # constant-size broadcast side by construction.
     "time_crosscorr": {"nested_loop"},
+    # Trend tests (queries/trend.py): all pairwise structure runs on
+    # the calendar-bounded monthly series (≤~100 rows after the first
+    # hash agg) — the i<j pair join and the 1-row n/ties broadcasts
+    # are constant-size nested loops by construction (time_crosscorr
+    # shape).
+    "time_theilsen": {"nested_loop"},
+    "time_mannkendall": {"nested_loop"},
+    # Same bounded-series nested loops, plus global_cumsum's
+    # triangular (pid → offset) broadcast join; the window flag is
+    # the llm_tfidf heuristic false positive (verified: both Windows
+    # are windowspecdefinition(_pid, m) — no partition-less window).
+    "time_pettitt": {"nested_loop", "single_partition_window"},
+    # 1-row order-count broadcast into the ≤C(25,2)-row brand-pair
+    # frame (lazy-scalar shape).
+    "agg_basket_pairs": {"nested_loop"},
 }
 
 
