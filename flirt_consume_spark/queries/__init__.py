@@ -35,6 +35,7 @@ from flirt_consume_spark.queries import enrich  # noqa: F401,E402
 from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 from flirt_consume_spark.queries import curation  # noqa: F401,E402
 from flirt_consume_spark.queries import trend  # noqa: F401,E402
+from flirt_consume_spark.queries import facets  # noqa: F401,E402
 
 # --- driver-window rotation ----------------------------------------------
 # External verifiers sample REGISTRY in insertion order with a bounded
