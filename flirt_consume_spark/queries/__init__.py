@@ -36,6 +36,7 @@ from flirt_consume_spark.queries import distrib  # noqa: F401,E402
 from flirt_consume_spark.queries import curation  # noqa: F401,E402
 from flirt_consume_spark.queries import trend  # noqa: F401,E402
 from flirt_consume_spark.queries import facets  # noqa: F401,E402
+from flirt_consume_spark.queries import leakage  # noqa: F401,E402
 
 # --- driver-window rotation ----------------------------------------------
 # External verifiers sample REGISTRY in insertion order with a bounded
@@ -80,8 +81,14 @@ from flirt_consume_spark.queries import facets  # noqa: F401,E402
 #       queries/advanced.py: llm_semdedup;
 #       queries/retrieval.py: emb_pca_project, emb_mmr;
 #       queries/distrib.py: audit_mannwhitney, audit_ttest)
-#     — that makes 79, overfilling the 50-slot window by 29; push
-#     the last 29 of those keys to round 8 ahead of the
+#     plus the 11 round-6 fourth/fifth-wave keys (queries/trend.py:
+#       time_theilsen, time_mannkendall, time_pettitt, time_vwap,
+#       agg_basket_pairs, graph_node_jaccard, agg_subsample_ci;
+#       queries/facets.py: str_mask, scan_partitioned, win_bollinger,
+#       graph_assortativity;
+#       queries/leakage.py: llm_cross_dedup, graph_kcore, sql_unpivot)
+#     — that makes 90+, overfilling the 50-slot window; push
+#     the overflow to round 8 ahead of the
 #     oldest r3-vintage keys (relational/temporal/scalar block:
 #     filter_*, join_anti/semi/outer,
 #     agg_conditional/percentile/collect/stats/cube, set_diff,

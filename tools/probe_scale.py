@@ -273,6 +273,14 @@ def main() -> None:
         timed_call(f"semdedup_x{n}", lambda: _semdedup(spark, salt_embs(
             load_table(spark, args.sf, "embeddings"), n, 10_000_000),
             5 * n)),
+        # Basket pairs: orderkey-blocked pair join — basket sizes are
+        # invariant under order multiplication, so work tracks orders.
+        timed(f"basket_x{n}", _basket(
+            li_n, load_table(spark, args.sf, "part"))),
+        # Assortativity: fact join + distinct + keyed degree joins
+        # collapsing to one row — tracks edges.
+        timed(f"assort_x{n}", _assort(
+            li_n, od_n, load_table(spark, args.sf, "part"))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -329,6 +337,9 @@ def main() -> None:
             spark, salt_embs(
                 load_table(spark, args.sf, "embeddings"), 1, 10_000_000),
             5)),
+        timed("basket_x1", _basket(li, load_table(spark, args.sf, "part"))),
+        timed("assort_x1", _assort(
+            li, od, load_table(spark, args.sf, "part"))),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -344,7 +355,7 @@ def main() -> None:
                  "powiter", "starcc", "q17", "recursive",
                  "ks", "interp", "bfs", "reservoir",
                  "novelty", "mwu", "rle", "pcaproj", "bpe",
-                 "holt", "semdedup"):
+                 "holt", "semdedup", "basket", "assort"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -1250,6 +1261,45 @@ def _semdedup(spark, emb: DataFrame, k: int) -> DataFrame:
     return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
         F.min("vec_a").alias("canonical_id"),
         F.count(F.lit(1)).alias("n_links"),
+    )
+
+
+def _basket(li: DataFrame, pt: DataFrame) -> DataFrame:
+    # market-basket pair counts: pair join blocked on l_orderkey so
+    # work is per-basket quadratic = linear in orders (basket sizes
+    # don't grow when orders multiply).
+    ob = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b = ob.select(F.col("ok").alias("ok2"), F.col("brand").alias("brand_b"))
+    return (
+        ob.join(b, (F.col("ok") == F.col("ok2")) & (F.col("brand") < F.col("brand_b")))
+        .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+def _assort(li: DataFrame, od: DataFrame, pt: DataFrame) -> DataFrame:
+    # degree assortativity: fact join + distinct + two degree joins,
+    # collapsing to one moment row — every stage keyed, linear.
+    e = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    du = e.groupBy("cust").agg(F.count(F.lit(1)).cast("bigint").alias("dx"))
+    dt = e.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("dy"))
+    xy = e.join(du, "cust").join(F.broadcast(dt), "brand").select("dx", "dy")
+    return xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
     )
 
 
