@@ -1266,13 +1266,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     value whose cumulative weight reaches half the total (pure
     integer compare 2·cw ≥ tw: no division, no float boundary).
     Scale discipline: the fact FIRST collapses to one row per
-    (group, distinct value) with summed weights — the window
-    cumsum then runs over that aggregated frame (bounded by the
-    value domain), never a per-group sort of raw fact rows; the
-    low-cardinality group key would otherwise serialize a 100-TB
-    window into 3 reducers. Since (group, cents) rows are UNIQUE
-    after the pre-agg, a ROWS cumsum ordered by cents is
-    deterministic on both engines."""
+    (group, distinct value) with summed weights; the running weight
+    then comes from ONE ``global_cumsum`` over the total order
+    (flag, cents) — range-partitioned, parallel at any group size —
+    NOT a per-group window, which would serialize the whole value
+    domain into one reducer per flag (3 reducers at 100 TB: the
+    agg_gini/win_ntile lesson). Per-flag cum = global cum − the
+    flag's broadcast prefix offset (triangular join over the 3-row
+    per-flag totals)."""
+    from flirt_consume_spark.operators.scale import global_cumsum
+
     li = t(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     wsum = (
@@ -1284,20 +1287,28 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "cents")
         .agg(F.sum("w").alias("w"))
     )
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = global_cumsum(
+        wsum, "w", [F.col("l_returnflag"), F.col("cents")], cum_col="cw_all"
     )
-    wtot = Window.partitionBy("l_returnflag")
-    cum = wsum.select(
-        "l_returnflag",
-        "cents",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wtot).alias("tw"),
+    totals = wsum.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    ta = totals.select(
+        F.col("l_returnflag").alias("_fa"), F.col("tw").alias("_twa")
     )
+    offsets = (
+        totals.crossJoin(F.broadcast(ta))
+        .groupBy("l_returnflag", "tw")
+        .agg(
+            F.sum(
+                F.when(F.col("_fa") < F.col("l_returnflag"), F.col("_twa"))
+                .otherwise(0)
+            ).alias("off")
+        )
+    )
+    joined = cum.join(F.broadcast(offsets), "l_returnflag")
     return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        joined.filter(
+            2 * (F.col("cw_all") - F.col("off")) >= F.col("tw")
+        )
         .groupBy("l_returnflag")
         .agg(
             (F.min("cents").cast("double") / 100).alias(

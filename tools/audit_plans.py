@@ -200,6 +200,10 @@ ALLOW = {
     # 1-row order-count broadcast into the ≤C(25,2)-row brand-pair
     # frame (lazy-scalar shape).
     "agg_basket_pairs": {"nested_loop"},
+    # global_cumsum's triangular (pid → offset) broadcast join plus
+    # the 3-row per-flag-totals triangular offset join — both
+    # constant-size sides (sort_global / agg_gini shape).
+    "agg_weighted_median": {"nested_loop"},
 }
 
 
