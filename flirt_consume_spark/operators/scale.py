@@ -481,3 +481,94 @@ def global_cumsum(
         out = out.withColumn(cc, F.col(f"_off_{vc}") + F.col(f"_lcum_{vc}"))
         drop += [f"_lcum_{vc}", f"_off_{vc}"]
     return out.drop(*drop)
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    rank_col: str = "grnk",
+) -> DataFrame:
+    """Per-group row_number for LOW-CARDINALITY groups over a
+    DATA-SIZED frame — the scale path that
+    ``Window.partitionBy(group).orderBy(...)`` cannot provide there:
+    a per-group window plans one reducer PER GROUP, so 3 statuses or
+    10 languages serialize a 100-TB table into 3-10 tasks however
+    many executors exist (the win_ntile/sort_global lesson, per
+    group).
+
+    Mechanics: ONE ``global_rank`` over the total order
+    (group_cols + order_cols) — range-partitioned, parallel — then
+    rank-in-group = global rank − the group's minimum global rank
+    + 1, with the per-group minima (|groups| rows, bounded by
+    assumption) riding a broadcast join back. This is the agg_gini
+    offset construction, factored out.
+
+    Requires group_cols to have BOUNDED cardinality (the minima
+    table is collected into a broadcast); for high-cardinality
+    groups a plain per-group window is already parallel — use that.
+    ``group_cols + order_cols`` must be a total order (unique key).
+    """
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    gnames = [df.select(c).columns[0] for c in gcols]
+    ranked = global_rank(df, gcols + list(order_cols), rank_col="_gr_all")
+    mins = ranked.groupBy(*gnames).agg(F.min("_gr_all").alias("_gr_min"))
+    return (
+        ranked.join(F.broadcast(mins), gnames)
+        .withColumn(
+            rank_col,
+            (F.col("_gr_all") - F.col("_gr_min") + 1).cast("long"),
+        )
+        .drop("_gr_all", "_gr_min")
+    )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    value_col: str | list[str],
+    group_cols: list,
+    order_cols: list,
+    cum_col: str | list[str] = "gcum",
+) -> DataFrame:
+    """Per-group running sum for LOW-CARDINALITY groups over a
+    DATA-SIZED frame — the prefix-sum sibling of ``grouped_rank``
+    (same rationale: a per-group window cumsum serializes into one
+    reducer per group).
+
+    Mechanics: ONE multi-counter ``global_cumsum`` over the total
+    order (group_cols + order_cols), cumulating every value column
+    PLUS a constant 1 (the in-group position); each group's offset
+    is then ``min_by(cum − value, position)`` = the running total
+    just before the group's first row, recovered exactly from the
+    bounded per-group aggregate and broadcast back. Values may be
+    negative — the offset uses the first-row identity, not
+    monotonicity. Integral values only (global_cumsum's exactness
+    contract).
+    """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ccols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(vcols) != len(ccols):
+        raise ValueError("value_col and cum_col lists must align 1:1")
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    gnames = [df.select(c).columns[0] for c in gcols]
+    base = df.withColumn("_g1", F.lit(1).cast("long"))
+    cum = global_cumsum(
+        base,
+        vcols + ["_g1"],
+        gcols + list(order_cols),
+        cum_col=[f"_gc_{vc}" for vc in vcols] + ["_gpos"],
+    )
+    offs = cum.groupBy(*gnames).agg(
+        *[
+            F.min_by(F.col(f"_gc_{vc}") - F.col(vc), F.col("_gpos")).alias(
+                f"_goff_{vc}"
+            )
+            for vc in vcols
+        ]
+    )
+    out = cum.join(F.broadcast(offs), gnames)
+    drop = ["_g1", "_gpos"]
+    for vc, cc in zip(vcols, ccols):
+        out = out.withColumn(cc, F.col(f"_gc_{vc}") - F.col(f"_goff_{vc}"))
+        drop += [f"_gc_{vc}", f"_goff_{vc}"]
+    return out.drop(*drop)

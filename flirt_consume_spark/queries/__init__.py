@@ -37,6 +37,7 @@ from flirt_consume_spark.queries import curation  # noqa: F401,E402
 from flirt_consume_spark.queries import trend  # noqa: F401,E402
 from flirt_consume_spark.queries import facets  # noqa: F401,E402
 from flirt_consume_spark.queries import leakage  # noqa: F401,E402
+from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 
 # --- driver-window rotation ----------------------------------------------
 # External verifiers sample REGISTRY in insertion order with a bounded

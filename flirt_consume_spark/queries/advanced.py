@@ -366,8 +366,10 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     capstone proof that the stages COMPOSE: one oracle replays the
     whole chain, so any stage interaction bug (dedup reordering
     quota's priorities, quota starving a split...) breaks the hash.
-    Scale shape: the three windows partition by md5(text) / source —
-    bounded key domains; everything else is narrow."""
+    Scale shape: the dedup window partitions by md5(text) (high
+    cardinality — parallel); the per-source quota rank uses
+    ``grouped_rank`` (range-partitioned + broadcast offsets), never a
+    per-source window; everything else is narrow."""
     from pyspark.sql.window import Window
 
     from flirt_consume_spark.operators import text as X
@@ -383,16 +385,16 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_rnd") == 1)
     )
-    qt = (
-        d.withColumn("_pri", F.md5(F.col("doc_id").cast("string")))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy("_pri", "doc_id")
-            ),
-        )
-        .filter(F.col("_rn") <= 150)
-    )
+    # grouped_rank, not Window.partitionBy(source): ~10 sources would
+    # serialize the deduped corpus into ~10 reducers at scale.
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    qt = grouped_rank(
+        d.withColumn("_pri", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        [F.col("_pri"), F.col("doc_id")],
+        rank_col="_rn",
+    ).filter(F.col("_rn") <= 150)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -575,18 +577,41 @@ def join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: distribution ranks — percent_rank/cume_dist per status
     (where does this fare sit in its class). Total order (price, key)
-    makes tie handling deterministic; both engines use the identical
-    rank-based definitions, so 6-decimal rounding hash-matches. One
-    shuffle on the partition key."""
-    from pyspark.sql.window import Window
+    makes tie handling deterministic, which also means
+    percent_rank = (row_number−1)/(n−1) and cume_dist = row_number/n
+    exactly — so the ranks come from ``grouped_rank`` (ONE
+    range-partitioned global rank + broadcast per-status offsets),
+    NOT a per-status window: orders has 3 statuses, and a
+    Window.partitionBy(status) would serialize the whole table into
+    3 reducers at any scale. Counts per status ride the same
+    broadcast; each emitted double is one division of exact
+    integers, 6-decimal rounded identically on both engines."""
+    from flirt_consume_spark.operators.scale import grouped_rank
 
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        "o_totalprice", "o_orderkey"
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
     )
-    return t(spark, sf_dir, "orders").select(
+    ranked = grouped_rank(
+        od,
+        ["o_orderstatus"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="_r",
+    )
+    cnt = od.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.join(F.broadcast(cnt), "o_orderstatus").select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(
+            # n = 1 ⇒ percent_rank is defined as 0 (not 0/0)
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_r") - 1).cast("double")
+                / (F.col("_n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pr"),
+        F.round(
+            F.col("_r").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("cd"),
     )
 
 

@@ -333,17 +333,25 @@ def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota sampling: cap each language (standing in for
     crawl domain / source) at 100 documents, chosen by md5(doc_id)
     priority — a deterministic uniform draw that is stable under
-    re-runs and insertions, unlike rand(). One shuffle on the source
-    key; each source's window is independent, and at 100 TB a skewed
-    source only sorts its own partition (the quota keeps downstream
-    balanced — the point of the op)."""
+    re-runs and insertions, unlike rand(). Ranks come from ONE
+    range-partitioned ``grouped_rank`` (broadcast per-source
+    offsets) rather than a per-source window: with ~10 sources a
+    Window.partitionBy(source) serializes the whole corpus into ~10
+    reducers at 100 TB, exactly when the quota op runs."""
+    from flirt_consume_spark.operators.scale import grouped_rank
+
     docs = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
     return (
-        docs.select("doc_id", "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("rn"))
+        grouped_rank(
+            docs.select(
+                "doc_id",
+                "lang",
+                F.md5(F.col("doc_id").cast("string")).alias("_pri"),
+            ),
+            ["lang"],
+            [F.col("_pri"), F.col("doc_id")],
+            rank_col="_rn",
+        )
+        .filter(F.col("_rn") <= 100)
+        .select("doc_id", "lang", F.col("_rn").cast("bigint").alias("rn"))
     )

@@ -594,12 +594,18 @@ def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     n = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    r = F.row_number().over(
-        Window.partitionBy("event_type").orderBy("xs", "event_id")
-    )
+    # grouped_rank, not Window.partitionBy(event_type): 5 types would
+    # serialize the whole point stream into 5 reducers at scale.
+    from flirt_consume_spark.operators.scale import grouped_rank
+
     bk = (
-        pts.join(F.broadcast(n), "event_type")
-        .withColumn("r", r)
+        grouped_rank(
+            pts,
+            ["event_type"],
+            [F.col("xs"), F.col("event_id")],
+            rank_col="r",
+        )
+        .join(F.broadcast(n), "event_type")
         .withColumn(
             "b", F.expr(f"((r - 1) * {_DS_BUCKETS}) div cnt")
         )

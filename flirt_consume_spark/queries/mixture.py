@@ -298,9 +298,11 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically, so the SAME documents are chosen at any parallelism
     (re-runs are reproducible, the property that matters for
     training-data lineage). Quotas are pure integer arithmetic
-    (count DIV 2 × pct DIV 100). One window per language partition +
-    a broadcast 1-row total; at 100 TB the rank-and-filter is the
-    same shape as quota sampling — no global sort, no collect."""
+    (count DIV 2 × pct DIV 100). Per-language ranks come from ONE
+    range-partitioned ``grouped_rank`` (broadcast per-lang offsets) —
+    never a per-lang window, which would serialize the corpus into
+    ~10 reducers — plus a broadcast 1-row total; no global sort, no
+    collect."""
     docs = t(spark, sf_dir, "documents")
     target = docs.groupBy().agg(
         (F.count("*") / 2).cast("bigint").alias("target")
@@ -312,14 +314,25 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.lit(0),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    ranked = docs.select(
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    # grouped_rank, not Window.partitionBy(lang): ~10 languages would
+    # serialize the whole corpus into ~10 reducers at scale.
+    ranked = grouped_rank(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("_pri"),
+            pct.alias("_pct"),
+        ),
+        ["lang"],
+        [F.col("_pri"), F.col("doc_id")],
+        rank_col="_mr",
+    ).select(
         "doc_id",
         "lang",
-        F.row_number().over(w).cast("bigint").alias("mix_rank"),
-        pct.alias("_pct"),
+        F.col("_mr").cast("bigint").alias("mix_rank"),
+        "_pct",
     ).crossJoin(F.broadcast(target))
     quota = F.expr("(target * _pct) DIV 100")
     return ranked.filter(F.col("mix_rank") <= quota).select(

@@ -88,22 +88,22 @@ _CTX = 4096  # tokens per packed training sequence
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents (in stable doc_id order)
     into {_CTX}-token training bins — bin = starting token offset DIV
-    context length. Packing is per-source, so the window partitions by
-    source and parallelizes; a single global ordering would serialize
-    the cumsum through one partition at scale."""
+    context length. Packing is per-source, and the per-source running
+    token offset comes from ONE ``grouped_cumsum`` (range-partitioned
+    prefix sum + broadcast per-source offsets): a per-source window
+    would serialize each source's whole corpus through one reducer,
+    and a single global window through one, period."""
+    from flirt_consume_spark.operators.scale import grouped_cumsum
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "source", "doc_id", F.size(X.tokens("text")).cast("bigint").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
+    packed = grouped_cumsum(
+        toks, "n_tok", ["source"], [F.col("doc_id")], cum_col="_ctok"
+    ).withColumn(
         "bin_id",
-        ((F.sum("n_tok").over(w) - F.col("n_tok")) / _CTX)
-        .cast("bigint"),
+        ((F.col("_ctok") - F.col("n_tok")) / _CTX).cast("bigint"),
     )
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -124,23 +124,66 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: ranking family — top customers per market segment (top
     routes per origin in the reference's domain). row_number/ntile
     order by a full unique key; rank/dense_rank are tie-stable on the
-    semantic key alone."""
-    cust = t(spark, sf_dir, "customer")
-    w_unique = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    semantic key alone.
+
+    Scale path: customer has 5 segments, so Window.partitionBy(
+    segment) would serialize the table into 5 reducers. Instead ONE
+    ``grouped_rank`` (range-partitioned global rank + broadcast
+    per-segment offsets) yields row_number; rank() = the min
+    row_number of the (segment, acctbal) tie class (keyed join
+    back); dense_rank() = grouped_rank over the DISTINCT tie classes
+    (value-domain-sized) joined back; ntile(4) = the exact
+    first-(n%k)-tiles-get-ceil(n/k) row-number formula with
+    per-segment counts on a broadcast — the win_ntile construction,
+    per group. Every stage is range/hash partitioned."""
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    k = 4
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    w_val = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    ranked = grouped_rank(
+        cust,
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        rank_col="rn",
+    )
+    # rank(): min row_number within the (segment, acctbal) tie class
+    ties = ranked.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.min("rn").alias("rnk")
+    )
+    # dense_rank(): rank the distinct tie classes themselves
+    dense = grouped_rank(
+        ties.select("c_mktsegment", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc()],
+        rank_col="drnk",
+    )
+    cnt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    q = F.col("_n") - (F.col("_n") / k).cast("long") * k  # n % k
+    base = (F.col("_n") / k).cast("long")  # n // k
+    big = q * (base + 1)
+    nt = (
+        F.when(
+            (F.col("rn") <= big) | (base == 0),
+            ((F.col("rn") - 1) / (base + 1)).cast("long") + 1,
+        )
+        .otherwise(q + ((F.col("rn") - big - 1) / base).cast("long") + 1)
+    )
     return (
-        cust.select(
+        ranked.join(ties, ["c_mktsegment", "c_acctbal"])
+        .join(dense, ["c_mktsegment", "c_acctbal"])
+        .join(F.broadcast(cnt), "c_mktsegment")
+        .filter(F.col("rn") <= 10)
+        .select(
             "c_custkey",
             "c_mktsegment",
             "c_acctbal",
-            F.row_number().over(w_unique).alias("rn"),
-            F.rank().over(w_val).alias("rnk"),
-            F.dense_rank().over(w_val).alias("drnk"),
-            F.ntile(4).over(w_unique).cast("bigint").alias("nt"),
+            F.col("rn").cast("int").alias("rn"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("drnk").cast("int").alias("drnk"),
+            nt.cast("bigint").alias("nt"),
         )
-        .filter(F.col("rn") <= 10)
     )
 
 
@@ -295,12 +338,40 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 units — exact cross-engine; round() would tie-break exact
     decimal values differently. Full unique ordering (acctbal,
     custkey) keeps every rank deterministic."""
-    cust = t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    # grouped_rank, not Window.partitionBy(segment): 5 segments would
+    # serialize the table into 5 reducers. The unique ordering makes
+    # percent_rank = (rn−1)/(n−1) and cume_dist = rn/n exactly.
+    ranked = grouped_rank(
+        cust,
+        ["c_mktsegment"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_col="_rn",
+    )
+    cnt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.join(F.broadcast(cnt), "c_mktsegment").select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("pct_rnk"),
-        (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cume"),
+        (
+            F.floor(
+                # n = 1 ⇒ percent_rank is defined as 0 (not 0/0)
+                F.when(F.col("_n") > 1,
+                       (F.col("_rn") - 1).cast("double")
+                       / (F.col("_n") - 1).cast("double"))
+                .otherwise(F.lit(0.0))
+                * 1e6
+            )
+            / 1e6
+        ).alias("pct_rnk"),
+        (
+            F.floor(
+                F.col("_rn").cast("double") / F.col("_n").cast("double") * 1e6
+            )
+            / 1e6
+        ).alias("cume"),
     )

@@ -246,3 +246,58 @@ def test_embed_dedup_n_planes_refines_buckets(spark):
     assert all(b16[v] & 255 == b8[v] for v in b8)
     expected = {(a, b) for (a, b) in p8 if b16[a] == b16[b]}
     assert p16 == expected
+
+
+def test_grouped_rank_matches_window(spark):
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+    got = (
+        grouped_rank(
+            df, ["o_orderstatus"], [F.col("o_totalprice"), F.col("o_orderkey")],
+            rank_col="r",
+        )
+        .select("o_orderkey", "r")
+        .toPandas()
+        .set_index("o_orderkey")["r"]
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ref = (
+        df.select("o_orderkey", F.row_number().over(w).cast("long").alias("r"))
+        .toPandas()
+        .set_index("o_orderkey")["r"]
+    )
+    assert got.sort_index().equals(ref.sort_index())
+
+
+def test_grouped_cumsum_matches_window(spark):
+    from flirt_consume_spark.operators.scale import grouped_cumsum
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        # include negatives: the offset must use the first-row
+        # identity, not monotonicity
+        ((F.col("o_custkey") % 11) - 5).cast("bigint").alias("v"),
+    )
+    got = (
+        grouped_cumsum(
+            df, "v", ["o_orderstatus"], [F.col("o_orderkey")], cum_col="cv"
+        )
+        .select("o_orderkey", "cv")
+        .toPandas()
+        .set_index("o_orderkey")["cv"]
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = (
+        df.select("o_orderkey", F.sum("v").over(w).cast("long").alias("cv"))
+        .toPandas()
+        .set_index("o_orderkey")["cv"]
+    )
+    assert got.sort_index().equals(ref.sort_index())

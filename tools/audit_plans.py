@@ -204,6 +204,18 @@ ALLOW = {
     # the 3-row per-flag-totals triangular offset join — both
     # constant-size sides (sort_global / agg_gini shape).
     "agg_weighted_median": {"nested_loop"},
+    # grouped_rank/grouped_cumsum call sites (operators/scale.py):
+    # the triangular (pid → offset) broadcast join inside
+    # global_rank/global_cumsum — num_partitions rows, constant in
+    # data size (sort_global shape). The per-group offset join itself
+    # is a plain broadcast hash join over the bounded group table.
+    "win_cume": {"nested_loop"},
+    "win_rank": {"nested_loop"},
+    "win_distribution": {"nested_loop"},
+    "quota_per_source": {"nested_loop"},
+    "llm_corpus_pipeline": {"nested_loop"},
+    "pack_sequences": {"nested_loop"},
+    "time_downsample": {"nested_loop"},
 }
 
 
