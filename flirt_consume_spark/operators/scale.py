@@ -483,11 +483,42 @@ def global_cumsum(
     return out.drop(*drop)
 
 
+#: Default ceiling for grouped_rank/grouped_cumsum group cardinality —
+#: the per-group offset table rides a broadcast, so it must stay small.
+#: 100k rows of (keys, long) is a few MB; far beyond "low cardinality"
+#: but far below anything that threatens the driver.
+MAX_BROADCAST_GROUPS = 100_000
+
+
+def _guard_group_count(offsets: DataFrame, max_groups: int, op: str) -> DataFrame:
+    """Enforce the bounded-cardinality contract before broadcasting.
+
+    Collects at most ``max_groups + 1`` rows of the per-group offset
+    frame (bounded driver memory — the exact rows a broadcast would
+    ship anyway) and raises past the ceiling instead of silently
+    building an unbounded driver broadcast. On success the offsets
+    come back as a LocalRelation, so the upstream aggregate computes
+    exactly once and the downstream broadcast join has nothing left
+    to recompute.
+    """
+    rows = offsets.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"{op}: group_cols exceed the bounded-cardinality contract "
+            f"(> {max_groups} distinct groups). The per-group offset "
+            f"table is broadcast, so it must stay small; for "
+            f"high-cardinality groups use a plain per-group "
+            f"Window.partitionBy(...) — it is already parallel there."
+        )
+    return offsets.sparkSession.createDataFrame(rows, offsets.schema)
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list,
     order_cols: list,
     rank_col: str = "grnk",
+    max_groups: int = MAX_BROADCAST_GROUPS,
 ) -> DataFrame:
     """Per-group row_number for LOW-CARDINALITY groups over a
     DATA-SIZED frame — the scale path that
@@ -505,14 +536,17 @@ def grouped_rank(
     offset construction, factored out.
 
     Requires group_cols to have BOUNDED cardinality (the minima
-    table is collected into a broadcast); for high-cardinality
-    groups a plain per-group window is already parallel — use that.
+    table is collected into a broadcast); ``max_groups`` enforces it —
+    the call fails fast past the ceiling instead of OOMing the
+    driver. For high-cardinality groups a plain per-group window is
+    already parallel — use that.
     ``group_cols + order_cols`` must be a total order (unique key).
     """
     gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
     gnames = [df.select(c).columns[0] for c in gcols]
     ranked = global_rank(df, gcols + list(order_cols), rank_col="_gr_all")
     mins = ranked.groupBy(*gnames).agg(F.min("_gr_all").alias("_gr_min"))
+    mins = _guard_group_count(mins, max_groups, "grouped_rank")
     return (
         ranked.join(F.broadcast(mins), gnames)
         .withColumn(
@@ -529,6 +563,7 @@ def grouped_cumsum(
     group_cols: list,
     order_cols: list,
     cum_col: str | list[str] = "gcum",
+    max_groups: int = MAX_BROADCAST_GROUPS,
 ) -> DataFrame:
     """Per-group running sum for LOW-CARDINALITY groups over a
     DATA-SIZED frame — the prefix-sum sibling of ``grouped_rank``
@@ -566,6 +601,7 @@ def grouped_cumsum(
             for vc in vcols
         ]
     )
+    offs = _guard_group_count(offs, max_groups, "grouped_cumsum")
     out = cum.join(F.broadcast(offs), gnames)
     drop = ["_g1", "_gpos"]
     for vc, cc in zip(vcols, ccols):

@@ -1342,8 +1342,13 @@ def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
-    out_dir = os.path.join(
-        "/tmp", f"flirt_pyds_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    # Keyed on source fingerprint (distinct sf_dirs sharing a basename
+    # get distinct dirs) AND application id (two concurrent sessions
+    # never race on the same rmtree-then-write).
+    out_dir = (
+        cache_path("pyds_sink", sf_dir, "orders")
+        + "_"
+        + spark.sparkContext.applicationId
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)

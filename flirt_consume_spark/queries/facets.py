@@ -238,9 +238,9 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
-             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
-             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-             CAST(SUM(dy * dy) AS BIGINT) AS syy
+             SUM(dx * dy) AS sxy,
+             SUM(dx * dx) AS sxx,
+             SUM(dy * dy) AS syy
       FROM xy
     )
     SELECT n AS n_edges, sx, sy,
@@ -252,7 +252,8 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS assortativity
     FROM m
-    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    WHERE n * sxx - CAST(sx AS HUGEINT) * sx > 0
+      AND n * syy - CAST(sy AS HUGEINT) * sy > 0
     """,
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,22 +293,30 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dt), "brand")
         .select("dx", "dy")
     )
+    # Moments in decimal(38,0): syy = Σ dy² grows as edges·(edges/25)²,
+    # which already exceeds int64 at sf0.1 (sy² in the guard does too).
+    # decimal(38,0) is exact past sf100 (n·syy ≈ 3e31 there); DuckDB's
+    # SUM(BIGINT) widens to HUGEINT on its own, so the oracle needs no cast.
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = xy.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dx").cast("bigint").alias("sx"),
         F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(dec("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     r = (d("n") * d("sxy") - d("sx") * d("sy")) / (
         F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
         * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
     )
+    # Exact decimal variance guard — bigint·bigint would stay a long
+    # multiply (sy² > int64 at sf0.1), so both operands are lifted to
+    # decimal first; values stay < 1e32 through sf100.
     return m.filter(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        (dec("n") * F.col("sxx") - dec("sx") * F.col("sx") > 0)
+        & (dec("n") * F.col("syy") - dec("sy") * F.col("sy") > 0)
     ).select(
         F.col("n").alias("n_edges"),
         "sx",

@@ -301,3 +301,30 @@ def test_grouped_cumsum_matches_window(spark):
         .set_index("o_orderkey")["cv"]
     )
     assert got.sort_index().equals(ref.sort_index())
+
+
+def test_grouped_rank_cardinality_guard(spark):
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    # o_orderkey is unique: grouping by it blows any small ceiling.
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        grouped_rank(
+            df, ["o_orderkey"], [F.col("o_orderstatus")],
+            rank_col="r", max_groups=10,
+        )
+
+
+def test_grouped_cumsum_cardinality_guard(spark):
+    from flirt_consume_spark.operators.scale import grouped_cumsum
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.lit(1).cast("bigint").alias("v")
+    )
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        grouped_cumsum(
+            df, "v", ["o_orderkey"], [F.col("v")],
+            cum_col="cv", max_groups=10,
+        )
