@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flirt_consume_spark.io import cache_path
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import query, session_state, t
 
 _HAV_SQL = """2 * 6371.0 * asin(least(1.0, sqrt(
         sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
@@ -1126,16 +1126,17 @@ def _km_state(spark: SparkSession, sf_dir: str, k: int = 5):
     at web scale); the oracle-checked keys pin k=5 so the unrolled
     Lloyd's SQL stays tractable, and the probe suite exercises the
     scaled-k path."""
-    from flirt_consume_spark.io import source_fingerprint
-
-    ck = (
-        spark.sparkContext.applicationId,
-        source_fingerprint(sf_dir, "embeddings"),
-        k,
+    return session_state(
+        _KM_STATE_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings",),
+        lambda: _km_state_build(spark, sf_dir, k),
+        extra=(k,),
     )
-    hit = _KM_STATE_CACHE.get(ck)
-    if hit is not None:
-        return hit
+
+
+def _km_state_build(spark: SparkSession, sf_dir: str, k: int):
     emb = t(spark, sf_dir, "embeddings")
     vl = (
         emb.select(
@@ -1188,7 +1189,6 @@ def _km_state(spark: SparkSession, sf_dir: str, k: int = 5):
             )
         )
     assign = assign.persist()
-    _KM_STATE_CACHE[ck] = (vl, assign)
     return vl, assign
 
 

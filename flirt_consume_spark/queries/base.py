@@ -144,3 +144,58 @@ def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
 
 def sql_ts_str(expr: str, alias: str) -> str:
     return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f') AS {alias}"
+
+
+# --- session-scoped staged-intermediate caches ----------------------------
+
+
+def _unpersist_all(value) -> None:
+    """Best-effort unpersist of every DataFrame in a cache entry."""
+    vals = value if isinstance(value, (tuple, list)) else (value,)
+    for v in vals:
+        unp = getattr(v, "unpersist", None)
+        if callable(unp):
+            try:
+                unp()
+            except Exception:  # noqa: BLE001 — eviction must never raise
+                pass
+
+
+def session_state(
+    cache: dict,
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    build: Callable[[], object],
+    extra: tuple = (),
+):
+    """Fingerprint-aware session cache for shared staged intermediates
+    (the _LSH_PAIR_CACHE pattern, factored out).
+
+    Scope key = (applicationId, sf_dir, *extra); the stored entry also
+    carries the source tables' content fingerprints. A scope hit whose
+    fingerprint no longer matches (testdata regenerated in place
+    mid-session) unpersists the superseded entry's DataFrames and
+    rebuilds — so stale persisted blocks are dropped at supersede time
+    instead of stranding for the life of the session.
+    """
+    import os as _os
+
+    from flirt_consume_spark.io import source_fingerprint
+
+    scope = (
+        spark.sparkContext.applicationId,
+        _os.path.normpath(sf_dir),
+        *extra,
+    )
+    fp = tuple(source_fingerprint(sf_dir, tb) for tb in tables)
+    hit = cache.get(scope)
+    if hit is not None:
+        old_fp, value = hit
+        if old_fp == fp:
+            return value
+        _unpersist_all(value)
+        del cache[scope]
+    value = build()
+    cache[scope] = (fp, value)
+    return value

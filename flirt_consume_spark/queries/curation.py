@@ -49,7 +49,7 @@ from pyspark.sql.window import Window
 
 from flirt_consume_spark.operators import dedup as D
 from flirt_consume_spark.operators.scale import global_rank
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import query, session_state, t
 
 # --- arg-extremum aggregation (max_by / min_by) --------------------------
 
@@ -701,15 +701,16 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     symbolized vocab DataFrame (w, s, freq)). Shared by the trainer
     key (emits the merges) and the encoder key (consumes the final
     vocab)."""
-    from flirt_consume_spark.io import source_fingerprint
-
-    ck = (
-        spark.sparkContext.applicationId,
-        source_fingerprint(sf_dir, "documents"),
+    return session_state(
+        _BPE_FIT_CACHE,
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _bpe_fit_build(spark, sf_dir),
     )
-    hit = _BPE_FIT_CACHE.get(ck)
-    if hit is not None:
-        return hit
+
+
+def _bpe_fit_build(spark: SparkSession, sf_dir: str):
     docs = t(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
@@ -751,7 +752,6 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
                 F.lit(f"({best['a']}{best['b']})"),
             ),
         ).localCheckpoint(eager=True)
-    _BPE_FIT_CACHE[ck] = (merges, sym)
     return merges, sym
 
 

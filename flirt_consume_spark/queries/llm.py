@@ -94,15 +94,19 @@ _LSH_PAIR_CACHE: dict = {}
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _LSH_PAIR_CACHE.get(key)
-    if df is None:
+    from flirt_consume_spark.queries.base import session_state
+
+    def build() -> DataFrame:
         docs = t(spark, sf_dir, "documents")
-        df = D.lsh_candidate_pairs(
+        return D.lsh_candidate_pairs(
             D.minhash_signatures(D.shingle_stream(docs))
         ).persist()
-        _LSH_PAIR_CACHE[key] = df
-    return df
+
+    # session_state keys on the documents fingerprint too, so in-place
+    # testdata regeneration evicts (and unpersists) the stale pair set.
+    return session_state(
+        _LSH_PAIR_CACHE, spark, sf_dir, ("documents",), build
+    )
 
 
 @query(

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from flirt_consume_spark.operators import dedup as D
 from flirt_consume_spark.operators import retrieval as R
 from flirt_consume_spark.operators.text import tokens
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import query, session_state, t
 from flirt_consume_spark.queries.llm import _SH_CTE
 
 _TOK_STREAM = (
@@ -553,15 +553,18 @@ def _power_w(spark: SparkSession, sf_dir: str):
     emits the 1e-9-floored direction) and emb_pca_project (which
     needs the INTEGER 1e-9-grid coefficients so projection sums stay
     exact)."""
-    from flirt_consume_spark.io import source_fingerprint
-
-    ck = (
-        spark.sparkContext.applicationId,
-        source_fingerprint(sf_dir, "embeddings"),
+    # cov rides in the cached tuple only so eviction can unpersist it.
+    w, mx, _cov = session_state(
+        _POWER_W_CACHE,
+        spark,
+        sf_dir,
+        ("embeddings",),
+        lambda: _power_w_build(spark, sf_dir),
     )
-    hit = _POWER_W_CACHE.get(ck)
-    if hit is not None:
-        return hit
+    return w, mx
+
+
+def _power_w_build(spark: SparkSession, sf_dir: str):
     cov = _cov_long(spark, sf_dir).persist()
     # Iterate WITHOUT intermediate normalization: |cov| <= ~1, so 3
     # un-normalized iterates stay well inside double range, and
@@ -590,8 +593,7 @@ def _power_w(spark: SparkSession, sf_dir: str):
         )
     mx = w.agg(F.max(F.abs(F.col("w"))).alias("_m"))
     w = w.persist()
-    _POWER_W_CACHE[ck] = (w, mx)
-    return w, mx
+    return w, mx, cov
 
 
 @query(

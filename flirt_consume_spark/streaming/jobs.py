@@ -616,7 +616,13 @@ def cms_cells_stream(events: DataFrame) -> DataFrame:
     return cms_cells(events.select("user_id"), "user_id")
 
 
-def series_stream_sink(spark: SparkSession, out_dir: str) -> None:
+def series_stream_sink(
+    spark: SparkSession,
+    out_dir: str,
+    total: int = 6000,
+    chunk: int = 1000,
+    timeout_sec: float = 120.0,
+) -> None:
     """S18/T12: custom STREAMING Python data SINK (PySpark 4
     ``DataSourceStreamWriter``) — the write-side twin of
     read_series_stream and the streaming twin of sink_pyds' batch
@@ -685,9 +691,18 @@ def series_stream_sink(spark: SparkSession, out_dir: str) -> None:
             return JsonlStreamWriter(self.options["path"])
 
     spark.dataSource.register(JsonlStreamSink)
+    import glob
+    import shutil
+    import time
+
+    # A fresh run, not a restart: stale manifests/parts/checkpoint in
+    # out_dir would satisfy the completion count before this query
+    # commits anything — clear them up front.
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     q = (
-        read_series_stream(spark)
+        read_series_stream(spark, total=total, chunk=chunk)
         .writeStream.format("jsonl_stream_sink")
         .option("path", out_dir)
         .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
@@ -696,20 +711,25 @@ def series_stream_sink(spark: SparkSession, out_dir: str) -> None:
     )
     # The simple stream reader has no end-of-stream marker for
     # availableNow, so drive with a fast trigger and stop once every
-    # series row has been COMMITTED through an epoch manifest.
-    import glob
-    import time
-
-    deadline = time.time() + 120
+    # series row has been COMMITTED through an epoch manifest. The
+    # target is the same ``total`` the reader generates — never a
+    # separately-hardcoded count.
+    deadline = time.time() + timeout_sec
+    n = 0
     while time.time() < deadline:
         n = 0
         for mpath in glob.glob(os.path.join(out_dir, "manifest-epoch-*.json")):
             with open(mpath) as fh:
                 n += json.load(fh)["rows"]
-        if n >= 6000:
+        if n >= total:
             break
         time.sleep(0.5)
     q.stop()
+    if n < total:
+        raise TimeoutError(
+            f"series_stream_sink: only {n}/{total} rows committed "
+            f"within {timeout_sec}s — stalled stream, partial manifests"
+        )
 
 
 def read_sink_manifests(out_dir: str):
