@@ -869,12 +869,11 @@ def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- delta-method ratio-metric standard error ----------------------------
 
-# Per-event values quantized to 1e-3 units once; all moment sums are
-# exact BIGINT. Magnitudes: per-(user,type) x_u ≲ events_per_user·5e5;
-# the squared sums stay orders of magnitude inside 2^63 at the
-# driver's SFs. At extreme per-entity history, drop the quantization
-# scale (the unit is a declared constant) or lift the two squared
-# moments to DECIMAL(38) — the plan shape is unchanged.
+# Per-event values quantized to 1e-3 units once. The product sums and
+# the central-moment numerators n·Sxx−Sx² run in DECIMAL(38,0) on the
+# Spark side (they cross int64 just past sf0.3 — measured 1.15e18 at
+# sf0.1, ~sf² growth: tools/audit_capacity.py) and in native HUGEINT
+# on the DuckDB side; n/sx/sy stay BIGINT (linear, far inside int64).
 _DM_SCALE = 1000
 
 
@@ -892,20 +891,20 @@ _DM_SCALE = 1000
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             SUM(x * x) AS sxx,
+             SUM(y * y) AS syy,
+             SUM(x * y) AS sxy
       FROM per_user GROUP BY 1
     )
     SELECT event_type, n, sx, sy,
            CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
            sqrt(
-             (CAST(n * sxx - sx * sx AS DOUBLE)
+             (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
               + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
                 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
-                * CAST(n * syy - sy * sy AS DOUBLE)
+                * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
               - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
-                * CAST(n * sxy - sx * sy AS DOUBLE))
+                * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
              / (CAST(n AS DOUBLE)
                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
@@ -934,19 +933,26 @@ def agg_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.count(F.lit(1)).cast("bigint").alias("y"),
     )
+    # The central-moment numerators n·Sxx−Sx² cross int64 just past
+    # sf0.3 (measured 1.15e18 at sf0.1, ~sf² growth —
+    # tools/audit_capacity.py), so the product sums and the numerator
+    # products run in decimal(38,0): exact past sf100, and the cast
+    # to double at the end is the same value either way. DuckDB forms
+    # the identical numerators in native HUGEINT.
+    dc = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = per_user.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(dc("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dc("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dc("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     r = d("sx") / d("sy")
-    vxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    vxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vxx = (dc("n") * F.col("sxx") - dc("sx") * F.col("sx")).cast("double")
+    vyy = (dc("n") * F.col("syy") - dc("sy") * F.col("sy")).cast("double")
+    vxy = (dc("n") * F.col("sxy") - dc("sx") * F.col("sy")).cast("double")
     yb = d("sy") / d("n")
     se = F.sqrt(
         (vxx + r * r * vyy - F.lit(2.0) * r * vxy)

@@ -457,12 +457,17 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     sx = F.sum("cents")
-    srx = F.sum(F.col("rnk") * F.col("cents"))
+    # Σ rnk·cents grows ~sf² (rank ~ group size) and crosses int64
+    # near sf2 (measured 3.1e16 at sf0.1, tools/audit_capacity.py) —
+    # the product sum and the (n+1)·Σx term run in decimal(38,0),
+    # exact past sf10⁹; DuckDB's SUM(BIGINT) is HUGEINT natively.
+    srx = F.sum(F.col("rnk").cast("decimal(19,0)") * F.col("cents"))
     return r.groupBy("segment").agg(
         n.alias("n_orders"),
         (
             F.floor(
-                (2 * srx - (n + 1) * sx).cast("double")
+                (2 * srx - (n.cast("decimal(19,0)") + 1) * sx)
+                .cast("double")
                 / (n.cast("double") * sx)
                 * 1e6
             )
