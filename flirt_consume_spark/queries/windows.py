@@ -135,55 +135,31 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value-domain-sized) joined back; ntile(4) = the exact
     first-(n%k)-tiles-get-ceil(n/k) row-number formula with
     per-segment counts on a broadcast — the win_ntile construction,
-    per group. Every stage is range/hash partitioned."""
-    from flirt_consume_spark.operators.scale import grouped_rank
+    per group. Every stage is range/hash partitioned. The whole
+    family lives in ``operators/scale.ranking_family`` so the
+    hypothesis property suite pins its tie semantics against the
+    native window functions (tests/test_properties.py)."""
+    from flirt_consume_spark.operators.scale import ranking_family
 
-    k = 4
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    ranked = grouped_rank(
+    fam = ranking_family(
         cust,
         ["c_mktsegment"],
-        [F.col("c_acctbal").desc(), F.col("c_custkey")],
-        rank_col="rn",
+        ["c_acctbal"],
+        [F.col("c_custkey")],
+        k=4,
+        descending=True,
     )
-    # rank(): min row_number within the (segment, acctbal) tie class
-    ties = ranked.groupBy("c_mktsegment", "c_acctbal").agg(
-        F.min("rn").alias("rnk")
-    )
-    # dense_rank(): rank the distinct tie classes themselves
-    dense = grouped_rank(
-        ties.select("c_mktsegment", "c_acctbal"),
-        ["c_mktsegment"],
-        [F.col("c_acctbal").desc()],
-        rank_col="drnk",
-    )
-    cnt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
-    q = F.col("_n") - (F.col("_n") / k).cast("long") * k  # n % k
-    base = (F.col("_n") / k).cast("long")  # n // k
-    big = q * (base + 1)
-    nt = (
-        F.when(
-            (F.col("rn") <= big) | (base == 0),
-            ((F.col("rn") - 1) / (base + 1)).cast("long") + 1,
-        )
-        .otherwise(q + ((F.col("rn") - big - 1) / base).cast("long") + 1)
-    )
-    return (
-        ranked.join(ties, ["c_mktsegment", "c_acctbal"])
-        .join(dense, ["c_mktsegment", "c_acctbal"])
-        .join(F.broadcast(cnt), "c_mktsegment")
-        .filter(F.col("rn") <= 10)
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            "c_acctbal",
-            F.col("rn").cast("int").alias("rn"),
-            F.col("rnk").cast("int").alias("rnk"),
-            F.col("drnk").cast("int").alias("drnk"),
-            nt.cast("bigint").alias("nt"),
-        )
+    return fam.filter(F.col("rn") <= 10).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("rn").cast("int").alias("rn"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("drnk").cast("int").alias("drnk"),
+        F.col("nt").cast("bigint").alias("nt"),
     )
 
 
@@ -303,17 +279,12 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     ranked = global_rank(orders, [F.col("o_totalprice"), F.col("o_orderkey")])
     total = ranked.agg(F.count(F.lit(1)).alias("_n"))
-    q = F.col("_n") - (F.col("_n") / k).cast("long") * k  # n % k
-    base = (F.col("_n") / k).cast("long")  # n // k
-    big = q * (base + 1)  # rows covered by the (base+1)-sized tiles
-    tile = (
-        F.when((F.col("rnk") <= big) | (base == 0),
-               ((F.col("rnk") - 1) / (base + 1)).cast("long") + 1)
-        .otherwise(q + ((F.col("rnk") - big - 1) / base).cast("long") + 1)
-        .alias("tile")
-    )
+    # Exact ntile formula, shared with ranking_family and pinned
+    # against F.ntile() by the property suite.
+    from flirt_consume_spark.operators.scale import ntile_expr
+
     tiles = ranked.crossJoin(F.broadcast(total)).select(
-        "o_totalprice", tile
+        "o_totalprice", ntile_expr("rnk", "_n", k).alias("tile")
     )
     return tiles.groupBy("tile").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -672,3 +672,91 @@ def test_bpe_bracket_replace_equals_tuple_merge(word, merges):
         assert s == "".join(f"({x})" for x in syms), (word, merges)
         # symbol concatenation always reconstructs the word
         assert "".join(syms) == word
+
+
+# --- ranking_family vs native window functions (VERDICT r6 #8) ------------
+# The win_rank/win_ntile/win_distribution rewrites re-derive
+# rank/dense_rank/ntile/percent_rank arithmetic from distributed
+# grouped_rank instead of per-group windows. Pin that arithmetic
+# against the native window functions across hypothesis-generated TIE
+# patterns, so a future edit can't silently diverge from window
+# semantics the oracle happens not to probe.
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),  # group
+        st.integers(min_value=0, max_value=4),  # value: few levels => ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+_k = st.integers(min_value=1, max_value=7)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rank_rows, k=_k)
+def test_ranking_family_matches_native_windows(spark, rows, k):
+    from pyspark.sql.window import Window
+
+    from flirt_consume_spark.operators.scale import ranking_family
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v int, id int"
+    )
+    got = (
+        ranking_family(df, ["g"], ["v"], [F.col("id")], k=k, descending=True)
+        .select("id", "rn", "rnk", "drnk", "nt")
+        .collect()
+    )
+    w_sem = Window.partitionBy("g").orderBy(F.col("v").desc())
+    w_tot = Window.partitionBy("g").orderBy(F.col("v").desc(), "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w_tot).alias("rn"),
+        F.rank().over(w_sem).alias("rnk"),
+        F.dense_rank().over(w_sem).alias("drnk"),
+        F.ntile(k).over(w_tot).alias("nt"),
+    ).collect()
+    gmap = {r.id: (r.rn, r.rnk, r.drnk, r.nt) for r in got}
+    wmap = {r.id: (r.rn, r.rnk, r.drnk, r.nt) for r in want}
+    assert gmap == wmap
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_rank_rows)
+def test_grouped_rank_distribution_matches_native(spark, rows):
+    """percent_rank/cume_dist as derived in win_distribution — over a
+    FULL UNIQUE ordering, (rn-1)/(n-1) and rn/n — must equal the
+    native functions under the same total order."""
+    from pyspark.sql.window import Window
+
+    from flirt_consume_spark.operators.scale import grouped_rank
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v int, id int"
+    )
+    ranked = grouped_rank(df, ["g"], [F.col("v"), F.col("id")], rank_col="rn")
+    cnt = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    got = (
+        ranked.join(F.broadcast(cnt), "g")
+        .select(
+            "id",
+            F.when(
+                F.col("n") > 1,
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pr"),
+            (F.col("rn").cast("double") / F.col("n").cast("double")).alias("cd"),
+        )
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).collect()
+    gmap = {r.id: (r.pr, r.cd) for r in got}
+    wmap = {r.id: (r.pr, r.cd) for r in want}
+    assert gmap == wmap

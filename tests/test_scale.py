@@ -310,11 +310,12 @@ def test_grouped_rank_cardinality_guard(spark):
         "o_orderkey", "o_orderstatus"
     )
     # o_orderkey is unique: grouping by it blows any small ceiling.
-    with pytest.raises(ValueError, match="bounded-cardinality"):
+    # The guard is lazy (in-plan raise_error), so it fires at action.
+    with pytest.raises(Exception, match="bounded-cardinality"):
         grouped_rank(
             df, ["o_orderkey"], [F.col("o_orderstatus")],
             rank_col="r", max_groups=10,
-        )
+        ).collect()
 
 
 def test_grouped_cumsum_cardinality_guard(spark):
@@ -323,8 +324,8 @@ def test_grouped_cumsum_cardinality_guard(spark):
     df = load_table(spark, SF, "orders").select(
         "o_orderkey", F.lit(1).cast("bigint").alias("v")
     )
-    with pytest.raises(ValueError, match="bounded-cardinality"):
+    with pytest.raises(Exception, match="bounded-cardinality"):
         grouped_cumsum(
             df, "v", ["o_orderkey"], [F.col("v")],
             cum_col="cv", max_groups=10,
-        )
+        ).collect()

@@ -209,13 +209,19 @@ ALLOW = {
     # global_rank/global_cumsum — num_partitions rows, constant in
     # data size (sort_global shape). The per-group offset join itself
     # is a plain broadcast hash join over the bounded group table.
-    "win_cume": {"nested_loop"},
-    "win_rank": {"nested_loop"},
-    "win_distribution": {"nested_loop"},
-    "quota_per_source": {"nested_loop"},
-    "llm_corpus_pipeline": {"nested_loop"},
-    "pack_sequences": {"nested_loop"},
-    "time_downsample": {"nested_loop"},
+    # single_partition_window (added r7) is the bounded-cardinality
+    # GUARD inside _guard_group_count: a count window over the
+    # per-group offsets frame — ≤ max_groups rows when the contract
+    # holds (raise_error fires otherwise), never over data-sized
+    # input. The data-sized window these keys replaced is exactly
+    # what grouped_rank exists to avoid.
+    "win_cume": {"nested_loop", "single_partition_window"},
+    "win_rank": {"nested_loop", "single_partition_window"},
+    "win_distribution": {"nested_loop", "single_partition_window"},
+    "quota_per_source": {"nested_loop", "single_partition_window"},
+    "llm_corpus_pipeline": {"nested_loop", "single_partition_window"},
+    "pack_sequences": {"nested_loop", "single_partition_window"},
+    "time_downsample": {"nested_loop", "single_partition_window"},
 }
 
 
