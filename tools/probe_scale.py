@@ -281,6 +281,15 @@ def main() -> None:
         # collapsing to one row — tracks edges.
         timed(f"assort_x{n}", _assort(
             li_n, od_n, load_table(spark, args.sf, "part"))),
+        timed(f"jaccard_x{n}", _jaccard(multiply(
+            load_table(spark, args.sf, "events"), ["user_id"], n,
+            10_000_000))),
+        timed(f"bollinger_x{n}", _bollinger(li_n)),
+        timed_call(f"kcore_x{n}", lambda: _kcore(
+            _lsh(salt_docs(docs, n, 10_000_000)))),
+        timed(f"crossdedup_x{n}", _crossdedup(
+            salt_docs(docs, n, 10_000_000),
+            _lsh(salt_docs(docs, n, 10_000_000)))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -340,6 +349,13 @@ def main() -> None:
         timed("basket_x1", _basket(li, load_table(spark, args.sf, "part"))),
         timed("assort_x1", _assort(
             li, od, load_table(spark, args.sf, "part"))),
+        timed("jaccard_x1", _jaccard(load_table(spark, args.sf, "events"))),
+        timed("bollinger_x1", _bollinger(li)),
+        timed_call("kcore_x1", lambda: _kcore(
+            _lsh(salt_docs(docs, 1, 10_000_000)))),
+        timed("crossdedup_x1", _crossdedup(
+            salt_docs(docs, 1, 10_000_000),
+            _lsh(salt_docs(docs, 1, 10_000_000)))),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -355,7 +371,8 @@ def main() -> None:
                  "powiter", "starcc", "q17", "recursive",
                  "ks", "interp", "bfs", "reservoir",
                  "novelty", "mwu", "rle", "pcaproj", "bpe",
-                 "holt", "semdedup", "basket", "assort"):
+                 "holt", "semdedup", "basket", "assort",
+                 "jaccard", "bollinger", "kcore", "crossdedup"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -1300,6 +1317,119 @@ def _assort(li: DataFrame, od: DataFrame, pt: DataFrame) -> DataFrame:
         F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
         F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
         F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+
+
+
+
+def _jaccard(ev: DataFrame) -> DataFrame:
+    # graph_node_jaccard shape: bipartite common-neighbor pair join
+    # blocked on user_id — per-user quadratic in that user's distinct
+    # types (vocabulary-bounded), linear in users.
+    ue = ev.select("user_id", "event_type").distinct()
+    b = ue.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("type_b")
+    )
+    common = (
+        ue.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    deg = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("event_type").alias("type_a"), F.col("d").alias("da"))
+    return common.join(F.broadcast(da), "type_a")
+
+
+def _bollinger(li: DataFrame) -> DataFrame:
+    # win_bollinger shape: fact collapses to the calendar-bounded
+    # daily series FIRST; the rolling frame runs on constant-size
+    # partitions however large the fact side grows.
+    from pyspark.sql.window import Window
+
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice")).cast("long")).alias("rev")
+    )
+    win = Window.partitionBy("flag").orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "flag",
+        "d",
+        F.sum("rev").over(win).alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).over(win).alias("ss"),
+    )
+
+
+def _kcore(pairs: DataFrame, rounds: int = 4, k: int = 2) -> DataFrame:
+    # graph_kcore shape: synchronized degree-k peeling over the
+    # mirrored LSH candidate edge set; each round is O(E) shuffles on
+    # a localCheckpoint (no driver state, no broadcast assumption).
+    e = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    ).localCheckpoint()
+    for _ in range(rounds):
+        keep = (
+            e.groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "s"), "s")
+            .join(keep.withColumnRenamed("node", "d"), "d")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+    return e.groupBy("s").agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+def _crossdedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    # llm_cross_dedup shape: exact layer = one sha256 semi-join;
+    # near layer = the (sparse) LSH candidate pair set joined to the
+    # split flags twice on doc_id. Nothing quadratic.
+    split = docs.select(
+        "doc_id",
+        "source",
+        ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                 16, 10) % 100) >= 90).alias("heldout"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    train = split.filter(~F.col("heldout"))
+    held = split.filter(F.col("heldout"))
+    exact_leak = (
+        train.join(held.select("sha").distinct(), "sha", "semi")
+        .select("doc_id").distinct().withColumn("_exact", F.lit(1))
+    )
+    flags = split.select("doc_id", "heldout")
+    pa = flags.select(F.col("doc_id").alias("doc_a"), F.col("heldout").alias("ha"))
+    pb = flags.select(F.col("doc_id").alias("doc_b"), F.col("heldout").alias("hb"))
+    pj = pairs.join(pa, "doc_a").join(pb, "doc_b")
+    near_leak = (
+        pj.filter(~F.col("ha") & F.col("hb"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            pj.filter(F.col("ha") & ~F.col("hb"))
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct().withColumn("_near", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(exact_leak, "doc_id", "left")
+        .join(near_leak, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("_exact").isNotNull(), 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("_near").isNotNull(), 1).otherwise(0)).alias("n_near"),
+        )
     )
 
 
