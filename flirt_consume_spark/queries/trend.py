@@ -437,30 +437,39 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring in the same order: raw count, support (share of
     orders) and lift (observed / independence-expected co-rate).
 
-    Scale: the self-join is keyed on l_orderkey, so pair generation
-    is per-basket quadratic — LINEAR in orders because basket size
-    is bounded (≤7 lineitems). The part dim rides a broadcast; the
-    degree table (25 brands) and the 1-row order count ride
+    Scale: baskets are BOUNDED (≤7 lineitems), so the order's brand
+    set is collapsed with ONE collect_set hash agg keyed on
+    l_orderkey — no distinct + self-join (the naive plan's three
+    shuffles) — and pairs come from an in-row sorted-array
+    combination expansion: per-basket quadratic = linear in orders,
+    with zero join skew exposure. The part dim rides a broadcast;
+    the degree table (25 brands) and the 1-row order count ride
     broadcasts into the constant-size (≤C(25,2)-row) pair frame.
     Every emitted double is one product-tree of exact integers."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    sets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    n = ob.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
-    deg = ob.groupBy("brand").agg(
+    n = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    ub = sets.select(F.explode("bs").alias("brand"))
+    deg = ub.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_b")
     )
-    b = ob.select(F.col("ok").alias("ok2"), F.col("brand").alias("brand_b"))
     pairs = (
-        ob.join(
-            b,
-            (F.col("ok") == F.col("ok2")) & (F.col("brand") < F.col("brand_b")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "b -> struct(a AS brand_a, b AS brand_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
     )
     da = deg.select(F.col("brand").alias("_ba"), F.col("n_b").alias("n_a"))

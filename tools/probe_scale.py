@@ -1282,18 +1282,26 @@ def _semdedup(spark, emb: DataFrame, k: int) -> DataFrame:
 
 
 def _basket(li: DataFrame, pt: DataFrame) -> DataFrame:
-    # market-basket pair counts: pair join blocked on l_orderkey so
-    # work is per-basket quadratic = linear in orders (basket sizes
-    # don't grow when orders multiply).
-    ob = (
+    # market-basket pair counts (r7 shape): ONE collect_set hash agg
+    # keyed on l_orderkey + in-row sorted-array pair expansion —
+    # per-basket quadratic = linear in orders, no self-join.
+    sets = (
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    b = ob.select(F.col("ok").alias("ok2"), F.col("brand").alias("brand_b"))
     return (
-        ob.join(b, (F.col("ok") == F.col("ok2")) & (F.col("brand") < F.col("brand_b")))
-        .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "b -> struct(a AS brand_a, b AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
 
