@@ -1290,18 +1290,27 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_cumsum(
         wsum, "w", [F.col("l_returnflag"), F.col("cents")], cum_col="cw_all"
     )
-    totals = wsum.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
-    ta = totals.select(
-        F.col("l_returnflag").alias("_fa"), F.col("tw").alias("_twa")
-    )
+    # Totals come from the cumsum output itself (the audit_ks trick):
+    # the total order is (flag, cents), so each flag's max running
+    # weight IS the grand total through that flag — per-flag offset =
+    # the previous flag's max, total = max − offset. This leg reads
+    # the pinned checkpoint blocks instead of re-aggregating the fact
+    # table a second time.
+    hi = cum.groupBy("l_returnflag").agg(F.max("cw_all").alias("_hi"))
+    ha = hi.select(F.col("l_returnflag").alias("_fa"), F.col("_hi").alias("_ha"))
     offsets = (
-        totals.crossJoin(F.broadcast(ta))
-        .groupBy("l_returnflag", "tw")
+        hi.crossJoin(F.broadcast(ha))
+        .groupBy("l_returnflag", "_hi")
         .agg(
-            F.sum(
-                F.when(F.col("_fa") < F.col("l_returnflag"), F.col("_twa"))
+            F.max(
+                F.when(F.col("_fa") < F.col("l_returnflag"), F.col("_ha"))
                 .otherwise(0)
             ).alias("off")
+        )
+        .select(
+            "l_returnflag",
+            (F.col("_hi") - F.col("off")).alias("tw"),
+            "off",
         )
     )
     joined = cum.join(F.broadcast(offsets), "l_returnflag")
