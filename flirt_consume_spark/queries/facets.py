@@ -276,23 +276,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    e = (
+    # ONE collect_set hash agg keyed on cust replaces distinct + a
+    # cust-keyed degree join (two shuffles saved — the basket-pairs
+    # shape): dx = set size in-row, edges explode from the set, and
+    # only the 25-row brand-degree table joins back (broadcast).
+    sets = (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.collect_set("p_brand").alias("bs"))
     )
-    du = e.groupBy("cust").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dx")
+    e = sets.select(
+        F.size("bs").cast("bigint").alias("dx"),
+        F.explode("bs").alias("brand"),
     )
     dt = e.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("dy")
     )
-    xy = (
-        e.join(du, "cust")
-        .join(F.broadcast(dt), "brand")
-        .select("dx", "dy")
-    )
+    xy = e.join(F.broadcast(dt), "brand").select("dx", "dy")
     # Moments in decimal(38,0): syy = Σ dy² grows as edges·(edges/25)²,
     # which already exceeds int64 at sf0.1 (sy² in the guard does too).
     # decimal(38,0) is exact past sf100 (n·syy ≈ 3e31 there); DuckDB's

@@ -1307,17 +1307,20 @@ def _basket(li: DataFrame, pt: DataFrame) -> DataFrame:
 
 
 def _assort(li: DataFrame, od: DataFrame, pt: DataFrame) -> DataFrame:
-    # degree assortativity: fact join + distinct + two degree joins,
-    # collapsing to one moment row — every stage keyed, linear.
-    e = (
+    # degree assortativity (r7 shape): ONE collect_set agg keyed on
+    # cust (dx = set size in-row) + explode; only the 25-row brand
+    # degree table joins back — every stage keyed, linear.
+    sets = (
         li.join(od, li["l_orderkey"] == od["o_orderkey"])
         .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.collect_set("p_brand").alias("bs"))
     )
-    du = e.groupBy("cust").agg(F.count(F.lit(1)).cast("bigint").alias("dx"))
+    e = sets.select(
+        F.size("bs").cast("bigint").alias("dx"), F.explode("bs").alias("brand")
+    )
     dt = e.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("dy"))
-    xy = e.join(du, "cust").join(F.broadcast(dt), "brand").select("dx", "dy")
+    xy = e.join(F.broadcast(dt), "brand").select("dx", "dy")
     return xy.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dx").alias("sx"),
