@@ -535,20 +535,28 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride a broadcast into the constant-size pair frame; jaccard is
     one division of exact integers."""
     ev = t(spark, sf_dir, "events")
-    ue = ev.select("user_id", "event_type").distinct()
-    deg = ue.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    # ONE collect_set hash agg per user replaces distinct + the
+    # user-keyed common-neighbor self-join (the basket-pairs shape):
+    # pair candidates expand in-row from the sorted type set —
+    # per-user quadratic stays vocabulary-bounded, no join.
+    sets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
     )
-    b = ue.select(
-        F.col("user_id").alias("u2"), F.col("event_type").alias("type_b")
-    )
+    deg = sets.select(F.explode("ts").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     common = (
-        ue.join(
-            b,
-            (F.col("user_id") == F.col("u2"))
-            & (F.col("event_type") < F.col("type_b")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "b -> struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     da = deg.select(F.col("event_type").alias("_ta"), F.col("d").alias("deg_a"))

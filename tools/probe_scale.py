@@ -1334,23 +1334,29 @@ def _assort(li: DataFrame, od: DataFrame, pt: DataFrame) -> DataFrame:
 
 
 def _jaccard(ev: DataFrame) -> DataFrame:
-    # graph_node_jaccard shape: bipartite common-neighbor pair join
-    # blocked on user_id — per-user quadratic in that user's distinct
-    # types (vocabulary-bounded), linear in users.
-    ue = ev.select("user_id", "event_type").distinct()
-    b = ue.select(
-        F.col("user_id").alias("u2"), F.col("event_type").alias("type_b")
+    # graph_node_jaccard shape (r7): ONE collect_set agg per user +
+    # in-row sorted-type pair expansion — per-user quadratic stays
+    # vocabulary-bounded, linear in users, no self-join.
+    sets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
     )
     common = (
-        ue.join(
-            b,
-            (F.col("user_id") == F.col("u2"))
-            & (F.col("event_type") < F.col("type_b")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "b -> struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    deg = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("d"))
+    deg = sets.select(F.explode("ts").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("event_type").alias("type_a"), F.col("d").alias("da"))
     return common.join(F.broadcast(da), "type_a")
 
