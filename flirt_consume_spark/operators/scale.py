@@ -617,6 +617,110 @@ def grouped_cumsum(
     return out.drop(*drop)
 
 
+def bucketized_weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    bucket_width: int = 1024,
+    out_col: str = "wq",
+) -> DataFrame:
+    """Exact weighted quantile per group — the smallest value whose
+    cumulative weight cw satisfies ``q_den·cw ≥ q_num·tw`` (pure
+    integer compare; median = 1/2) — via TWO-LEVEL BUCKET SEARCH,
+    the shape whose post-scan work is bounded by the VALUE DOMAIN,
+    not by row count.
+
+    Level 1 aggregates the fact straight to (group, value/width)
+    bucket weights: the bucket domain is |value range| / width —
+    constant in N — so map-side combine collapses every task's rows
+    before the shuffle and the per-group running sum over buckets is
+    a bounded window (each group's reducer holds ≤ |buckets| rows
+    however large the table). The first bucket whose cumulative
+    weight crosses the quantile is exact by monotonicity. Level 2
+    broadcast-prunes the fact to that one bucket per group — a
+    width-bounded sliver — and resolves the exact value with one
+    more bounded window.
+
+    Versus a range-partitioned global cumsum over every (group,
+    distinct value): no sampling pass, no range shuffle, no layout
+    checkpoint — the only full-width stages are two narrow fact
+    scans feeding hash aggregations. Group cardinality is
+    unrestricted (windows partition BY group; it is the per-group
+    row count that is bounded, the agg_gini condition inverted).
+
+    ``value_col`` and ``weight_col`` must be integral; |value| must
+    stay below 2^53 / width (the bucket id is derived with exact
+    floor division through doubles). Weights must be non-negative.
+    Output: one row per group, ``out_col`` = the quantile value
+    (LONG, the original integer grain).
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"quantile {q_num}/{q_den} must be in (0, 1]")
+    gnames = list(group_cols)
+    v, w = F.col(value_col), F.col(weight_col)
+    # Floor division that is exact for negatives too: pmod is always
+    # non-negative, so (v - pmod) is an exact multiple of the width.
+    bucket = (
+        (v - F.pmod(v, F.lit(bucket_width))) / F.lit(bucket_width)
+    ).cast("long")
+    fact = df.select(*gnames, v.alias("_wqv"), w.alias("_wqw"))
+    bw = fact.groupBy(
+        *gnames,
+        ((F.col("_wqv") - F.pmod(F.col("_wqv"), F.lit(bucket_width)))
+         / F.lit(bucket_width)).cast("long").alias("_b"),
+    ).agg(F.sum("_wqw").alias("_bw"))
+    w_cum = (
+        Window.partitionBy(*gnames)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*gnames)
+    bcum = bw.select(
+        *gnames,
+        "_b",
+        "_bw",
+        F.sum("_bw").over(w_cum).alias("_cb"),
+        F.sum("_bw").over(w_tot).alias("_tw"),
+    )
+    # The quantile bucket per group; weight strictly below it is
+    # cb − the bucket's own weight, carried in the same struct.
+    below = (
+        bcum.filter(q_den * F.col("_cb") >= q_num * F.col("_tw"))
+        .groupBy(*gnames)
+        .agg(F.min_by(F.struct("_b", "_cb", "_bw", "_tw"), "_b").alias("_s"))
+        .select(
+            *[F.col(g).alias(f"_pg_{g}") for g in gnames],
+            F.col("_s._b").alias("_pb"),
+            (F.col("_s._cb") - F.col("_s._bw")).alias("_below"),
+            F.col("_s._tw").alias("_ptw"),
+        )
+    )
+    cond = bucket == F.col("_pb")
+    for g in gnames:
+        cond = cond & (F.col(g) == F.col(f"_pg_{g}"))
+    inb = (
+        df.join(F.broadcast(below), cond)
+        .groupBy(*gnames, v.alias("_wqv"), "_below", "_ptw")
+        .agg(F.sum(w).alias("_wqw"))
+    )
+    w_in = (
+        Window.partitionBy(*gnames)
+        .orderBy("_wqv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        inb.withColumn("_cw", F.col("_below") + F.sum("_wqw").over(w_in))
+        .filter(q_den * F.col("_cw") >= q_num * F.col("_ptw"))
+        .groupBy(*gnames)
+        .agg(F.min("_wqv").alias(out_col))
+    )
+
+
 def ntile_expr(rank_col: str, total_col: str, k: int) -> Column:
     """Exact ntile(k) from a row_number and a group total: the first
     n % k tiles get ceil(n/k) rows, the rest floor(n/k) — the SQL

@@ -1266,93 +1266,36 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     value whose cumulative weight reaches half the total (pure
     integer compare 2·cw ≥ tw: no division, no float boundary).
 
-    Scale design: two-level bucketized quantile search, the shape
-    whose post-scan work is bounded by the VALUE DOMAIN, not by N.
-    The fact collapses once to (group, distinct value, Σweight) — the
-    only data-sized stage — then values coarsen to 2^10-cent buckets:
-    the per-(group, bucket) weight table has at most
-    |value domain| / 1024 rows per group (≈11k for any realistic
-    price domain) REGARDLESS of row count, so the per-group running
-    sum over buckets is a bounded window, not a data-sized one. The
-    median bucket found, the exact answer comes from the ≤1024
-    distinct values inside it (broadcast prune + one more bounded
-    window). Compared to a range-partitioned global cumsum over all
-    distinct values this drops the sampling pass, the range shuffle,
-    and the layout checkpoint — measured 3.8 s → ~1 s at sf0.1 with
-    bit-identical output, and at 100 TB the only full-width stage is
-    the initial hash aggregation."""
+    Scale design: ``operators/scale.bucketized_weighted_quantile`` —
+    two-level bucket search whose post-scan work is bounded by the
+    VALUE DOMAIN, not by N. Level 1 aggregates the fact straight to
+    2^10-cent bucket weights (≈11k buckets for any realistic price
+    domain, regardless of row count), so the per-flag running sum
+    over buckets is a bounded window; level 2 broadcast-prunes the
+    fact to the one median bucket per flag and resolves the exact
+    cents with one more bounded window. Versus the former
+    range-partitioned global cumsum over every (flag, distinct
+    cents): no sampling pass, no range shuffle, no layout
+    checkpoint — 3.0-3.8 s → 1.7-2.0 s at sf0.1, bit-identical
+    output, and at 100 TB the only full-width stages are two narrow
+    fact scans feeding hash aggregations."""
+    from flirt_consume_spark.operators.scale import (
+        bucketized_weighted_quantile,
+    )
+
     li = t(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     fact = li.select(
         "l_returnflag",
-        cents.alias("cents"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
     )
-    # Level 1: bucket weights straight off the fact — the bucket
-    # domain is value-range/1024, constant in N, so map-side combine
-    # collapses every task's rows to ≤|buckets| records before the
-    # shuffle and the per-flag windows below are bounded.
-    bw = fact.groupBy(
+    med = bucketized_weighted_quantile(
+        fact, ["l_returnflag"], "cents", "w", q_num=1, q_den=2
+    )
+    return med.select(
         "l_returnflag",
-        (F.col("cents") / F.lit(1024)).cast("long").alias("b"),
-    ).agg(F.sum("w").alias("bw"))
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("l_returnflag")
-    bcum = bw.select(
-        "l_returnflag",
-        "b",
-        "bw",
-        F.sum("bw").over(w_cum).alias("cb"),
-        F.sum("bw").over(w_tot).alias("tw"),
-    )
-    # Median bucket per flag = first bucket whose cumulative weight
-    # crosses half the total; the weight strictly BELOW it is
-    # cb − the bucket's own weight, carried in the same struct (no
-    # join back to the bucket table needed).
-    below = (
-        bcum.filter(2 * F.col("cb") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(F.min_by(F.struct("b", "cb", "bw", "tw"), "b").alias("s"))
-        .select(
-            F.col("l_returnflag").alias("_bf"),
-            F.col("s.b").alias("_bb"),
-            (F.col("s.cb") - F.col("s.bw")).alias("below"),
-            F.col("s.tw").alias("tw"),
-        )
-    )
-    # Level 2: exact search inside the ≤1024-value median bucket —
-    # the broadcast prune keeps only median-bucket fact rows BEFORE
-    # any cents-grain aggregation, so the second pass shuffles a
-    # bucket-width sliver regardless of table size.
-    inb = (
-        fact.join(
-            F.broadcast(below),
-            (F.col("l_returnflag") == F.col("_bf"))
-            & ((F.col("cents") / F.lit(1024)).cast("long") == F.col("_bb")),
-        )
-        .groupBy("l_returnflag", "cents", "below", "tw")
-        .agg(F.sum("w").alias("w"))
-    )
-    w_in = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        inb.withColumn("cw", F.col("below") + F.sum("w").over(w_in))
-        .filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            (F.min("cents").cast("double") / 100).alias(
-                "weighted_median_price"
-            )
-        )
-        .orderBy("l_returnflag")
-    )
+        (F.col("wq").cast("double") / 100).alias("weighted_median_price"),
+    ).orderBy("l_returnflag")
 
 
 @query(

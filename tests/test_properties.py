@@ -431,6 +431,56 @@ def test_global_cumsum_random(spark, vals):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.integers(-5000, 5000),  # value (crosses bucket borders)
+            st.integers(0, 9),  # weight (zeros exercise ties)
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    q=st.sampled_from([(1, 2), (1, 4), (3, 4), (9, 10), (1, 1)]),
+    width=st.sampled_from([4, 64, 1024]),
+)
+def test_bucketized_weighted_quantile_random(spark, rows, q, width):
+    """Two-level bucket search == brute-force smallest value whose
+    cumulative weight crosses q·total, on random multi-group data
+    with negative values, duplicate values, zero weights, and bucket
+    widths small enough that level-2 pruning is actually exercised."""
+    from flirt_consume_spark.operators.scale import (
+        bucketized_weighted_quantile,
+    )
+
+    # Guarantee at least one positive weight per present group so the
+    # quantile is defined (all-zero groups have tw == 0: every cw
+    # satisfies den·0 >= num·0, making min(v) the degenerate answer —
+    # brute force below reproduces that too, so no filtering needed).
+    df = spark.createDataFrame(rows, "g long, v long, w long")
+    qn, qd = q
+    got = {
+        r.g: r.wq
+        for r in bucketized_weighted_quantile(
+            df, ["g"], "v", "w", q_num=qn, q_den=qd, bucket_width=width
+        ).collect()
+    }
+    want = {}
+    by_g: dict = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        tot = sum(w for _v, w in vw)
+        cum = 0
+        for v in sorted({v for v, _w in vw}):
+            cum += sum(w for v2, w in vw if v2 == v)
+            if qd * cum >= qn * tot:
+                want[g] = v
+                break
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     spans=st.lists(

@@ -185,6 +185,11 @@ def main() -> None:
         # so time must track rows.
         timed(f"cumsum_x{n}", _cumsum(od_n)),
         timed(f"sweep_x{n}", _sweep(od_n)),
+        # Two-level bucketized weighted median: post-scan work is
+        # value-domain-bounded, so time must track the two fact
+        # scans only (prices don't multiply — exactly the operator's
+        # fixed-value-domain contract).
+        timed(f"wmedian_x{n}", _wmedian(li_n)),
         # Per-group Gini on global_rank + offsets: every stage range/
         # hash partitioned, so time must track rows not group sizes.
         timed(f"gini_x{n}", _gini(od_n, multiply(
@@ -320,6 +325,7 @@ def main() -> None:
         timed("dupspans_x1", _dupspans(salt_docs(docs, 1, 10_000_000))),
         timed("cumsum_x1", _cumsum(od)),
         timed("sweep_x1", _sweep(od)),
+        timed("wmedian_x1", _wmedian(li)),
         timed("gini_x1", _gini(od, load_table(spark, args.sf, "customer"))),
         timed("ancestors_x1", _ancestors(load_table(spark, args.sf, "part"))),
         timed("cov_x1", _cov(load_table(spark, args.sf, "embeddings"))),
@@ -366,7 +372,7 @@ def main() -> None:
                  "bloom", "snapdiff", "merge", "zorder",
                  "geo", "pagerank", "kmeans", "triangles",
                  "rarity", "invindex", "bitmap",
-                 "setsim", "dupspans", "cumsum", "sweep",
+                 "setsim", "dupspans", "cumsum", "sweep", "wmedian",
                  "gini", "ancestors", "cov", "simjoin",
                  "powiter", "starcc", "q17", "recursive",
                  "ks", "interp", "bfs", "reservoir",
@@ -766,6 +772,21 @@ def _sweep(od: DataFrame) -> DataFrame:
         F.max("cur").alias("peak")
     )
 
+
+
+def _wmedian(li: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import (
+        bucketized_weighted_quantile,
+    )
+
+    fact = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return bucketized_weighted_quantile(
+        fact, ["l_returnflag"], "cents", "w", q_num=1, q_den=2
+    )
 
 
 def _gini(od: DataFrame, cu: DataFrame) -> DataFrame:
