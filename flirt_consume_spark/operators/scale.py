@@ -617,6 +617,84 @@ def grouped_cumsum(
     return out.drop(*drop)
 
 
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak: list,
+    ps: list[float],
+    out_cols: list[str],
+    max_groups: int = MAX_BROADCAST_GROUPS,
+) -> DataFrame:
+    """Exact percentile_cont per group — linear interpolation at
+    position h = (n−1)·p on the sorted doubles in the TWO-WEIGHT
+    form ``(⌈h⌉−h)·lower + (h−⌊h⌋)·higher`` (with the integral-h
+    special case returning lower directly), which is ulp-identical
+    to Spark's ``Percentile.getPercentile`` — the single-weight
+    ``lower + frac·(upper−lower)`` association differs in the last
+    ulp on real inputs (hypothesis found one) — via ORDER STATISTICS
+    instead of the built-in exact aggregate.
+
+    Why: ``F.percentile``/``F.median`` buffer a value→count map per
+    group inside one aggregation state, so with near-continuous
+    doubles a single reducer holds every distinct value of the group
+    — unbounded at 100 TB. Here the heavy stage is one distributed
+    ``grouped_rank`` (range-partitioned, parallel at any group
+    size); each requested percentile then needs only the rows at the
+    two neighboring ranks ⌊h⌋+1 / ⌈h⌉+1, pulled by a broadcast
+    rank-bounds join — post-rank state is ≤ 2·|ps| rows per group
+    however large the table. p = 0.0 / 1.0 degenerate to exact
+    min / max (frac = 0), so extremes ride the same pass.
+
+    ``group_cols`` must be bounded-cardinality (grouped_rank's
+    broadcast contract, enforced there); (group, value, tiebreak)
+    must be a total order. Returns one row per group with one DOUBLE
+    column per entry of ``ps`` (named by ``out_cols``).
+    """
+    if len(ps) != len(out_cols):
+        raise ValueError("ps and out_cols must align 1:1")
+    if not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"percentiles must be in [0, 1]: {ps}")
+    gnames = list(group_cols)
+    ranked = grouped_rank(
+        df,
+        gnames,
+        [F.col(value_col)] + list(tiebreak),
+        rank_col="_pr",
+        max_groups=max_groups,
+    )
+    cnt = df.groupBy(*gnames).agg(F.count(F.lit(1)).alias("_pn"))
+    sel = [*gnames]
+    keep = F.lit(False)
+    for p, oc in zip(ps, out_cols):
+        h = (F.col("_pn") - 1).cast("double") * F.lit(float(p))
+        sel += [
+            (F.floor(h).cast("long") + 1).alias(f"_lo_{oc}"),
+            (F.ceil(h).cast("long") + 1).alias(f"_hi_{oc}"),
+            (h - F.floor(h)).alias(f"_f_{oc}"),
+            (F.ceil(h) - h).alias(f"_cf_{oc}"),
+        ]
+        keep = (
+            keep
+            | (F.col("_pr") == F.col(f"_lo_{oc}"))
+            | (F.col("_pr") == F.col(f"_hi_{oc}"))
+        )
+    b = cnt.select(*sel)
+    j = ranked.join(F.broadcast(b), gnames).filter(keep)
+
+    def _at(rank_col: str) -> Column:
+        return F.max(F.when(F.col("_pr") == F.col(rank_col), F.col(value_col)))
+
+    aggs = []
+    for oc in out_cols:
+        lo, hi = _at(f"_lo_{oc}"), _at(f"_hi_{oc}")
+        f = F.max(F.col(f"_f_{oc}"))
+        cf = F.max(F.col(f"_cf_{oc}"))
+        same = F.max(F.col(f"_lo_{oc}")) == F.max(F.col(f"_hi_{oc}"))
+        aggs.append(F.when(same, lo).otherwise(cf * lo + f * hi).alias(oc))
+    return j.groupBy(*gnames).agg(*aggs)
+
+
 def bucketized_weighted_quantile(
     df: DataFrame,
     group_cols: list[str],

@@ -98,14 +98,21 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fare outliers in the reference's domain; token-count outliers in
     a training corpus). Two passes that share the groupBy key
     partitioning: exact per-group p05/p95 (tiny result), broadcast
-    back, clamp, aggregate in exact integer cents. Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
-    identically on the same sorted doubles (the agg_percentile
-    pairing)."""
+    back, clamp, aggregate in exact integer cents. The percentiles
+    come from ``operators/scale.grouped_percentiles`` (order
+    statistics over grouped_rank — no per-group value-map buffer,
+    the agg_percentile scale path), which interpolates identically
+    to DuckDB's ``quantile_cont`` on the same sorted doubles."""
+    from flirt_consume_spark.operators.scale import grouped_percentiles
+
     orders = t(spark, sf_dir, "orders")
-    pct = orders.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    pct = grouped_percentiles(
+        orders.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        [F.col("o_orderkey")],
+        ps=[0.05, 0.95],
+        out_cols=["lo", "hi"],
     )
     x = F.col("o_totalprice")
     clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))

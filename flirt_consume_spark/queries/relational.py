@@ -454,14 +454,36 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: exact percentiles/median (distribution reporting). Exact
     (not approx) so the oracle hash-matches; both engines use linear
-    interpolation on the same sorted doubles."""
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.median("value"), 6).alias("med_value"),
-        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.min("value"), 6).alias("min_v"),
-        F.round(F.max("value"), 6).alias("max_v"),
+    interpolation (``lower + frac·(upper − lower)``, the SQL
+    percentile_cont contract) on the same sorted doubles.
+
+    Scale path — ``operators/scale.grouped_percentiles``: order
+    statistics over one distributed ``grouped_rank``, NOT the
+    built-in exact ``F.percentile``/``F.median`` aggregates (those
+    buffer a value→count map PER GROUP inside a single aggregation
+    state — unbounded with near-continuous doubles at 100 TB). Each
+    quantile needs only the rows at the two neighboring ranks,
+    pulled by a broadcast rank-bounds join; min/max are p=0/p=1 on
+    the same pass. Post-rank state is ≤10 rows per group however
+    large the table."""
+    from flirt_consume_spark.operators.scale import grouped_percentiles
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    pct = grouped_percentiles(
+        ev,
+        ["event_type"],
+        "value",
+        [F.col("event_id")],
+        ps=[0.5, 0.25, 0.75, 0.0, 1.0],
+        out_cols=["_med", "_p25", "_p75", "_min", "_max"],
+    )
+    return pct.select(
+        "event_type",
+        F.round("_med", 6).alias("med_value"),
+        F.round("_p25", 6).alias("p25"),
+        F.round("_p75", 6).alias("p75"),
+        F.round("_min", 6).alias("min_v"),
+        F.round("_max", 6).alias("max_v"),
     )
 
 

@@ -483,6 +483,56 @@ def test_bucketized_weighted_quantile_random(spark, rows, q, width):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    ps=st.sampled_from(
+        [[0.25, 0.5, 0.75], [0.05, 0.95], [0.0, 1.0], [0.5], [0.37, 0.61]]
+    ),
+)
+def test_order_statistic_percentile_matches_native(spark, vals, ps):
+    """grouped_percentiles (the agg_percentile/agg_winsorize scale
+    path) == the native exact F.percentile aggregate, to EXACT double
+    equality — same sorted doubles, same h = (n−1)·p position, same
+    lower + frac·(upper − lower) association — including non-dyadic
+    p where h itself rounds, so any ulp divergence in the
+    re-derivation fails here rather than in an oracle whose 6-dp
+    rounding would hide it. p=0/1 must equal exact min/max."""
+    from flirt_consume_spark.operators.scale import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [(g, float(v), i) for i, (g, v) in enumerate(vals)],
+        "g long, value double, id long",
+    )
+    oc = [f"p{i}" for i in range(len(ps))]
+    want = {
+        r.g: tuple(r[c] for c in oc)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("value", F.lit(p)).alias(c)
+               for p, c in zip(ps, oc)])
+        .collect()
+    }
+    got = {
+        r.g: tuple(r[c] for c in oc)
+        for r in grouped_percentiles(
+            df, ["g"], "value", [F.col("id")], ps=ps, out_cols=oc
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     spans=st.lists(
         st.tuples(st.integers(0, 30), st.integers(1, 10)),
         min_size=1,

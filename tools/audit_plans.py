@@ -200,10 +200,9 @@ ALLOW = {
     # 1-row order-count broadcast into the ≤C(25,2)-row brand-pair
     # frame (lazy-scalar shape).
     "agg_basket_pairs": {"nested_loop"},
-    # global_cumsum's triangular (pid → offset) broadcast join plus
-    # the 3-row per-flag-totals triangular offset join — both
-    # constant-size sides (sort_global / agg_gini shape).
-    "agg_weighted_median": {"nested_loop"},
+# (agg_weighted_median left the allowlist in round 7: the two-level
+# bucketized_weighted_quantile rewrite has no triangular joins, no
+# scary nodes — it audits clean.)
     # grouped_rank/grouped_cumsum call sites (operators/scale.py):
     # the triangular (pid → offset) broadcast join inside
     # global_rank/global_cumsum — num_partitions rows, constant in
@@ -222,6 +221,11 @@ ALLOW = {
     "llm_corpus_pipeline": {"nested_loop", "single_partition_window"},
     "pack_sequences": {"nested_loop", "single_partition_window"},
     "time_downsample": {"nested_loop", "single_partition_window"},
+    # grouped_percentiles (round-7 rewrite of the exact-percentile
+    # keys off the buffer-everything F.percentile aggregate): rides
+    # grouped_rank, so it inherits exactly the two nodes above.
+    "agg_percentile": {"nested_loop", "single_partition_window"},
+    "agg_winsorize": {"nested_loop", "single_partition_window"},
 }
 
 
