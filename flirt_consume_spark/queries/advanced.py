@@ -1175,15 +1175,13 @@ def _km_state_build(spark: SparkSession, sf_dir: str, k: int):
                 ).alias("dq")
             )
         )
-        from pyspark.sql.window import Window
-
-        rn = F.row_number().over(
-            Window.partitionBy("vec_id").orderBy("dq", "cid")
-        )
-        assign = (
-            d.withColumn("rn", rn).filter(F.col("rn") == 1).select(
-                "vec_id", "cid"
-            )
+        # Nearest centroid = min_by hash agg, not a per-vec_id
+        # row_number window: the agg partial-combines each task's k
+        # candidate rows per vector map-side (no sort, no window
+        # shuffle of the k·N distance frame). Ordinal (dq, cid) is
+        # unique per vector ⇒ deterministic.
+        assign = d.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dq", "cid")).alias("cid")
         )
         cents = (
             assign.join(vl, "vec_id")

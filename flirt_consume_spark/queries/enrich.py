@@ -827,22 +827,30 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A24: statistical mode per group with a DETERMINISTIC tie-break
     (highest count, then smallest value) — Spark's built-in
     F.mode() leaves ties engine-defined, so the portable form is
-    count-then-rank: one hash agg on the compound key (partial
+    count-then-argmax: one hash agg on the compound key (partial
     combine upstream — the shuffle carries one row per distinct
-    (group, value), not per input row), then a per-group top-1
-    window over the tiny counted frame."""
+    (group, value), not per input row), then ONE max_by hash agg per
+    group instead of a per-group top-1 window — the counted frame is
+    (group × distinct values), so with few groups and a large value
+    domain a window would serialize it into one reducer per group;
+    the argmax agg partial-combines map-side. Ordinal
+    (cnt, −qty) is unique per group ⇒ deterministic."""
     li = t(spark, sf_dir, "lineitem")
     counted = li.groupBy(
         "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "qty")
     return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        counted.groupBy("l_returnflag")
+        .agg(
+            F.max_by(
+                F.struct("qty", "cnt"),
+                F.struct(F.col("cnt"), (-F.col("qty")).alias("nq")),
+            ).alias("s")
+        )
         .select(
             "l_returnflag",
-            F.col("qty").alias("modal_qty"),
-            F.col("cnt").alias("modal_cnt"),
+            F.col("s.qty").alias("modal_qty"),
+            F.col("s.cnt").alias("modal_cnt"),
         )
         .orderBy("l_returnflag")
     )

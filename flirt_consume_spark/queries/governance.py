@@ -635,20 +635,24 @@ def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("px") - F.col("xs")) * (F.col("ny") - F.col("py"))
         ),
     )
-    pick = F.row_number().over(
-        Window.partitionBy("event_type", "b").orderBy(
-            F.col("area").desc(), "event_id"
-        )
+    # Bucket winner = argmax by (area DESC, event_id ASC) as ONE
+    # max_by hash aggregation, not a per-(type, bucket) row_number
+    # window: the window shuffles the whole scored frame into
+    # |types|·|buckets| reducers, each sorting its n/250 slice; the
+    # agg's map-side partial collapses every task to ≤250 rows before
+    # the shuffle. The (area, −event_id) ordinal is unique (event_id
+    # is), so the argmax is deterministic.
+    picked = scored.groupBy("event_type", "b").agg(
+        F.max_by(
+            F.struct("xs", "yl"),
+            F.struct(F.col("area"), (-F.col("event_id")).alias("nid")),
+        ).alias("s")
     )
-    return (
-        scored.withColumn("pr", pick)
-        .filter(F.col("pr") == 1)
-        .select(
-            "event_type",
-            F.col("b").alias("bucket"),
-            F.col("xs").alias("ts_sec"),
-            (F.col("yl").cast("double") / 1e6).alias("value"),
-        )
+    return picked.select(
+        "event_type",
+        F.col("b").alias("bucket"),
+        F.col("s.xs").alias("ts_sec"),
+        (F.col("s.yl").cast("double") / 1e6).alias("value"),
     )
 
 
