@@ -45,41 +45,36 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #   round 6: the 35 keys never driver-checked as of round 5 + 15 stale
 #     r3-vintage keys whose code changed since their last driver row.
 #     Outcome (CORRECTNESS_r06.json): all 50 green.
-#   round 7 (this list): 94 round-6 additions still had zero driver
-#     rows after round 6; the window takes the first 50 of them in
-#     registry-insertion order, with graph_assortativity promoted to
-#     slot 1 (its sf0.1 BIGINT-overflow fix this round needs a driver
-#     row on the fixed code).
-#   round 8 (next): the remaining 44 never-checked keys, in this order —
-#     audit_ttest, time_survival, time_holt, time_kalman,
-#     time_crosscorr, time_viterbi, agg_argmax, win_nth,
-#     set_intersect_all, scan_filemeta, llm_gram_novelty, audit_kanon,
-#     audit_chisq, time_autocorr, time_rle, sample_systematic,
-#     llm_bpe_train, llm_bpe_encode, set_union_byname, agg_delta_method,
-#     audit_contract, eval_confusion, quota_budget_select, eval_pr_curve,
-#     eval_auc, sql_params, anon_generalize, scalar_try,
-#     eval_calibration, time_theilsen, time_mannkendall, time_pettitt,
-#     time_vwap, agg_basket_pairs, graph_node_jaccard, agg_subsample_ci,
-#     str_mask, scan_partitioned, win_bollinger, llm_cross_dedup,
-#     graph_kcore, sql_unpivot, time_hopping, llm_index_size
-#     — then backfill the window with the stalest r3-vintage keys.
-_ROUND7_WINDOW = [
-    "graph_assortativity", "scan_xml", "sink_pyds", "llm_semdedup",
-    "emb_recall_eval", "emb_pca_project", "emb_mmr", "udtf_analyze",
-    "udtf_table_arg", "shape_forecast_revenue", "shape_promo_effect",
-    "shape_top_supplier", "shape_parts_supplier",
-    "shape_small_qty_revenue", "shape_disjunctive_revenue",
-    "shape_potential_promotion", "shape_important_stock",
-    "shape_returned_items", "stream_join", "stream_outer", "win_locf",
-    "join_interval_overlap", "shape_custdist", "shape_top_customers",
-    "llm_ngram_lm", "llm_bpe_pairs", "sql_waiting_orders",
-    "sql_distant_customers", "sql_min_cost", "cdc_time_travel",
-    "join_geo_nearest", "llm_hash_embed", "win_zscore", "sql_recursive",
-    "agg_mode", "join_nullsafe", "win_range_hour", "sql_lateral",
-    "sql_pivot", "scan_binary", "agg_skew_kurt", "time_workdays",
-    "agg_weighted_median", "time_interval_merge", "audit_ks",
-    "time_interpolate", "graph_bfs_dist", "sample_reservoir", "agg_cms",
-    "audit_mannwhitney",
+#   round 7: the first 50 (registry order) of the 94 round-6 additions
+#     that still had zero driver rows, graph_assortativity promoted to
+#     slot 1 (sf0.1 overflow fix needed a driver row on fixed code).
+#     Outcome (CORRECTNESS_r07.json): all 50 green.
+#   round 8 (this list): the final 44 keys that have never had a driver
+#     row, then 6 stale-backfill slots: agg_percentile + agg_winsorize
+#     (r3/r5 driver rows predate their round-7 rewrite onto
+#     grouped_percentiles AND this round's shared-rank optimization),
+#     agg_gini + agg_delta_method* (round-7 decimal widenings from the
+#     capacity audit; *delta_method is already in the 44),
+#     project_rename + filter_valid + expand_schedule (the three
+#     stalest r3-vintage rows). After this window every registry key
+#     has externally-recorded driver evidence at least once.
+_ROUND8_WINDOW = [
+    "audit_ttest", "time_survival", "time_holt", "time_kalman",
+    "time_crosscorr", "time_viterbi", "agg_argmax", "win_nth",
+    "set_intersect_all", "scan_filemeta", "llm_gram_novelty",
+    "audit_kanon", "audit_chisq", "time_autocorr", "time_rle",
+    "sample_systematic", "llm_bpe_train", "llm_bpe_encode",
+    "set_union_byname", "agg_delta_method", "audit_contract",
+    "eval_confusion", "quota_budget_select", "eval_pr_curve",
+    "eval_auc", "sql_params", "anon_generalize", "scalar_try",
+    "eval_calibration", "time_theilsen", "time_mannkendall",
+    "time_pettitt", "time_vwap", "agg_basket_pairs",
+    "graph_node_jaccard", "agg_subsample_ci", "str_mask",
+    "scan_partitioned", "win_bollinger", "llm_cross_dedup",
+    "graph_kcore", "sql_unpivot", "time_hopping", "llm_index_size",
+    # stale backfill (6)
+    "agg_percentile", "agg_winsorize", "agg_gini",
+    "project_rename", "filter_valid", "expand_schedule",
 ]
 
 
@@ -94,4 +89,4 @@ def _rotate_front(front: list[str]) -> None:
         REGISTRY[k] = snap[k]
 
 
-_rotate_front(_ROUND7_WINDOW)
+_rotate_front(_ROUND8_WINDOW)
