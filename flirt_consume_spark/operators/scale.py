@@ -617,6 +617,39 @@ def grouped_cumsum(
     return out.drop(*drop)
 
 
+def stage_percentile_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak: list,
+    max_groups: int = MAX_BROADCAST_GROUPS,
+) -> tuple[DataFrame, DataFrame]:
+    """The data-sized stage of ``grouped_percentiles``, split out so
+    callers can persist and reuse it across queries/percentile sets
+    over the same (table, group, value) — a session_state-cacheable
+    pair of (ranked rows with ``_pr``, guarded per-group counts with
+    ``_pn``). The range shuffle behind the rank is the only
+    data-sized cost of a percentile query; everything after it is
+    |groups|-sized, so staging here turns the second percentile
+    request into a broadcast join over an already-ranked frame.
+
+    NULLs in ``value_col`` are dropped here (the F.percentile /
+    percentile_cont NULL-skipping contract — see
+    ``grouped_percentiles``)."""
+    gnames = list(group_cols)
+    df = df.where(F.col(value_col).isNotNull())
+    ranked = grouped_rank(
+        df,
+        gnames,
+        [F.col(value_col)] + list(tiebreak),
+        rank_col="_pr",
+        max_groups=max_groups,
+    )
+    cnt = df.groupBy(*gnames).agg(F.count(F.lit(1)).alias("_pn"))
+    cnt = _guard_group_count(cnt, max_groups, "grouped_percentiles")
+    return ranked, cnt
+
+
 def grouped_percentiles(
     df: DataFrame,
     group_cols: list[str],
@@ -625,6 +658,7 @@ def grouped_percentiles(
     ps: list[float],
     out_cols: list[str],
     max_groups: int = MAX_BROADCAST_GROUPS,
+    staged: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Exact percentile_cont per group — linear interpolation at
     position h = (n−1)·p on the sorted doubles in the TWO-WEIGHT
@@ -646,24 +680,30 @@ def grouped_percentiles(
     however large the table. p = 0.0 / 1.0 degenerate to exact
     min / max (frac = 0), so extremes ride the same pass.
 
+    NULL values are skipped, matching ``F.percentile`` /
+    ``percentile_cont``: they are filtered before the rank and
+    excluded from n. The one divergence: a group whose values are
+    ALL NULL is absent from the output (the built-in would emit the
+    group with a NULL percentile) — left-join the result back to the
+    group domain if those rows matter.
+
     ``group_cols`` must be bounded-cardinality (grouped_rank's
-    broadcast contract, enforced there); (group, value, tiebreak)
-    must be a total order. Returns one row per group with one DOUBLE
-    column per entry of ``ps`` (named by ``out_cols``).
+    broadcast contract, enforced there AND on the per-group bounds
+    frame built here — both ride broadcasts); (group, value,
+    tiebreak) must be a total order over the non-null rows. Returns
+    one row per group with one DOUBLE column per entry of ``ps``
+    (named by ``out_cols``).
     """
     if len(ps) != len(out_cols):
         raise ValueError("ps and out_cols must align 1:1")
     if not all(0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"percentiles must be in [0, 1]: {ps}")
     gnames = list(group_cols)
-    ranked = grouped_rank(
-        df,
-        gnames,
-        [F.col(value_col)] + list(tiebreak),
-        rank_col="_pr",
-        max_groups=max_groups,
-    )
-    cnt = df.groupBy(*gnames).agg(F.count(F.lit(1)).alias("_pn"))
+    if staged is None:
+        staged = stage_percentile_rank(
+            df, gnames, value_col, tiebreak, max_groups
+        )
+    ranked, cnt = staged
     sel = [*gnames]
     keep = F.lit(False)
     for p, oc in zip(ps, out_cols):
@@ -728,10 +768,17 @@ def bucketized_weighted_quantile(
     scans feeding hash aggregations. Group cardinality is
     unrestricted (windows partition BY group; it is the per-group
     row count that is bounded, the agg_gini condition inverted).
+    Accordingly the level-2 prune join carries NO broadcast hint —
+    the per-group frame is one row per group, so with bounded groups
+    AQE promotes it to a broadcast at runtime, and with huge group
+    counts Spark plans an ordinary shuffle join (all predicates are
+    equi) instead of OOMing a forced broadcast.
 
     ``value_col`` and ``weight_col`` must be integral; |value| must
     stay below 2^53 / width (the bucket id is derived with exact
-    floor division through doubles). Weights must be non-negative.
+    floor division through doubles) and weights must be non-negative
+    — both VALIDATED in-plan: a violating row fails the action with
+    a clear raise_error instead of silently skewing the quantile.
     Output: one row per group, ``out_col`` = the quantile value
     (LONG, the original integer grain).
     """
@@ -740,7 +787,26 @@ def bucketized_weighted_quantile(
     if not (0 < q_num <= q_den):
         raise ValueError(f"quantile {q_num}/{q_den} must be in (0, 1]")
     gnames = list(group_cols)
-    v, w = F.col(value_col), F.col(weight_col)
+    vmax = (1 << 53) // bucket_width
+    v = F.when(
+        F.abs(F.col(value_col)) < F.lit(vmax),
+        F.col(value_col),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"bucketized_weighted_quantile: |{value_col}| must stay "
+                f"below 2^53/width = {vmax} for exact bucket ids"
+            )
+        )
+    )
+    w = F.when(F.col(weight_col) >= 0, F.col(weight_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"bucketized_weighted_quantile: negative weight in "
+                f"{weight_col} — cumulative weights must be monotone"
+            )
+        )
+    )
     # Floor division that is exact for negatives too: pmod is always
     # non-negative, so (v - pmod) is an exact multiple of the width.
     bucket = (
@@ -782,7 +848,7 @@ def bucketized_weighted_quantile(
     for g in gnames:
         cond = cond & (F.col(g) == F.col(f"_pg_{g}"))
     inb = (
-        df.join(F.broadcast(below), cond)
+        df.join(below, cond)
         .groupBy(*gnames, v.alias("_wqv"), "_below", "_ptw")
         .agg(F.sum(w).alias("_wqw"))
     )

@@ -74,6 +74,29 @@ def join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# agg_winsorize's staged rank over (orders.o_orderstatus, o_totalprice)
+# — built once per (session, sf, fingerprint) and persisted, the
+# _POWER_W_CACHE pattern (VERDICT r7 #3).
+_ORDERS_PCT_CACHE: dict = {}
+
+
+def _orders_pct_stage(spark: SparkSession, sf_dir: str):
+    from flirt_consume_spark.operators.scale import stage_percentile_rank
+
+    def build():
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderstatus", "o_totalprice", "o_orderkey"
+        )
+        ranked, cnt = stage_percentile_rank(
+            orders, ["o_orderstatus"], "o_totalprice", [F.col("o_orderkey")]
+        )
+        return ranked.persist(), cnt
+
+    return session_state(
+        _ORDERS_PCT_CACHE, spark, sf_dir, ("orders",), build
+    )
+
+
 @query(
     "agg_winsorize",
     oracle="""
@@ -101,18 +124,24 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, clamp, aggregate in exact integer cents. The percentiles
     come from ``operators/scale.grouped_percentiles`` (order
     statistics over grouped_rank — no per-group value-map buffer,
-    the agg_percentile scale path), which interpolates identically
-    to DuckDB's ``quantile_cont`` on the same sorted doubles."""
+    the agg_percentile scale path) in Spark's two-weight
+    interpolation form; DuckDB's single-weight quantile_cont can
+    differ in the last ulp, so the hash match rests on the exact
+    integer-cents aggregation, not a bit-identical quantile. The
+    ranked frame (the only data-sized stage) is session-cached via
+    ``stage_percentile_rank`` + fingerprint-keyed ``session_state``,
+    so the range shuffle is paid once per orders snapshot."""
     from flirt_consume_spark.operators.scale import grouped_percentiles
 
     orders = t(spark, sf_dir, "orders")
     pct = grouped_percentiles(
-        orders.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        None,
         ["o_orderstatus"],
         "o_totalprice",
-        [F.col("o_orderkey")],
+        [],
         ps=[0.05, 0.95],
         out_cols=["lo", "hi"],
+        staged=_orders_pct_stage(spark, sf_dir),
     )
     x = F.col("o_totalprice")
     clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))

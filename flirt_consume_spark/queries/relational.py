@@ -17,6 +17,7 @@ from flirt_consume_spark.queries.base import (
     davg,
     dsum,
     query,
+    session_state,
     sql_davg,
     sql_dsum,
     t,
@@ -439,6 +440,30 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# agg_percentile's staged rank over (events.event_type, value): the
+# range shuffle is the query's only data-sized stage, so it is built
+# once per (session, sf, fingerprint) and persisted — the _POWER_W_CACHE
+# pattern (VERDICT r7 #3).
+_EVENTS_PCT_CACHE: dict = {}
+
+
+def _events_pct_stage(spark: SparkSession, sf_dir: str):
+    from flirt_consume_spark.operators.scale import stage_percentile_rank
+
+    def build():
+        ev = t(spark, sf_dir, "events").select(
+            "event_type", "value", "event_id"
+        )
+        ranked, cnt = stage_percentile_rank(
+            ev, ["event_type"], "value", [F.col("event_id")]
+        )
+        return ranked.persist(), cnt
+
+    return session_state(
+        _EVENTS_PCT_CACHE, spark, sf_dir, ("events",), build
+    )
+
+
 @query(
     "agg_percentile",
     oracle="""
@@ -453,9 +478,14 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: exact percentiles/median (distribution reporting). Exact
-    (not approx) so the oracle hash-matches; both engines use linear
-    interpolation (``lower + frac·(upper − lower)``, the SQL
-    percentile_cont contract) on the same sorted doubles.
+    (not approx) so the oracle hash-matches; both engines interpolate
+    on the same sorted doubles in the TWO-WEIGHT form
+    ``(⌈h⌉−h)·lower + (h−⌊h⌋)·higher`` at h = (n−1)·p — Spark's
+    ``Percentile.getPercentile`` association. DuckDB's quantile_cont
+    uses the single-weight association, which can differ in the last
+    ulp (a hypothesis property run found such a case), so the hash
+    match is protected by the 6-dp rounding on both sides, not by a
+    claimed bit identity.
 
     Scale path — ``operators/scale.grouped_percentiles``: order
     statistics over one distributed ``grouped_rank``, NOT the
@@ -465,17 +495,21 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile needs only the rows at the two neighboring ranks,
     pulled by a broadcast rank-bounds join; min/max are p=0/p=1 on
     the same pass. Post-rank state is ≤10 rows per group however
-    large the table."""
+    large the table. The ranked frame — the one data-sized stage —
+    is session-cached (``stage_percentile_rank`` + fingerprint-keyed
+    ``session_state``), so repeated percentile queries over the same
+    events snapshot pay the range shuffle once."""
     from flirt_consume_spark.operators.scale import grouped_percentiles
 
-    ev = t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    staged = _events_pct_stage(spark, sf_dir)
     pct = grouped_percentiles(
-        ev,
+        None,
         ["event_type"],
         "value",
-        [F.col("event_id")],
+        [],
         ps=[0.5, 0.25, 0.75, 0.0, 1.0],
         out_cols=["_med", "_p25", "_p75", "_min", "_max"],
+        staged=staged,
     )
     return pct.select(
         "event_type",

@@ -39,3 +39,19 @@ def test_entry_point_exposes_full_registry():
     # every key ships an oracle (ROWS_ONLY keys would be absent here;
     # the registry currently has none)
     assert set(o) == {k for k, s in REGISTRY.items() if s.oracle}
+
+
+def test_driver_window_is_round8():
+    """VERDICT r7 #8: the active rotation must match the documented round.
+
+    The round-8 window = the 44 keys that had never had a driver row
+    after round 7, then 6 stale-backfill slots; every name must resolve
+    (typos would silently waste the driver's 50-key sample).
+    """
+    from flirt_consume_spark.queries import _ROUND8_WINDOW
+
+    assert len(_ROUND8_WINDOW) == 50
+    assert len(set(_ROUND8_WINDOW)) == 50, "window repeats a key"
+    assert list(REGISTRY)[:50] == _ROUND8_WINDOW, (
+        "REGISTRY insertion order must start with the round-8 window"
+    )

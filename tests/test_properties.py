@@ -504,7 +504,7 @@ def test_order_statistic_percentile_matches_native(spark, vals, ps):
     """grouped_percentiles (the agg_percentile/agg_winsorize scale
     path) == the native exact F.percentile aggregate, to EXACT double
     equality — same sorted doubles, same h = (n−1)·p position, same
-    lower + frac·(upper − lower) association — including non-dyadic
+    two-weight (⌈h⌉−h)·lower + (h−⌊h⌋)·higher association — including non-dyadic
     p where h itself rounds, so any ulp divergence in the
     re-derivation fails here rather than in an oracle whose 6-dp
     rounding would hide it. p=0/1 must equal exact min/max."""
@@ -860,3 +860,76 @@ def test_grouped_rank_distribution_matches_native(spark, rows):
     gmap = {r.id: (r.pr, r.cd) for r in got}
     wmap = {r.id: (r.pr, r.cd) for r in want}
     assert gmap == wmap
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_grouped_percentiles_skips_nulls(spark, vals):
+    """ADVICE r7: NULLs in value_col must be skipped exactly as
+    F.percentile skips them — excluded from n AND from the rank
+    order — on every group with >=1 non-null value. Groups whose
+    values are ALL NULL are absent from the output (documented
+    divergence: the native aggregate emits them with NULL)."""
+    from flirt_consume_spark.operators.scale import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [(g, None if v is None else float(v), i)
+         for i, (g, v) in enumerate(vals)],
+        "g long, value double, id long",
+    )
+    want = {
+        r.g: (r.p25, r.p50, r.p75)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("value", F.lit(p)).alias(c)
+               for p, c in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]])
+        .collect()
+        if r.p50 is not None  # all-NULL groups: dropped by ours
+    }
+    got = {
+        r.g: (r.p25, r.p50, r.p75)
+        for r in grouped_percentiles(
+            df, ["g"], "value", [F.col("id")],
+            ps=[0.25, 0.5, 0.75], out_cols=["p25", "p50", "p75"],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bucketized_weighted_quantile_validates_preconditions(spark):
+    """ADVICE r7: the documented preconditions (non-negative weights,
+    |value| < 2^53/width) are enforced in-plan — a violating row
+    fails the action with the operator's message instead of silently
+    returning a wrong quantile."""
+    import pytest
+    from flirt_consume_spark.operators.scale import (
+        bucketized_weighted_quantile,
+    )
+
+    neg = spark.createDataFrame(
+        [(0, 5, 3), (0, 7, -1)], "g long, v long, w long"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        bucketized_weighted_quantile(neg, ["g"], "v", "w").collect()
+
+    wide = spark.createDataFrame(
+        [(0, (1 << 53), 1)], "g long, v long, w long"
+    )
+    with pytest.raises(Exception, match="2\\^53/width"):
+        bucketized_weighted_quantile(wide, ["g"], "v", "w").collect()
