@@ -203,6 +203,14 @@ def embed_dup_pairs(
         .join(buckets, id_col)
         .select(id_col, "v", "bucket", norm(F.col("v")).alias("nv"))
     )
+    # Prune singleton buckets before the self-join: they cannot form a
+    # pair, but would still ship their vectors through BOTH sides of
+    # the bucket shuffle. With fine blocking (many planes / k ∝ N
+    # cells) singletons are a large share of the corpus, so this one
+    # hash agg (map-side combinable, same join key) removes real
+    # traffic; no semantic change.
+    sizes = vecs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    vecs = vecs.join(sizes.filter(F.col("_bn") >= 2).drop("_bn"), "bucket")
     a = vecs.select(
         F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
         F.col("nv").alias("na"), "bucket",
