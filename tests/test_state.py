@@ -51,3 +51,72 @@ def test_session_state_hit_and_evict(spark, monkeypatch):
     d = qbase.session_state(cache, spark, SF, ("orders",), build, extra=(7,))
     assert d is not c and len(cache) == 2
     assert builds[1].unpersisted == 0
+
+
+class _FakeCtx:
+    def __init__(self, app_id: str) -> None:
+        self.applicationId = app_id
+
+
+class _FakeSpark:
+    def __init__(self, app_id: str) -> None:
+        self.sparkContext = _FakeCtx(app_id)
+
+
+def test_session_state_two_sessions_no_collision(monkeypatch):
+    """VERDICT r7 #7: two concurrent sessions (distinct appIds) and two
+    sf_dirs sharing a basename must land in distinct cache scopes —
+    no collision, and eviction in one scope must not unpersist the
+    other's frames."""
+    cache: dict = {}
+    builds: list[_FakeDF] = []
+    fps = {"/a/sfX": "fp-a", "/b/sfX": "fp-b"}
+    monkeypatch.setattr(
+        "flirt_consume_spark.io.source_fingerprint",
+        lambda sf_dir, name: fps[sf_dir],
+    )
+
+    def build():
+        df = _FakeDF()
+        builds.append(df)
+        return df
+
+    s1, s2 = _FakeSpark("app-1"), _FakeSpark("app-2")
+    # same basename, different parents: 4 distinct scopes
+    a = qbase.session_state(cache, s1, "/a/sfX", ("orders",), build)
+    b = qbase.session_state(cache, s1, "/b/sfX", ("orders",), build)
+    c = qbase.session_state(cache, s2, "/a/sfX", ("orders",), build)
+    d = qbase.session_state(cache, s2, "/b/sfX", ("orders",), build)
+    assert len({id(x) for x in (a, b, c, d)}) == 4
+    assert len(cache) == 4
+
+    # Regenerate /a/sfX: both sessions' /a scopes rebuild on next
+    # access, but the /b entries are untouched (no cross-eviction).
+    fps["/a/sfX"] = "fp-a2"
+    a2 = qbase.session_state(cache, s1, "/a/sfX", ("orders",), build)
+    assert a2 is not a and a.unpersisted == 1
+    assert b.unpersisted == 0 and c.unpersisted == 0 and d.unpersisted == 0
+    # hits still serve without rebuild
+    assert qbase.session_state(cache, s1, "/b/sfX", ("orders",), build) is b
+    assert qbase.session_state(cache, s2, "/b/sfX", ("orders",), build) is d
+    assert len(builds) == 5
+
+
+def test_cache_path_distinct_for_same_basename(tmp_path):
+    """Sink/round-trip paths derive from (basename, content
+    fingerprint): two sf_dirs that share a basename but hold different
+    data must map to different /tmp cache paths (ADVICE r6 sink_pyds
+    class of bug, cross-session variant)."""
+    import os
+
+    from flirt_consume_spark.io import cache_path
+
+    d1 = tmp_path / "p1" / "sfX"
+    d2 = tmp_path / "p2" / "sfX"
+    for d, payload in ((d1, b"alpha"), (d2, b"beta-longer")):
+        os.makedirs(d)
+        with open(d / "orders.parquet", "wb") as fh:
+            fh.write(payload)
+    p1 = cache_path("sink", str(d1), "orders")
+    p2 = cache_path("sink", str(d2), "orders")
+    assert p1 != p2

@@ -263,6 +263,44 @@ PROBES: dict[str, tuple[str, str, str]] = {
         "64-dim dot of 1e6-grid unit vectors: ~sf^0",
         "int64",
     ),
+    # bucketized_weighted_quantile (agg_weighted_median): the quantile
+    # compare forms q_den*cw and q_num*tw with data-sized weight sums
+    # (tw = SUM(l_quantity) per flag) — int64 terms, linear in sf.
+    "agg_weighted_median": (
+        """
+        WITH m AS (SELECT l_returnflag,
+                  SUM(CAST(l_quantity AS BIGINT)) tw
+                  FROM lineitem GROUP BY 1)
+        SELECT MAX(2*tw) FROM m
+        """,
+        "q_den x total weight, rows linear: ~sf",
+        "int64",
+    ),
+    # bucketized_weighted_quantile value-domain precondition: bucket
+    # ids derive from exact double floor division, so |cents| must
+    # stay below 2^53/width (width=1024). Price domain is
+    # sf-invariant; the in-plan raise_error guard backstops it.
+    "agg_weighted_median_domain": (
+        """
+        SELECT MAX(abs(CAST(floor(l_extendedprice*100) AS BIGINT)))
+        FROM lineitem
+        """,
+        "value domain fixed by price range: ~sf^0",
+        "dbl53w",
+    ),
+    # grouped_percentiles (agg_percentile + agg_winsorize): the
+    # interpolation position h = (n-1)*p is double arithmetic, exact
+    # only while the per-group count n < 2^53. Probe the max group
+    # count across both consumers' grouping keys.
+    "grouped_percentiles_n": (
+        """
+        WITH a AS (SELECT COUNT(*) n FROM events GROUP BY event_type),
+        b AS (SELECT COUNT(*) n FROM orders GROUP BY o_orderstatus)
+        SELECT GREATEST((SELECT MAX(n) FROM a), (SELECT MAX(n) FROM b))
+        """,
+        "max per-group row count: ~sf",
+        "dbl53",
+    ),
     # Simpson concentration: sum of squared token counts per doc set.
     "llm_simpson": (
         """
@@ -282,6 +320,14 @@ PROBES: dict[str, tuple[str, str, str]] = {
 
 INT64 = 9.22e18
 DEC38 = 1e38
+DBL53 = float(1 << 53)  # exact-integer double ceiling
+DBL53W = float((1 << 53) // 1024)  # 2^53 / bucket_width(1024)
+CEILINGS = {
+    "int64": INT64,
+    "dec38": DEC38,
+    "dbl53": DBL53,
+    "dbl53w": DBL53W,
+}
 
 
 def probe(con, key: str) -> int:
@@ -316,10 +362,15 @@ def main() -> int:
     for key in PROBES:
         va, vb = probe(ca, key), probe(cb, key)
         _, law, ceiling = PROBES[key]
-        limit = DEC38 if ceiling == "dec38" else INT64
+        limit = CEILINGS[ceiling]
         if va > 0 and vb > va:
             k = math.log(vb / va) / math.log(step)  # empirical exponent
-            sf_max = sfb * (limit / vb) ** (1.0 / k)
+            try:
+                sf_max = sfb * (limit / vb) ** (1.0 / k)
+            except OverflowError:
+                # near-flat growth (k ≈ 0): the extrapolated overflow
+                # sf exceeds double range — effectively unreachable
+                sf_max = float("inf")
         elif vb > 0:
             k, sf_max = 0.0, float("inf")  # flat in sf
         else:
