@@ -174,6 +174,7 @@ def embed_dup_pairs(
     vec_col: str = "embedding",
     buckets: DataFrame | None = None,
     n_planes: int = 8,
+    prune_singletons: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: LSH-bucket every vector
     (``n_planes`` deterministic ±1 planes → 2^n_planes buckets), pair
@@ -190,10 +191,29 @@ def embed_dup_pairs(
     bits of the (p+1)-plane bucket and the candidate set shrinks
     monotonically (pinned by a test). The threshold cut is on the
     6-dp rounded value so cross-engine ulp noise cannot move a pair
-    across the cut."""
+    across the cut.
+
+    ``prune_singletons``: drop single-member buckets before attaching
+    vectors — a singleton cannot form a pair, but would still ship
+    its vector through BOTH sides of the bucket shuffle. The prune is
+    one hash agg + join over the NARROW (id, bucket) frame, never the
+    vectors, but it reads ``buckets`` a second time — so enable it
+    when the bucket frame is cheap to re-read (persisted k-means
+    cells, the llm_semdedup path) or when blocking is fine enough
+    that singleton traffic dominates; with an UNPERSISTED derived
+    bucket frame (the default LSH hashing) the rehash can cost more
+    than it saves (measured +0.25 s on llm_embed_dedup at sf0.1),
+    which is why it defaults off. No semantic change either way."""
     if buckets is None:
         buckets = lsh_buckets(
             emb, hyperplanes(emb.sparkSession, n_planes=n_planes), id_col, vec_col
+        )
+    if prune_singletons:
+        sizes = buckets.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        buckets = buckets.join(
+            sizes.filter(F.col("_bn") >= 2).drop("_bn"), "bucket"
         )
     # Hoist the L2 norm to once-per-vector (O(N·dim)) instead of
     # inside the pair comparison (O(pairs·dim)) — same IEEE value as
@@ -203,14 +223,6 @@ def embed_dup_pairs(
         .join(buckets, id_col)
         .select(id_col, "v", "bucket", norm(F.col("v")).alias("nv"))
     )
-    # Prune singleton buckets before the self-join: they cannot form a
-    # pair, but would still ship their vectors through BOTH sides of
-    # the bucket shuffle. With fine blocking (many planes / k ∝ N
-    # cells) singletons are a large share of the corpus, so this one
-    # hash agg (map-side combinable, same join key) removes real
-    # traffic; no semantic change.
-    sizes = vecs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-    vecs = vecs.join(sizes.filter(F.col("_bn") >= 2).drop("_bn"), "bucket")
     a = vecs.select(
         F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
         F.col("nv").alias("na"), "bucket",

@@ -1486,6 +1486,9 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb,
             min_cos=0.3,
             buckets=assign.select("vec_id", F.col("cid").alias("bucket")),
+            # cells ∝ N at scale → singleton cells are common, and the
+            # assignment is persisted so the second read is free
+            prune_singletons=True,
         ).persist()
 
     return session_state(
