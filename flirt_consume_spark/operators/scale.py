@@ -694,15 +694,32 @@ def grouped_percentiles(
     one row per group with one DOUBLE column per entry of ``ps``
     (named by ``out_cols``).
     """
+    if staged is None:
+        staged = stage_percentile_rank(
+            df, list(group_cols), value_col, tiebreak, max_groups
+        )
+    j = percentile_selection(staged, group_cols, ps, out_cols)
+    return percentiles_from_selection(j, group_cols, value_col, out_cols)
+
+
+def percentile_selection(
+    staged: tuple[DataFrame, DataFrame],
+    group_cols: list[str],
+    ps: list[float],
+    out_cols: list[str],
+) -> DataFrame:
+    """The rank-bounds selection of ``grouped_percentiles``: join the
+    staged rank against the per-group ⌊h⌋+1 / ⌈h⌉+1 bounds (broadcast
+    — |groups| rows, guarded in the stage) and keep only the rows at
+    those ranks — ≤ 2·|ps| rows per group however large the table.
+    Split out so callers with a persisted stage can ALSO persist this
+    tiny frame: the final interpolation then touches |groups|·2·|ps|
+    rows, nothing data-sized."""
     if len(ps) != len(out_cols):
         raise ValueError("ps and out_cols must align 1:1")
     if not all(0.0 <= p <= 1.0 for p in ps):
         raise ValueError(f"percentiles must be in [0, 1]: {ps}")
     gnames = list(group_cols)
-    if staged is None:
-        staged = stage_percentile_rank(
-            df, gnames, value_col, tiebreak, max_groups
-        )
     ranked, cnt = staged
     sel = [*gnames]
     keep = F.lit(False)
@@ -720,7 +737,18 @@ def grouped_percentiles(
             | (F.col("_pr") == F.col(f"_hi_{oc}"))
         )
     b = cnt.select(*sel)
-    j = ranked.join(F.broadcast(b), gnames).filter(keep)
+    return ranked.join(F.broadcast(b), gnames).filter(keep)
+
+
+def percentiles_from_selection(
+    j: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """Final interpolation over a ``percentile_selection`` frame: one
+    hash agg emitting the two-weight form per requested percentile."""
+    gnames = list(group_cols)
 
     def _at(rank_col: str) -> Column:
         return F.max(F.when(F.col("_pr") == F.col(rank_col), F.col(value_col)))

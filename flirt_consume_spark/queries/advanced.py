@@ -74,23 +74,30 @@ def join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# agg_winsorize's staged rank over (orders.o_orderstatus, o_totalprice)
-# — built once per (session, sf, fingerprint) and persisted, the
+# agg_winsorize's staged p05/p95 selection over
+# (orders.o_orderstatus, o_totalprice) — the rank and its ≤2-rows-per-
+# percentile-per-group bounds selection are built once per (session,
+# sf, fingerprint) and the tiny selection persisted, the
 # _POWER_W_CACHE pattern (VERDICT r7 #3).
 _ORDERS_PCT_CACHE: dict = {}
 
 
-def _orders_pct_stage(spark: SparkSession, sf_dir: str):
-    from flirt_consume_spark.operators.scale import stage_percentile_rank
+def _orders_pct_selection(spark: SparkSession, sf_dir: str):
+    from flirt_consume_spark.operators.scale import (
+        percentile_selection,
+        stage_percentile_rank,
+    )
 
     def build():
         orders = t(spark, sf_dir, "orders").select(
             "o_orderstatus", "o_totalprice", "o_orderkey"
         )
-        ranked, cnt = stage_percentile_rank(
+        staged = stage_percentile_rank(
             orders, ["o_orderstatus"], "o_totalprice", [F.col("o_orderkey")]
         )
-        return ranked.persist(), cnt
+        return percentile_selection(
+            staged, ["o_orderstatus"], [0.05, 0.95], ["lo", "hi"]
+        ).persist()
 
     return session_state(
         _ORDERS_PCT_CACHE, spark, sf_dir, ("orders",), build
@@ -128,20 +135,21 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation form; DuckDB's single-weight quantile_cont can
     differ in the last ulp, so the hash match rests on the exact
     integer-cents aggregation, not a bit-identical quantile. The
-    ranked frame (the only data-sized stage) is session-cached via
-    ``stage_percentile_rank`` + fingerprint-keyed ``session_state``,
-    so the range shuffle is paid once per orders snapshot."""
-    from flirt_consume_spark.operators.scale import grouped_percentiles
+    rank + rank-bounds selection (everything data-sized) is
+    session-cached via ``stage_percentile_rank`` +
+    ``percentile_selection`` under fingerprint-keyed
+    ``session_state``, so the range shuffle is paid once per orders
+    snapshot."""
+    from flirt_consume_spark.operators.scale import (
+        percentiles_from_selection,
+    )
 
     orders = t(spark, sf_dir, "orders")
-    pct = grouped_percentiles(
-        None,
+    pct = percentiles_from_selection(
+        _orders_pct_selection(spark, sf_dir),
         ["o_orderstatus"],
         "o_totalprice",
-        [],
-        ps=[0.05, 0.95],
-        out_cols=["lo", "hi"],
-        staged=_orders_pct_stage(spark, sf_dir),
+        ["lo", "hi"],
     )
     x = F.col("o_totalprice")
     clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))

@@ -440,24 +440,33 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# agg_percentile's staged rank over (events.event_type, value): the
-# range shuffle is the query's only data-sized stage, so it is built
-# once per (session, sf, fingerprint) and persisted — the _POWER_W_CACHE
-# pattern (VERDICT r7 #3).
+# agg_percentile's staged percentile selection over
+# (events.event_type, value): the range shuffle behind the rank is the
+# query's only data-sized stage, and the rank-bounds selection it
+# feeds is ≤2 rows per requested percentile per group — build both
+# once per (session, sf, fingerprint) and persist the tiny selection,
+# the _POWER_W_CACHE pattern (VERDICT r7 #3).
 _EVENTS_PCT_CACHE: dict = {}
+_EVENTS_PCT_PS = [0.5, 0.25, 0.75, 0.0, 1.0]
+_EVENTS_PCT_OUT = ["_med", "_p25", "_p75", "_min", "_max"]
 
 
-def _events_pct_stage(spark: SparkSession, sf_dir: str):
-    from flirt_consume_spark.operators.scale import stage_percentile_rank
+def _events_pct_selection(spark: SparkSession, sf_dir: str):
+    from flirt_consume_spark.operators.scale import (
+        percentile_selection,
+        stage_percentile_rank,
+    )
 
     def build():
         ev = t(spark, sf_dir, "events").select(
             "event_type", "value", "event_id"
         )
-        ranked, cnt = stage_percentile_rank(
+        staged = stage_percentile_rank(
             ev, ["event_type"], "value", [F.col("event_id")]
         )
-        return ranked.persist(), cnt
+        return percentile_selection(
+            staged, ["event_type"], _EVENTS_PCT_PS, _EVENTS_PCT_OUT
+        ).persist()
 
     return session_state(
         _EVENTS_PCT_CACHE, spark, sf_dir, ("events",), build
@@ -495,21 +504,20 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile needs only the rows at the two neighboring ranks,
     pulled by a broadcast rank-bounds join; min/max are p=0/p=1 on
     the same pass. Post-rank state is ≤10 rows per group however
-    large the table. The ranked frame — the one data-sized stage —
-    is session-cached (``stage_percentile_rank`` + fingerprint-keyed
+    large the table. The rank + rank-bounds selection — everything
+    data-sized — is session-cached (``stage_percentile_rank`` +
+    ``percentile_selection`` under fingerprint-keyed
     ``session_state``), so repeated percentile queries over the same
     events snapshot pay the range shuffle once."""
-    from flirt_consume_spark.operators.scale import grouped_percentiles
+    from flirt_consume_spark.operators.scale import (
+        percentiles_from_selection,
+    )
 
-    staged = _events_pct_stage(spark, sf_dir)
-    pct = grouped_percentiles(
-        None,
+    pct = percentiles_from_selection(
+        _events_pct_selection(spark, sf_dir),
         ["event_type"],
         "value",
-        [],
-        ps=[0.5, 0.25, 0.75, 0.0, 1.0],
-        out_cols=["_med", "_p25", "_p75", "_min", "_max"],
-        staged=staged,
+        _EVENTS_PCT_OUT,
     )
     return pct.select(
         "event_type",
