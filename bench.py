@@ -16,12 +16,14 @@ once, then every key again — so a transient stall (GC pause, page-cache
 eviction, competing process) lands in at most one rep of each key
 instead of all reps of whichever key was unlucky.
 
-Sub-second keys get EXTRA interleaved rounds (default 4 more, to 7
+Sub-second keys get EXTRA interleaved rounds (default 2 more, to 5
 samples, $SPARK_GRAFT_BENCH_SUBSEC_REPS total): they are ~80% of the
 registry but ~35% of wall time, and at 3 samples their documented
 ±30-50% run-to-run noise (BENCH_NOTES.md) made round-over-round deltas
 unreadable (VERDICT r7 #6). The per-key sample count ships in the full
-artifact as "reps_per_key".
+artifact as "reps_per_key". (5, not 7: each extra round costs ~2.5 min
+of wall at sf0.1, and the full run must stay comfortably inside the
+driver's per-round budget — 7-sample runs measured ~28 min total.)
 """
 
 from __future__ import annotations
@@ -61,7 +63,7 @@ def warmup(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    subsec_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "7"))
+    subsec_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
     spark = get_spark("bench")
     warmup(spark, sf_dir)
     samples: dict[str, list[float]] = {key: [] for key in sorted(REGISTRY)}
