@@ -959,6 +959,11 @@ def ranking_family(
         gnames, order, rank_col="drnk", max_groups=max_groups,
     )
     cnt = df.groupBy(*gnames).agg(F.count(F.lit(1)).alias("_n"))
+    # Same bounded-cardinality contract as grouped_rank's minima: the
+    # per-group count frame rides a broadcast, so guard it in-plan
+    # (it lives on a different plan branch than grouped_rank's own
+    # guard, which cannot protect this exchange).
+    cnt = _guard_group_count(cnt, max_groups, "ranking_family")
     return (
         ranked.join(ties, gnames + sem_names)
         .join(dense, gnames + sem_names)
