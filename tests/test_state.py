@@ -120,3 +120,25 @@ def test_cache_path_distinct_for_same_basename(tmp_path):
     p1 = cache_path("sink", str(d1), "orders")
     p2 = cache_path("sink", str(d2), "orders")
     assert p1 != p2
+
+
+def test_cached_queries_isolate_across_sf_dirs(spark):
+    """End-to-end cache isolation: the session-cached query keys
+    (staged percentile selections, semdedup pair kernel) must return
+    sf-correct results when one session queries TWO sf_dirs back and
+    forth — a hit from the wrong scope would surface as a wrong row
+    count or wrong values here."""
+    from flirt_consume_spark.queries import REGISTRY
+    from flirt_consume_spark.testing import check_key, duck_connect
+
+    sfs = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    cons = {sf: duck_connect(sf) for sf in sfs}
+    try:
+        for key in ("agg_percentile", "agg_winsorize", "llm_semdedup"):
+            # interleave: sf A, sf B, then sf A again (cache re-hit)
+            for sf in (sfs[0], sfs[1], sfs[0]):
+                res = check_key(spark, cons[sf], REGISTRY[key], sf)
+                assert res["status"] == "OK", (key, sf, res)
+    finally:
+        for c in cons.values():
+            c.close()
