@@ -1292,9 +1292,14 @@ def _semdedup(spark, emb: DataFrame, k: int) -> DataFrame:
                 ).alias("c")
             )
         )
+    # Product parity (queries/advanced._semdedup_pairs): persisted
+    # assignment + singleton-cell prune — the prune re-reads the
+    # bucket frame, so persist it exactly as the product does.
+    assign = assign.persist()
     pairs = embed_dup_pairs(
         emb, min_cos=0.3,
         buckets=assign.select("vec_id", F.col("cid").alias("bucket")),
+        prune_singletons=True,
     )
     return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
         F.min("vec_a").alias("canonical_id"),
