@@ -329,3 +329,34 @@ def test_grouped_cumsum_cardinality_guard(spark):
             df, "v", ["o_orderkey"], [F.col("v")],
             cum_col="cv", max_groups=10,
         ).collect()
+
+
+def test_grouped_percentiles_cardinality_guard(spark):
+    """ADVICE r7: the per-group bounds frame rides its own broadcast on
+    a different plan branch than grouped_rank's guard — it must carry
+    its own in-plan ceiling."""
+    from flirt_consume_spark.operators.scale import grouped_percentiles
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    with pytest.raises(Exception, match="bounded-cardinality"):
+        grouped_percentiles(
+            df, ["o_orderkey"], "v", [F.col("o_orderkey")],
+            ps=[0.5], out_cols=["p50"], max_groups=10,
+        ).collect()
+
+
+def test_ranking_family_cardinality_guard(spark):
+    """ranking_family's per-group count broadcast carries the same
+    contract (round-8: previously unguarded)."""
+    from flirt_consume_spark.operators.scale import ranking_family
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with pytest.raises(Exception, match="bounded-cardinality"):
+        ranking_family(
+            df, ["o_orderkey"], ["o_totalprice"],
+            [F.col("o_orderstatus")], max_groups=10,
+        ).collect()
