@@ -16,14 +16,17 @@ once, then every key again — so a transient stall (GC pause, page-cache
 eviction, competing process) lands in at most one rep of each key
 instead of all reps of whichever key was unlucky.
 
-Sub-second keys get EXTRA interleaved rounds (default 2 more, to 5
-samples, $SPARK_GRAFT_BENCH_SUBSEC_REPS total): they are ~80% of the
-registry but ~35% of wall time, and at 3 samples their documented
-±30-50% run-to-run noise (BENCH_NOTES.md) made round-over-round deltas
-unreadable (VERDICT r7 #6). The per-key sample count ships in the full
-artifact as "reps_per_key". (5, not 7: each extra round costs ~2.5 min
-of wall at sf0.1, and the full run must stay comfortably inside the
-driver's per-round budget — 7-sample runs measured ~28 min total.)
+Fast keys get EXTRA interleaved rounds (default 2 more, to 5 samples,
+$SPARK_GRAFT_BENCH_SUBSEC_REPS total, for keys whose base median is
+under $SPARK_GRAFT_BENCH_OVERSAMPLE_SEC = 2.0 s): at 3 samples their
+documented ±30-50% run-to-run noise (BENCH_NOTES.md) made
+round-over-round deltas unreadable (VERDICT r7 #6 named the sub-second
+band; the two r7 misreads — agg_cms 1.04→1.55, anon_generalize
+0.51→0.91 — straddle 1 s, so the threshold covers the 0-2 s band).
+The per-key sample count ships in the full artifact as "reps_per_key".
+(5 samples, not 7: each extra round costs ~2-2.5 min of wall at sf0.1
+and the full run must stay comfortably inside the driver's per-round
+budget — a 7-sample trial measured ~28 min total.)
 """
 
 from __future__ import annotations
@@ -64,6 +67,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     subsec_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
+    oversample_sec = float(
+        os.environ.get("SPARK_GRAFT_BENCH_OVERSAMPLE_SEC", "2.0")
+    )
     spark = get_spark("bench")
     warmup(spark, sf_dir)
     samples: dict[str, list[float]] = {key: [] for key in sorted(REGISTRY)}
@@ -86,15 +92,17 @@ def main() -> None:
             run_once(key)
     import statistics
 
-    # Extra interleaved rounds for sub-second keys only: cheap (~35% of
-    # wall per round) and exactly where 3-sample medians were noisiest.
+    # Extra interleaved rounds for fast keys only: cheap relative to
+    # the full round and exactly where 3-sample medians were noisiest.
     def _median_ok(key: str) -> float:
         ok = [v for v in samples[key] if v >= 0]
         return statistics.median(ok) if ok else -1.0
 
-    subsec = [k for k in sorted(REGISTRY) if 0 <= _median_ok(k) < 1.0]
+    fast = [
+        k for k in sorted(REGISTRY) if 0 <= _median_ok(k) < oversample_sec
+    ]
     for _rep in range(max(0, subsec_reps - reps)):
-        for key in subsec:
+        for key in fast:
             run_once(key)
 
     timings: dict[str, float] = {}
