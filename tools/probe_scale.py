@@ -190,6 +190,11 @@ def main() -> None:
         # scans only (prices don't multiply — exactly the operator's
         # fixed-value-domain contract).
         timed(f"wmedian_x{n}", _wmedian(li_n)),
+        # Order-statistic percentiles (agg_percentile/agg_winsorize
+        # scale path): one distributed grouped_rank + a broadcast
+        # rank-bounds join — group count FIXED while rows multiply,
+        # so time must track the range shuffle, never group size.
+        timed(f"pctile_x{n}", _pctile(od_n)),
         # Per-group Gini on global_rank + offsets: every stage range/
         # hash partitioned, so time must track rows not group sizes.
         timed(f"gini_x{n}", _gini(od_n, multiply(
@@ -326,6 +331,7 @@ def main() -> None:
         timed("cumsum_x1", _cumsum(od)),
         timed("sweep_x1", _sweep(od)),
         timed("wmedian_x1", _wmedian(li)),
+        timed("pctile_x1", _pctile(od)),
         timed("gini_x1", _gini(od, load_table(spark, args.sf, "customer"))),
         timed("ancestors_x1", _ancestors(load_table(spark, args.sf, "part"))),
         timed("cov_x1", _cov(load_table(spark, args.sf, "embeddings"))),
@@ -373,6 +379,7 @@ def main() -> None:
                  "geo", "pagerank", "kmeans", "triangles",
                  "rarity", "invindex", "bitmap",
                  "setsim", "dupspans", "cumsum", "sweep", "wmedian",
+                 "pctile",
                  "gini", "ancestors", "cov", "simjoin",
                  "powiter", "starcc", "q17", "recursive",
                  "ks", "interp", "bfs", "reservoir",
@@ -772,6 +779,19 @@ def _sweep(od: DataFrame) -> DataFrame:
         F.max("cur").alias("peak")
     )
 
+
+
+def _pctile(od: DataFrame) -> DataFrame:
+    from flirt_consume_spark.operators.scale import grouped_percentiles
+
+    return grouped_percentiles(
+        od.select("o_orderstatus", "o_totalprice", "o_orderkey"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        [F.col("o_orderkey")],
+        ps=[0.05, 0.5, 0.95],
+        out_cols=["p05", "p50", "p95"],
+    )
 
 
 def _wmedian(li: DataFrame) -> DataFrame:
