@@ -802,7 +802,8 @@ def bucketized_weighted_quantile(
     counts Spark plans an ordinary shuffle join (all predicates are
     equi) instead of OOMing a forced broadcast.
 
-    ``value_col`` and ``weight_col`` must be integral; |value| must
+    ``value_col`` and ``weight_col`` must be integral (checked at
+    plan-build time, the global_cumsum dtype contract); |value| must
     stay below 2^53 / width (the bucket id is derived with exact
     floor division through doubles) and weights must be non-negative
     — both VALIDATED in-plan: a violating row fails the action with
@@ -814,6 +815,15 @@ def bucketized_weighted_quantile(
 
     if not (0 < q_num <= q_den):
         raise ValueError(f"quantile {q_num}/{q_den} must be in (0, 1]")
+    for c in (value_col, weight_col):
+        ct = df.schema[c].dataType.simpleString()
+        if ct not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"bucketized_weighted_quantile needs integral columns, "
+                f"got {c}: {ct} — float values break the exact bucket "
+                f"floor-division and float weights make the cumulative "
+                f"compare order-dependent"
+            )
     gnames = list(group_cols)
     vmax = (1 << 53) // bucket_width
     v = F.when(

@@ -933,3 +933,19 @@ def test_bucketized_weighted_quantile_validates_preconditions(spark):
     )
     with pytest.raises(Exception, match="2\\^53/width"):
         bucketized_weighted_quantile(wide, ["g"], "v", "w").collect()
+
+
+def test_bucketized_weighted_quantile_rejects_float_columns(spark):
+    """The integral-column contract is checked at plan-build time, not
+    just documented (round-8 hardening, same class as global_cumsum's
+    dtype check)."""
+    import pytest
+    from flirt_consume_spark.operators.scale import (
+        bucketized_weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.5, 1)], "g long, v double, w long"
+    )
+    with pytest.raises(ValueError, match="integral columns"):
+        bucketized_weighted_quantile(df, ["g"], "v", "w")
