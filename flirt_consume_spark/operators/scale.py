@@ -651,7 +651,7 @@ def stage_percentile_rank(
 
 
 def grouped_percentiles(
-    df: DataFrame,
+    df: DataFrame | None,
     group_cols: list[str],
     value_col: str,
     tiebreak: list,
@@ -693,6 +693,11 @@ def grouped_percentiles(
     tiebreak) must be a total order over the non-null rows. Returns
     one row per group with one DOUBLE column per entry of ``ps``
     (named by ``out_cols``).
+
+    ``staged``: a prebuilt ``stage_percentile_rank`` pair; when given,
+    ``df``/``tiebreak`` are unused (pass None/[]) — callers that
+    persist the stage (and the ``percentile_selection`` it feeds)
+    amortize the range shuffle across repeated percentile queries.
     """
     if staged is None:
         staged = stage_percentile_rank(
