@@ -215,10 +215,12 @@ def scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides emit the basename). One hash aggregation per table
     with O(files) groups — partial aggregation collapses each task's
     rows to one record per file before the shuffle, so the audit
-    costs one narrow scan per table regardless of data volume. At
-    the driver's SF each table is a single parquet file; with a
+    costs one narrow scan per table regardless of data volume. The
+    basename regexp runs AFTER the aggregation — |files| evaluations
+    instead of one per row (the raw URI is just as good a grouping
+    key, and per-row regexp was the scan's hot spot). At the
+    driver's SF each table is a single parquet file; with a
     partitioned layout the same plan emits one row per part-file."""
-    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
     outs = []
     for tbl, key in (
         ("customer", "c_custkey"),
@@ -227,10 +229,19 @@ def scan_filemeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         d = t(spark, sf_dir, tbl)
         outs.append(
-            d.groupBy(base.alias("file_name")).agg(
+            d.groupBy(F.input_file_name().alias("_uri"))
+            .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 F.min(key).alias("min_key"),
                 F.max(key).alias("max_key"),
+            )
+            .select(
+                F.regexp_extract(F.col("_uri"), r"([^/]+)$", 1).alias(
+                    "file_name"
+                ),
+                "n_rows",
+                "min_key",
+                "max_key",
             )
         )
     out = outs[0]
