@@ -72,6 +72,7 @@ def main() -> None:
     )
     spark = get_spark("bench")
     warmup(spark, sf_dir)
+    t_start = time.time()
     samples: dict[str, list[float]] = {key: [] for key in sorted(REGISTRY)}
 
     def run_once(key: str) -> None:
@@ -101,9 +102,22 @@ def main() -> None:
     fast = [
         k for k in sorted(REGISTRY) if 0 <= _median_ok(k) < oversample_sec
     ]
-    for _rep in range(max(0, subsec_reps - reps)):
-        for key in fast:
-            run_once(key)
+    # Budget guard: oversampling is a precision luxury, never worth
+    # risking the run's completion. If the base rounds already took
+    # longer than the guard (degraded host, bigger sf), ship the
+    # 3-sample medians instead of stretching the wall clock further.
+    base_elapsed = time.time() - t_start
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+    if base_elapsed > budget:
+        print(
+            f"# bench: base rounds took {base_elapsed:.0f}s > {budget:.0f}s"
+            f" budget — skipping the extra fast-key rounds",
+            file=sys.stderr,
+        )
+    else:
+        for _rep in range(max(0, subsec_reps - reps)):
+            for key in fast:
+                run_once(key)
 
     timings: dict[str, float] = {}
     minimums: dict[str, float] = {}
