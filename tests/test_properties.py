@@ -949,3 +949,59 @@ def test_bucketized_weighted_quantile_rejects_float_columns(spark):
     )
     with pytest.raises(ValueError, match="integral columns"):
         bucketized_weighted_quantile(df, ["g"], "v", "w")
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    versions=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 12), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 12)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_asof_joins_match_brute_force(spark, versions, probes):
+    """Backward/forward as-of (union + running-scan, one shuffle) ==
+    brute force per probe on random data exercising exact timestamp
+    ties, multiple same-instant versions, and probes with no match in
+    either direction. Documented tie rules: backward takes the LAST
+    version in version-col order at the winning instant, forward the
+    FIRST."""
+    from flirt_consume_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    v = spark.createDataFrame(
+        versions or [(None, None, None)], "k int, vts int, val int"
+    )
+    if not versions:
+        v = v.filter("k IS NOT NULL")
+    probe_rows = [(k, ts, i) for i, (k, ts) in enumerate(probes)]
+    p = spark.createDataFrame(probe_rows, "k int, pts int, pid int")
+
+    back = {
+        r.pid: r.val
+        for r in asof_join(v, p, "k", "vts", "pts", ["val"], ["pid"])
+        .collect()
+    }
+    fwd = {
+        r.pid: r.val
+        for r in asof_join_forward(
+            v, p, "k", "vts", "pts", ["val"], ["pid"]
+        ).collect()
+    }
+
+    for k, ts, pid in probe_rows:
+        past = [(vts, val) for vk, vts, val in versions
+                if vk == k and vts <= ts]
+        want_b = max(past)[1] if past else None  # max ts, then max val
+        fut = [(vts, -val) for vk, vts, val in versions
+               if vk == k and vts >= ts]
+        want_f = -min(fut)[1] if fut else None  # min ts, then min val
+        assert back[pid] == want_b, (pid, "backward")
+        assert fwd[pid] == want_f, (pid, "forward")
