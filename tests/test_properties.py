@@ -1000,8 +1000,8 @@ def test_asof_joins_match_brute_force(spark, versions, probes):
         past = [(vts, val) for vk, vts, val in versions
                 if vk == k and vts <= ts]
         want_b = max(past)[1] if past else None  # max ts, then max val
-        fut = [(vts, -val) for vk, vts, val in versions
+        fut = [(vts, val) for vk, vts, val in versions
                if vk == k and vts >= ts]
-        want_f = -min(fut)[1] if fut else None  # min ts, then min val
+        want_f = min(fut)[1] if fut else None  # min ts, then MIN val
         assert back[pid] == want_b, (pid, "backward")
         assert fwd[pid] == want_f, (pid, "forward")
