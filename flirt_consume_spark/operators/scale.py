@@ -813,6 +813,12 @@ def bucketized_weighted_quantile(
     floor division through doubles) and weights must be non-negative
     — both VALIDATED in-plan: a violating row fails the action with
     a clear raise_error instead of silently skewing the quantile.
+    Rows where the value or the weight is NULL are SKIPPED — the SQL
+    aggregate convention (``sum``/``percentile`` ignore NULLs), NOT
+    routed to the guards (a bare ``w >= 0`` predicate is NULL for
+    NULL w, which would fire the otherwise/raise_error branch and
+    fail the whole action on data that every other aggregate in the
+    engine tolerates). Pinned by tests/test_properties.py.
     Output: one row per group, ``out_col`` = the quantile value
     (LONG, the original integer grain).
     """
@@ -830,6 +836,14 @@ def bucketized_weighted_quantile(
                 f"compare order-dependent"
             )
     gnames = list(group_cols)
+    # NULL-skip convention: a row with NULL value or NULL weight
+    # contributes nothing (and never reaches the in-plan guards,
+    # whose when-predicates would otherwise route NULL to the
+    # raise_error branch). One filter here covers both the level-1
+    # bucket aggregation and the level-2 in-bucket resolution.
+    df = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
     vmax = (1 << 53) // bucket_width
     v = F.when(
         F.abs(F.col(value_col)) < F.lit(vmax),

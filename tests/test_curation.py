@@ -78,6 +78,33 @@ def test_filemeta_counts_and_ranges(spark):
         assert (r["n_rows"], r["min_key"], r["max_key"]) == (agg["n"], agg["lo"], agg["hi"])
 
 
+def test_filemeta_one_row_per_part_file(spark, tmp_path):
+    """ADVICE r8 pin: with a multi-file table layout, scan_filemeta
+    emits ONE ROW PER PART-FILE (the docstring's contract) — part
+    files are never merged by basename, so per-file counts/key-ranges
+    stay individually auditable in a partitioned lake."""
+    import os
+
+    # customer as a 2-part parquet dir; orders/lineitem borrowed from
+    # the fixture via symlink (scan_filemeta scans all three tables).
+    load_table(spark, SF, "customer").repartition(2).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    for tbl in ("orders", "lineitem"):
+        os.symlink(f"{SF}/{tbl}.parquet", tmp_path / f"{tbl}.parquet")
+
+    out = REGISTRY["scan_filemeta"].fn(spark, str(tmp_path)).toPandas()
+    cust = out[out.file_name.str.startswith("part-")]
+    assert len(cust) == 2  # one row per part file, not one per table
+    total = load_table(spark, SF, "customer").count()
+    assert int(cust.n_rows.sum()) == total
+    lo, hi = int(cust.min_key.min()), int(cust.max_key.max())
+    agg = load_table(spark, SF, "customer").agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    assert (lo, hi) == (agg[0], agg[1])
+
+
 def test_gram_novelty_conservation(spark):
     out = REGISTRY["llm_gram_novelty"].fn(spark, SF).toPandas()
     assert ((out.novelty >= 0) & (out.novelty <= 1)).all()

@@ -935,6 +935,36 @@ def test_bucketized_weighted_quantile_validates_preconditions(spark):
         bucketized_weighted_quantile(wide, ["g"], "v", "w").collect()
 
 
+def test_bucketized_weighted_quantile_skips_null_rows(spark):
+    """ADVICE r8: NULL values/weights follow the SQL aggregate
+    NULL-skip convention — the row contributes nothing — rather than
+    tripping the non-negative-weight guard (whose when-predicate is
+    NULL for NULL w, which would route the row to raise_error and
+    fail the whole action)."""
+    from flirt_consume_spark.operators.scale import (
+        bucketized_weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, 1, 1),
+            (0, 2, 1),
+            (0, 3, 1),
+            (0, 9, None),  # NULL weight: skipped, not raise_error
+            (0, None, 5),  # NULL value: skipped
+            (1, None, None),  # group with only NULL rows: dropped
+        ],
+        "g long, v long, w long",
+    )
+    got = {
+        r.g: r.wq
+        for r in bucketized_weighted_quantile(df, ["g"], "v", "w").collect()
+    }
+    # weights {1:1, 2:1, 3:1}, tw=3 -> median = smallest v with
+    # 2*cw >= tw -> v=2.  The NULL rows must neither raise nor shift it.
+    assert got == {0: 2}
+
+
 def test_bucketized_weighted_quantile_rejects_float_columns(spark):
     """The integral-column contract is checked at plan-build time, not
     just documented (round-8 hardening, same class as global_cumsum's
