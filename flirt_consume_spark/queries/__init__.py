@@ -49,32 +49,41 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #     that still had zero driver rows, graph_assortativity promoted to
 #     slot 1 (sf0.1 overflow fix needed a driver row on fixed code).
 #     Outcome (CORRECTNESS_r07.json): all 50 green.
-#   round 8 (this list): the final 44 keys that have never had a driver
-#     row, then 6 stale-backfill slots: agg_percentile + agg_winsorize
-#     (r3/r5 driver rows predate their round-7 rewrite onto
-#     grouped_percentiles AND this round's shared-rank optimization),
-#     agg_gini + agg_delta_method* (round-7 decimal widenings from the
-#     capacity audit; *delta_method is already in the 44),
-#     project_rename + filter_valid + expand_schedule (the three
-#     stalest r3-vintage rows). After this window every registry key
-#     has externally-recorded driver evidence at least once.
-_ROUND8_WINDOW = [
-    "audit_ttest", "time_survival", "time_holt", "time_kalman",
-    "time_crosscorr", "time_viterbi", "agg_argmax", "win_nth",
-    "set_intersect_all", "scan_filemeta", "llm_gram_novelty",
-    "audit_kanon", "audit_chisq", "time_autocorr", "time_rle",
-    "sample_systematic", "llm_bpe_train", "llm_bpe_encode",
-    "set_union_byname", "agg_delta_method", "audit_contract",
-    "eval_confusion", "quota_budget_select", "eval_pr_curve",
-    "eval_auc", "sql_params", "anon_generalize", "scalar_try",
-    "eval_calibration", "time_theilsen", "time_mannkendall",
-    "time_pettitt", "time_vwap", "agg_basket_pairs",
-    "graph_node_jaccard", "agg_subsample_ci", "str_mask",
-    "scan_partitioned", "win_bollinger", "llm_cross_dedup",
-    "graph_kcore", "sql_unpivot", "time_hopping", "llm_index_size",
-    # stale backfill (6)
-    "agg_percentile", "agg_winsorize", "agg_gini",
-    "project_rename", "filter_valid", "expand_schedule",
+#   round 8: the final 44 keys that had never had a driver row, then
+#     6 stale-backfill slots (percentile-family rewrites + decimal
+#     widenings + the 3 stalest r3 rows).
+#     Outcome (CORRECTNESS_r08.json): all 50 green — every registry
+#     key now has externally-recorded driver evidence at least once.
+#   round 9 (this list): with zero never-checked keys left, rotation
+#     becomes pure staleness refresh. Slot 1: agg_weighted_median —
+#     its underlying operator (scale.bucketized_weighted_quantile)
+#     changed THIS round (ADVICE-r8 NULL-skip fix), so its r7 driver
+#     row predates the live code. Slots 2-5: the four r4-vintage keys
+#     whose query function was REWRITTEN after their last driver row
+#     (win_rank -> ranking_family r7, join_similarity -> banded-LSH
+#     r6, sink_upsert r6, pack_sequences r6; found by git log -L over
+#     each registered function's line range). Then the 24 r3-vintage
+#     keys (the stalest rows in the registry), then the 21 stalest
+#     r4-vintage keys in registry order.
+_ROUND9_WINDOW = [
+    "agg_weighted_median",
+    # r4 driver rows, function rewritten since (git log -L)
+    "win_rank", "join_similarity", "sink_upsert", "pack_sequences",
+    # the 24 r3-vintage rows
+    "filter_codeshare", "filter_predicates", "join_anti", "join_semi",
+    "join_outer", "agg_cube", "agg_conditional", "agg_collect",
+    "set_diff", "agg_stats", "unpivot_long", "time_normalize",
+    "time_bucket", "time_duration", "join_asof_fwd", "str_normalize",
+    "str_regex", "math_scalar", "array_ops", "map_ops",
+    "json_extract", "geo_haversine", "win_firstlast",
+    "win_distribution",
+    # 21 stalest r4-vintage rows, registry order
+    "llm_exact_dedup", "llm_minhash_dedup", "dedup_components",
+    "dedup_components_star", "llm_simhash", "llm_ngram_jaccard",
+    "llm_knn", "llm_ann_lsh", "llm_embed_dedup", "llm_centroid",
+    "llm_repetition", "llm_textstats", "llm_langid", "llm_quality",
+    "llm_tokens", "llm_fingerprint", "llm_multimodal",
+    "udf_groupnorm", "llm_editdist", "win_lag", "win_sessionize",
 ]
 
 
@@ -89,4 +98,4 @@ def _rotate_front(front: list[str]) -> None:
         REGISTRY[k] = snap[k]
 
 
-_rotate_front(_ROUND8_WINDOW)
+_rotate_front(_ROUND9_WINDOW)

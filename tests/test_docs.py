@@ -41,17 +41,22 @@ def test_entry_point_exposes_full_registry():
     assert set(o) == {k for k, s in REGISTRY.items() if s.oracle}
 
 
-def test_driver_window_is_round8():
+def test_driver_window_is_round9():
     """VERDICT r7 #8: the active rotation must match the documented round.
 
-    The round-8 window = the 44 keys that had never had a driver row
-    after round 7, then 6 stale-backfill slots; every name must resolve
-    (typos would silently waste the driver's 50-key sample).
+    The round-9 window is pure staleness refresh (zero never-checked
+    keys remain after round 8): the changed-this-round key first, then
+    functions rewritten since their last driver row, then the r3/r4
+    vintage backlog; every name must resolve (typos would silently
+    waste the driver's 50-key sample).
     """
-    from flirt_consume_spark.queries import _ROUND8_WINDOW
+    from flirt_consume_spark.queries import _ROUND9_WINDOW
 
-    assert len(_ROUND8_WINDOW) == 50
-    assert len(set(_ROUND8_WINDOW)) == 50, "window repeats a key"
-    assert list(REGISTRY)[:50] == _ROUND8_WINDOW, (
-        "REGISTRY insertion order must start with the round-8 window"
+    assert len(_ROUND9_WINDOW) == 50
+    assert len(set(_ROUND9_WINDOW)) == 50, "window repeats a key"
+    assert _ROUND9_WINDOW[0] == "agg_weighted_median", (
+        "the key whose operator changed this round leads the window"
+    )
+    assert list(REGISTRY)[:50] == _ROUND9_WINDOW, (
+        "REGISTRY insertion order must start with the round-9 window"
     )
