@@ -8,6 +8,21 @@ partition-less window sorts).
 
 Usage: python tools/audit_plans.py [--sf DIR] [keys...]
 Exit 1 if any red flag fires outside the declared allowlist.
+
+Plan-regression detection (round 9): the per-key structural metrics
+(exchange / broadcast-hash-join / sort-merge-join counts, pushdown)
+are snapshot to a committed artifact and diffed per round —
+an exchange-count increase on an unchanged key is an accidental extra
+shuffle, the class of regression a total-seconds bench can hide
+inside noise at sf0.1 but that costs real money at 100 TB.
+
+  python tools/audit_plans.py --snapshot PLAN_METRICS.json   # refresh
+  python tools/audit_plans.py --diff PLAN_METRICS.json       # gate
+
+--diff exits 1 if any key's exchange count GREW versus the snapshot
+(new keys and improvements are reported but pass); refresh the
+snapshot in the same commit as an intentional plan change so the diff
+stays a one-line gate in the round-close checklist.
 """
 
 from __future__ import annotations
@@ -270,22 +285,73 @@ def audit(key: str, df) -> dict:
     }
 
 
+_METRIC_KEYS = ("exchanges", "bhj", "smj", "pushed_filters")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("CHECK_SF", "/root/testdata/sf0.001"))
+    ap.add_argument(
+        "--snapshot",
+        metavar="FILE",
+        help="write per-key plan metrics to FILE (committed artifact)",
+    )
+    ap.add_argument(
+        "--diff",
+        metavar="FILE",
+        help="compare per-key plan metrics against FILE; exit 1 if any "
+        "key's exchange count grew (accidental extra shuffle)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
     spark = get_spark("plan-audit")
     n_bad = 0
+    metrics: dict[str, dict] = {}
     for key in args.keys or sorted(REGISTRY):
         try:
             res = audit(key, REGISTRY[key].fn(spark, args.sf))
+            metrics[key] = {m: res[m] for m in _METRIC_KEYS}
         except Exception as e:  # noqa: BLE001
             res = {"key": key, "error": f"{type(e).__name__}: {e}"}
         if res.get("unexpected") or "error" in res:
             n_bad += 1
         print(json.dumps(res))
     print(f"# {n_bad} keys with unexpected plan flags")
+    if args.snapshot:
+        with open(args.snapshot, "w") as fh:
+            json.dump(metrics, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"# snapshot: {len(metrics)} keys -> {args.snapshot}")
+    if args.diff:
+        with open(args.diff) as fh:
+            base = json.load(fh)
+        grew, shrank, new = [], [], []
+        for key, cur in metrics.items():
+            old = base.get(key)
+            if old is None:
+                new.append(key)
+            elif cur["exchanges"] > old["exchanges"]:
+                grew.append(
+                    f"{key}: exchanges {old['exchanges']} -> "
+                    f"{cur['exchanges']}"
+                )
+            elif cur["exchanges"] < old["exchanges"]:
+                shrank.append(
+                    f"{key}: exchanges {old['exchanges']} -> "
+                    f"{cur['exchanges']}"
+                )
+        for line in grew:
+            print(f"# PLAN REGRESSION {line}")
+        for line in shrank:
+            print(f"# plan improved {line}")
+        if new:
+            print(f"# {len(new)} keys not in snapshot: {sorted(new)}")
+        print(
+            f"# plan diff vs {args.diff}: {len(grew)} regressed, "
+            f"{len(shrank)} improved, {len(new)} new"
+        )
+        if grew:
+            return 1
     return 1 if n_bad else 0
 
 
