@@ -300,6 +300,13 @@ def main() -> None:
         timed(f"crossdedup_x{n}", _crossdedup(
             salt_docs(docs, n, 10_000_000),
             _lsh(salt_docs(docs, n, 10_000_000)))),
+        # Wave 6 (round 9): the one heavy bench key without a probe.
+        # multiply() (not salt_embs): MMR only needs distinct ids and
+        # the same 64-dim value domain — pair structure is irrelevant
+        # because nothing pairwise is ever materialized.
+        timed_call(f"mmr_x{n}", lambda: _mmr(spark, multiply(
+            load_table(spark, args.sf, "embeddings"), ["vec_id"],
+            n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -368,6 +375,8 @@ def main() -> None:
         timed("crossdedup_x1", _crossdedup(
             salt_docs(docs, 1, 10_000_000),
             _lsh(salt_docs(docs, 1, 10_000_000)))),
+        timed_call("mmr_x1", lambda: _mmr(spark, load_table(
+            spark, args.sf, "embeddings"))),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -385,7 +394,8 @@ def main() -> None:
                  "ks", "interp", "bfs", "reservoir",
                  "novelty", "mwu", "rle", "pcaproj", "bpe",
                  "holt", "semdedup", "basket", "assort",
-                 "jaccard", "bollinger", "kcore", "crossdedup"):
+                 "jaccard", "bollinger", "kcore", "crossdedup",
+                 "mmr"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -1493,6 +1503,68 @@ def _crossdedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("_exact").isNotNull(), 1).otherwise(0)).alias("n_exact"),
             F.sum(F.when(F.col("_near").isNotNull(), 1).otherwise(0)).alias("n_near"),
         )
+    )
+
+
+def _mmr(spark, emb: DataFrame, k: int = 5) -> DataFrame:
+    # emb_mmr shape (queries/retrieval.py): greedy diversified top-k.
+    # One pass builds the long form + relevance (64-row broadcast
+    # query); each of the k rounds folds ONE selected vector's dot
+    # products into the running max-sim — per-round cost is one scan
+    # over (vec_id, rel, ms) state plus a 64-row broadcast join, and
+    # the only driver traffic is the 1-row argmax. With k fixed, time
+    # must track the vector count.
+    xs = (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))"
+                )
+            ).alias("_i0", "xl"),
+        )
+        .select("vec_id", (F.col("_i0") + 1).alias("i"), "xl")
+        .persist()
+    )
+    qv = xs.filter(F.col("vec_id") == 0).select("i", F.col("xl").alias("qxl"))
+    rel = (
+        xs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xl") * F.col("qxl")).cast("bigint").alias("rel"))
+    )
+    state = rel.withColumn(
+        "ms", F.lit(-(1 << 62)).cast("bigint")
+    ).localCheckpoint(eager=True)
+    picks = []
+    for rank in range(1, k + 1):
+        top = (
+            state.orderBy((2 * F.col("rel") - F.col("ms")).desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        best = top[0]
+        picks.append((rank, best["vec_id"], best["rel"], best["ms"]))
+        svec = xs.filter(F.col("vec_id") == best["vec_id"]).select(
+            "i", F.col("xl").alias("sxl")
+        )
+        dots = (
+            xs.join(F.broadcast(svec), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xl") * F.col("sxl")).cast("bigint").alias("dot"))
+        )
+        state = (
+            state.filter(F.col("vec_id") != best["vec_id"])
+            .join(dots, "vec_id")
+            .withColumn("ms", F.greatest(F.col("ms"), F.col("dot")))
+            .drop("dot")
+            .localCheckpoint(eager=True)
+        )
+    xs.unpersist()
+    return spark.createDataFrame(
+        picks, "sel_rank bigint, vec_id bigint, rel bigint, ms bigint"
     )
 
 
