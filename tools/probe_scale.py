@@ -9,6 +9,16 @@ stays fixed (same audit output), the operator scales by adding
 executors; superlinear growth or a plan flip marks a bottleneck.
 
 Usage: python tools/probe_scale.py [--sf DIR] [--mult N]
+
+MEASUREMENT PROTOCOL (round 9): run probes PER WAVE with --only, a
+few stems at a time. A full-suite single-session run accumulates
+persisted frames and GC pressure across ~50 pipelines and the
+ratios come out 2-6x inflated (round-9 control: topk measured 5.68x
+of linear inside the full suite, 0.36x in isolation; repetition —
+zero-shuffle map work — 2.48x inside, 0.08x isolated). Ratios are
+only comparable when the probe and its x1 baseline run in a session
+that resembles the per-wave conditions every documented number in
+BENCH_NOTES.md was taken under.
 """
 
 from __future__ import annotations
