@@ -78,6 +78,11 @@ def main() -> None:
     )
     spark = get_spark("bench")
     warmup(spark, sf_dir)
+    # Host-load context: round 9's mid-round run measured 242.7s vs
+    # 167.0s on identical plans (per-key median ratio 1.455, uniform —
+    # ambient contention, not regression). Recording loadavg lets a
+    # reader normalize such episodes without cross-round forensics.
+    load_start = os.getloadavg()
     t_start = time.time()
     samples: dict[str, list[float]] = {key: [] for key in sorted(REGISTRY)}
 
@@ -159,6 +164,9 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "reps_per_key": {k: len(v) for k, v in samples.items()},
+        "wall_sec": round(time.time() - t_start, 1),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     # Full per-key artifact: the driver's BENCH_r{N}.json keeps only a
     # 2000-char stdout tail, which truncates a 105-key JSON line and
@@ -193,6 +201,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "reps": reps,
                 "errors": sorted(k for k, v in timings.items() if v < 0),
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "full": "BENCH_FULL_latest.json",
             }
         )
