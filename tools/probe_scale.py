@@ -317,6 +317,9 @@ def main() -> None:
         timed_call(f"mmr_x{n}", lambda: _mmr(spark, multiply(
             load_table(spark, args.sf, "embeddings"), ["vec_id"],
             n, 10_000_000))),
+        timed(f"rankfam_x{n}", _rankfam(multiply(
+            load_table(spark, args.sf, "customer"), ["c_custkey"],
+            n, 10_000_000))),
     ]
     base = [
         timed("agg_q1_x1", li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -387,6 +390,8 @@ def main() -> None:
             _lsh(salt_docs(docs, 1, 10_000_000)))),
         timed_call("mmr_x1", lambda: _mmr(spark, load_table(
             spark, args.sf, "embeddings"))),
+        timed("rankfam_x1", _rankfam(
+            load_table(spark, args.sf, "customer"))),
     ]
     done = [r for r in results + base if r is not None]
     for r in done:
@@ -405,7 +410,7 @@ def main() -> None:
                  "novelty", "mwu", "rle", "pcaproj", "bpe",
                  "holt", "semdedup", "basket", "assort",
                  "jaccard", "bollinger", "kcore", "crossdedup",
-                 "mmr"):
+                 "mmr", "rankfam"):
         if f"{stem}_x{n}" not in by:
             continue
         hi, lo = by[f"{stem}_x{n}"], max(by[f"{stem}_x1"], 0.01)
@@ -1514,6 +1519,24 @@ def _crossdedup(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("_near").isNotNull(), 1).otherwise(0)).alias("n_near"),
         )
     )
+
+
+def _rankfam(cu: DataFrame) -> DataFrame:
+    # win_rank shape: the full SQL ranking family from distributed
+    # grouped_rank (5 segments would serialize native windows into 5
+    # reducers). Rows multiply while the segment count stays 5, so
+    # time must track the range shuffle; the round-9 fold joins the
+    # tie-class frame back to the ranked fact ONCE.
+    from flirt_consume_spark.operators.scale import ranking_family
+
+    return ranking_family(
+        cu.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_mktsegment"],
+        ["c_acctbal"],
+        [F.col("c_custkey")],
+        k=4,
+        descending=True,
+    ).filter(F.col("rn") <= 10)
 
 
 def _mmr(spark, emb: DataFrame, k: int = 5) -> DataFrame:
