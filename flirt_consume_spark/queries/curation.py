@@ -753,7 +753,15 @@ def _bpe_fit_build(spark: SparkSession, sf_dir: str):
         cnt = pairs.groupBy("a", "b").agg(
             F.sum("freq").cast("bigint").alias("cnt")
         )
-        best = cnt.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        top = cnt.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top:
+            # No adjacent pair left anywhere (empty corpus, or every
+            # word fully merged to one symbol): BPE training is done.
+            # Real tokenizer trainers stop here too — k is a budget,
+            # not a guarantee. The unrolled SQL oracle agrees on the
+            # merge table (its LIMIT 1 rounds are empty from here on).
+            break
+        best = top[0]
         merges.append((rank, best["a"], best["b"], best["cnt"]))
         sym = sym.withColumn(
             "s",

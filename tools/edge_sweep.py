@@ -1,0 +1,152 @@
+"""Degenerate-input robustness sweep over the full query registry.
+
+A query engine that is correct at sf0.01 can still crash in
+production on the inputs that inevitably appear at 100 TB: an empty
+month partition, a table reduced to one row by a selective filter, a
+source that a bad upstream job wrote with zero rows. Every operator
+must either produce a well-formed (possibly empty) result or fail
+with a *deliberate* contract error — never an unhandled
+IndexError / ZeroDivisionError / ArithmeticException from code that
+assumed "at least one row".
+
+This tool materializes two degenerate mirrors of a scale-factor
+directory (schema copied from the real parquet, so column types are
+identical):
+
+- ``empty``  — every table with 0 rows;
+- ``one``    — every table truncated to exactly 1 row (FK joins then
+  mostly miss, exercising empty *intermediate* frames inside plans
+  whose inputs are non-empty — a different failure class than empty
+  scans).
+
+and runs every registered query against each, recording OK /
+EXPECTED-GUARD (a deliberate raise_error with our contract message) /
+CRASH. Exit code 1 if any CRASH.
+
+Usage:
+    python tools/edge_sweep.py [--base /root/testdata/sf0.001]
+                               [--only key1,key2] [--mode empty,one]
+
+The sweep is also wired into tests/test_edge_sweep.py for a pinned
+subset; this standalone runner covers the full registry for the
+round-close checklist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Keys whose contract *requires* data and which raise a deliberate,
+#: documented error on degenerate input (message carried by
+#: F.raise_error or a ValueError from plan-build validation). An
+#: entry here must cite why empty input is a contract violation
+#: rather than a silently-empty result.
+EXPECTED_GUARDS: dict[str, str] = {}
+
+
+def make_degenerate(base: str, out_root: str, mode: str) -> str:
+    """Write a schema-identical mirror of ``base`` with 0 or 1 rows
+    per table. Uses pyarrow directly (no Spark session needed) so the
+    mirror build can't perturb the session under test."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(out_root, mode)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for name in TABLES:
+        src = os.path.join(base, f"{name}.parquet")
+        tbl = pq.read_table(src)
+        n = 0 if mode == "empty" else min(1, tbl.num_rows)
+        pq.write_table(tbl.slice(0, n), os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+def run_sweep(spark, sf_dir: str, keys: list[str]) -> dict:
+    from flirt_consume_spark.queries import REGISTRY
+
+    results: dict[str, dict] = {}
+    for k in keys:
+        fn = REGISTRY[k].fn
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            results[k] = {"status": "OK", "rows": rows}
+        except Exception as exc:  # noqa: BLE001 — classification is the point
+            msg = f"{type(exc).__name__}: {exc}"
+            expected = k in EXPECTED_GUARDS and EXPECTED_GUARDS[k] in msg
+            results[k] = {
+                "status": "EXPECTED-GUARD" if expected else "CRASH",
+                "error": msg[:500],
+            }
+            if not expected:
+                results[k]["trace"] = traceback.format_exc()[-2000:]
+        results[k]["sec"] = round(time.time() - t0, 2)
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--mode", default="empty,one")
+    ap.add_argument("--out-root", default="/tmp/flirt_edge_sweep")
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    from flirt_consume_spark.queries import REGISTRY
+    from flirt_consume_spark.session import get_spark
+
+    keys = sorted(REGISTRY)
+    if args.only:
+        keys = [k for k in args.only.split(",") if k]
+
+    spark = get_spark()
+    report: dict[str, dict] = {}
+    rc = 0
+    for mode in args.mode.split(","):
+        sf_dir = make_degenerate(args.base, args.out_root, mode)
+        res = run_sweep(spark, sf_dir, keys)
+        report[mode] = res
+        crashes = {k: v for k, v in res.items() if v["status"] == "CRASH"}
+        ok = sum(1 for v in res.values() if v["status"] == "OK")
+        print(
+            f"[{mode}] OK={ok} EXPECTED-GUARD="
+            f"{sum(1 for v in res.values() if v['status'] == 'EXPECTED-GUARD')}"
+            f" CRASH={len(crashes)}",
+            flush=True,
+        )
+        for k, v in sorted(crashes.items()):
+            print(f"  CRASH {k}: {v['error'][:200]}")
+            rc = 1
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+    spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
