@@ -63,10 +63,19 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #     (win_rank -> ranking_family r7, join_similarity -> banded-LSH
 #     r6, sink_upsert r6, pack_sequences r6; found by git log -L over
 #     each registered function's line range). Then the 24 r3-vintage
-#     keys (the stalest rows in the registry), then the 21 stalest
+#     keys (the stalest rows in the registry), then the stalest
 #     r4-vintage keys in registry order.
+#     Mid-round update: the degenerate-input sweep (tools/
+#     edge_sweep.py) changed four more functions (llm_bpe_train
+#     early-stop, agg_histogram min==max guard + oracle CASE,
+#     join_dpp / scan_partitioned schema'd read-back; sink_upsert
+#     likewise but it was already listed) — promoted to slots 2-5 so
+#     their driver rows land on the live code; the 4 least-stale
+#     r4-vintage tail keys rotate out to keep the window at 50.
 _ROUND9_WINDOW = [
     "agg_weighted_median",
+    # changed this round by the degenerate-input sweep fixes
+    "agg_histogram", "llm_bpe_train", "join_dpp", "scan_partitioned",
     # r4 driver rows, function rewritten since (git log -L)
     "win_rank", "join_similarity", "sink_upsert", "pack_sequences",
     # the 24 r3-vintage rows
@@ -83,7 +92,6 @@ _ROUND9_WINDOW = [
     "llm_knn", "llm_ann_lsh", "llm_embed_dedup", "llm_centroid",
     "llm_repetition", "llm_textstats", "llm_langid", "llm_quality",
     "llm_tokens", "llm_fingerprint", "llm_multimodal",
-    "udf_groupnorm", "llm_editdist", "win_lag", "win_sessionize",
 ]
 
 

@@ -536,11 +536,15 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical results prove pruning is purely a scan optimization."""
     ev = t(spark, sf_dir, "events")
     root = cache_path("dpp", sf_dir, "events")
+    keyed = ev.withColumn("day_key", F.date_format("ts", "yyyy-MM-dd"))
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        ev.withColumn(
-            "day_key", F.date_format("ts", "yyyy-MM-dd")
-        ).write.mode("overwrite").partitionBy("day_key").parquet(root)
-    fact = spark.read.parquet(root)
+        keyed.write.mode("overwrite").partitionBy("day_key").parquet(root)
+    # Explicit schema (analysis-only, no job): a zero-row source
+    # writes _SUCCESS with no data files, and schema inference on a
+    # fileless partitioned dir throws UNABLE_TO_INFER_SCHEMA. Empty
+    # month partitions are routine at 100 TB; the read-back must not
+    # depend on at least one part-file existing.
+    fact = spark.read.schema(keyed.schema).parquet(root)
     sel = (
         ev.filter(
             (F.col("event_type") == "purchase")

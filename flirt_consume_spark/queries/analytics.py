@@ -82,8 +82,9 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     )
-    SELECT CAST(LEAST(CAST(floor((o_totalprice - lo) / (hi - lo) * 20)
-                           AS BIGINT), 19) AS BIGINT) AS bucket,
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                ELSE LEAST(CAST(floor((o_totalprice - lo) / (hi - lo) * 20)
+                           AS BIGINT), 19) END AS BIGINT) AS bucket,
            COUNT(*) AS cnt,
            CAST(CAST(SUM(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE)
                 / 1e2 AS DOUBLE) AS price_sum
@@ -101,13 +102,21 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo"))
-            / (F.col("hi") - F.col("lo"))
-            * 20
-        ).cast("long"),
-        F.lit(19).cast("long"),
+    # hi == lo (constant column / single row) puts every row in
+    # bucket 0 — the degenerate-range convention; without the guard
+    # the ANSI divide raises DIVIDE_BY_ZERO. The oracle carries the
+    # identical CASE so both engines agree on any input.
+    bucket = F.when(
+        F.col("hi") == F.col("lo"), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 20
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        )
     )
     return (
         orders.crossJoin(F.broadcast(b))

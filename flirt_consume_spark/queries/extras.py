@@ -370,7 +370,10 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_partitioned(fixed, path, ("month_key",))
         _UPSERT_DONE.add(memo)
-    final = spark.read.parquet(path)
+    # Explicit schema (analysis-only): a zero-row source writes
+    # _SUCCESS with no part-files and inference then throws — an
+    # empty month-partitioned sink must read back as an empty frame.
+    final = spark.read.schema(base.schema).parquet(path)
     return final.groupBy("month_key").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice", "price_sum", 2),

@@ -119,7 +119,17 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition column must be low-cardinality or the lake drowns
     in tiny files; high-cardinality pruning belongs to sink_zorder."""
     root = _partitioned_orders(spark, sf_dir)
-    df = spark.read.parquet(root)
+    # Explicit schema (analysis-only): inference throws on a fileless
+    # partitioned dir, which is what a zero-row source writes — empty
+    # partitions must read back as an empty frame, not an error.
+    expected = (
+        t(spark, sf_dir, "orders")
+        .withColumn(
+            "o_year", F.year(F.col("o_orderdate").cast("date")).cast("int")
+        )
+        .schema
+    )
+    df = spark.read.schema(expected).parquet(root)
     return (
         df.filter(F.col("o_year") == 1996)
         .groupBy(

@@ -69,6 +69,10 @@ KEYS = [
     "agg_cms",  # count-min sketch rows
     "scan_filemeta",  # file-metadata source
     "sink_compact",  # writes derived output dir
+    "sink_upsert",  # partitioned write + schema'd read-back (regression)
+    "scan_partitioned",  # hive-layout read-back (regression)
+    "join_dpp",  # DPP fact read-back (regression)
+    "agg_histogram",  # min==max bucket-width guard (regression)
     "profile_table",  # whole-table profiling
     "sql_recursive",  # recursive-CTE expansion loop
     "topk",  # TakeOrdered path
@@ -91,7 +95,10 @@ def degenerate_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("key", KEYS)
 def test_degenerate_input_no_crash(spark, degenerate_dir, key):
     df = REGISTRY[key].fn(spark, degenerate_dir)
-    # Materialize fully; the count must be well-defined (>= 0) and
-    # the schema must be the key's declared shape (non-empty).
+    # noop sink: full evaluation of every output column (a bare
+    # count() lets Catalyst prune a crashing projection out of the
+    # plan); then the count must be well-defined and the schema the
+    # key's declared shape.
+    df.write.format("noop").mode("overwrite").save()
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

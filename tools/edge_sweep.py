@@ -92,6 +92,10 @@ def run_sweep(spark, sf_dir: str, keys: list[str]) -> dict:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
+            # noop sink first: full evaluation of EVERY output column
+            # (a bare count() lets Catalyst prune a crashing
+            # projection out of the plan entirely).
+            df.write.format("noop").mode("overwrite").save()
             rows = df.count()
             results[k] = {"status": "OK", "rows": rows}
         except Exception as exc:  # noqa: BLE001 — classification is the point
