@@ -208,19 +208,26 @@ def decode_assets(assets: DataFrame) -> DataFrame:
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_image(bytes(b)) for b in pdf["data"]]
+            # NULL payloads decode to NULL stats (nullable Int32 —
+            # NULL-in-NULL-out, same convention as extract_features).
+            decoded = [
+                decode_image(bytes(b))
+                if b is not None
+                else (None, None, None, None)
+                for b in pdf["data"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "width": pd.Series(
-                        [d[0] for d in decoded], dtype="int32"
+                        [d[0] for d in decoded], dtype="Int32"
                     ),
                     "height": pd.Series(
-                        [d[1] for d in decoded], dtype="int32"
+                        [d[1] for d in decoded], dtype="Int32"
                     ),
                     "mode": [d[2] for d in decoded],
                     "mean_luma": pd.Series(
-                        [d[3] for d in decoded], dtype="int32"
+                        [d[3] for d in decoded], dtype="Int32"
                     ),
                 }
             )
@@ -244,16 +251,29 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             data = pdf["data"]
+            # NULL payloads (a doc whose content column was NULLed
+            # upstream) yield NULL features — NULL-in-NULL-out like
+            # every SQL expression, via pandas nullable dtypes (plain
+            # int64 astype would crash on None; the oracle's
+            # sha256(NULL)/length(NULL) are NULL too).
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": data.map(len).astype("int64"),
-                    "sha": data.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    "byte_len": data.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "sha": data.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
+                    ),
                     "brightness": data.map(
                         lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:2], 16)
-                    ).astype("int32"),
-                    "width": pdf["width"].astype("int32"),
-                    "height": pdf["height"].astype("int32"),
+                        if b is not None
+                        else None
+                    ).astype("Int32"),
+                    "width": pdf["width"].astype("Int32"),
+                    "height": pdf["height"].astype("Int32"),
                 }
             )
 

@@ -76,22 +76,29 @@ _ROUND9_WINDOW = [
     "agg_weighted_median",
     # changed this round by the degenerate-input sweep fixes
     "agg_histogram", "llm_bpe_train", "join_dpp", "scan_partitioned",
+    # changed this round by the sweep's second wave (try_divide /
+    # try_element_at / NULL-slope parity on the statistics family)
+    "audit_ks", "agg_stats", "agg_cuped", "audit_mannwhitney",
+    "audit_ttest", "eval_auc", "eval_pr_curve", "agg_subsample_ci",
+    "time_theilsen",
+    # changed this round by the sweep's third wave (NULL payloads:
+    # pandas-kernel/UDTF NULL-in-NULL-out, try_element_at read-backs,
+    # all-NULL window frames)
+    "llm_multimodal", "scan_binary", "scan_text", "udtf_analyze",
+    "udtf_expand", "udtf_table_arg", "win_rolling_median",
     # r4 driver rows, function rewritten since (git log -L)
     "win_rank", "join_similarity", "sink_upsert", "pack_sequences",
     # the 24 r3-vintage rows
     "filter_codeshare", "filter_predicates", "join_anti", "join_semi",
     "join_outer", "agg_cube", "agg_conditional", "agg_collect",
-    "set_diff", "agg_stats", "unpivot_long", "time_normalize",
+    "set_diff", "unpivot_long", "time_normalize",
     "time_bucket", "time_duration", "join_asof_fwd", "str_normalize",
     "str_regex", "math_scalar", "array_ops", "map_ops",
     "json_extract", "geo_haversine", "win_firstlast",
     "win_distribution",
-    # 21 stalest r4-vintage rows, registry order
-    "llm_exact_dedup", "llm_minhash_dedup", "dedup_components",
-    "dedup_components_star", "llm_simhash", "llm_ngram_jaccard",
-    "llm_knn", "llm_ann_lsh", "llm_embed_dedup", "llm_centroid",
-    "llm_repetition", "llm_textstats", "llm_langid", "llm_quality",
-    "llm_tokens", "llm_fingerprint", "llm_multimodal",
+    # stalest r4-vintage rows, registry order (tail trimmed as
+    # changed-this-round keys above take precedence for the 50 slots)
+    "llm_exact_dedup", "llm_minhash_dedup",
 ]
 
 

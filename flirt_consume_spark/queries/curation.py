@@ -1313,8 +1313,12 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_pos").cast("bigint").alias("cum_pos"),
             (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
             .alias("precision_at"),
-            (F.col("cum_pos").cast("double") / F.col("p").cast("double"))
-            .alias("recall_at"),
+            # try_divide: with zero positives in the corpus recall is
+            # undefined (p = 0) — NULL, matching DuckDB. cum_n needs
+            # no guard: every emitted row has cum_n ≥ its own n ≥ 1.
+            F.try_divide(
+                F.col("cum_pos").cast("double"), F.col("p").cast("double")
+            ).alias("recall_at"),
         )
     )
 
@@ -1401,13 +1405,14 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neg",
         u2.alias("u2"),
         "n_tied_pairs",
-        (
-            u2.cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_pos").cast("double")
-                * F.col("n_neg").cast("double")
-            )
+        # try_divide: a single-class corpus (no positives or no
+        # negatives) leaves AUC undefined — NULL, matching DuckDB's
+        # division-by-zero NULL; identical to / otherwise.
+        F.try_divide(
+            u2.cast("double"),
+            F.lit(2.0)
+            * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double"),
         ).alias("auc"),
     )
 

@@ -162,9 +162,16 @@ def audit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(pair_structs).alias("p"))
         .select("p.*")
         .withColumn(
+            # try_divide, not /: with a group entirely absent (a
+            # status column nulled by a bad upstream job) n_a*n_b is
+            # 0 and the KS statistic is undefined — NULL, exactly
+            # what DuckDB's double division by zero returns, so the
+            # engines agree on degenerate input too (ANSI / raises).
             "ks_stat",
-            F.col("d_num").cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            F.try_divide(
+                F.col("d_num").cast("double"),
+                (F.col("n_a") * F.col("n_b")).cast("double"),
+            ),
         )
     )
 
@@ -689,17 +696,23 @@ def audit_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
-    z = (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double") / (
+    # try_divide throughout the statistic tail: an absent group
+    # (n_a or n_b = 0, or a 1-row pool making n_tot·(n_tot−1) = 0)
+    # leaves U/z/effect-size undefined — NULL, matching DuckDB's
+    # division-by-zero NULL; bit-identical to / on non-degenerate
+    # groups, so the sf-gates are unaffected.
+    z = F.try_divide(
+        (F.col("u2") - F.col("n_a") * F.col("n_b")).cast("double"),
         F.lit(2.0)
         * F.sqrt(
             (d("n_a") * d("n_b") / F.lit(12.0))
             * (
                 (n_tot + F.lit(1.0))
-                - d("tie3") / (n_tot * (n_tot - F.lit(1.0)))
+                - F.try_divide(d("tie3"), n_tot * (n_tot - F.lit(1.0)))
             )
-        )
+        ),
     )
-    rb = d("u2") / (d("n_a") * d("n_b")) - F.lit(1.0)
+    rb = F.try_divide(d("u2"), d("n_a") * d("n_b")) - F.lit(1.0)
     return (
         m.select(F.explode(pair_structs).alias("p"))
         .select("p.*")
@@ -857,19 +870,30 @@ def audit_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
 
+    # try_divide throughout: a group with n ≤ 1 (absent status, or a
+    # one-row table) has an undefined sample variance, and two
+    # zero-variance groups make t undefined — NULL in every case,
+    # matching DuckDB's division-by-zero NULL; bit-identical to /
+    # whenever the denominators are non-zero.
     def sem(side: str):
         n, s1, s2 = f"n_{side}", f"s1_{side}", f"s2_{side}"
-        return (
-            (d(n) * d(s2) - d(s1) * d(s1))
-            / (d(n) * (d(n) - F.lit(1.0)))
-            / d(n)
+        return F.try_divide(
+            F.try_divide(
+                d(n) * d(s2) - d(s1) * d(s1),
+                d(n) * (d(n) - F.lit(1.0)),
+            ),
+            d(n),
         )
 
-    mean_diff = d("s1_a") / d("n_a") - d("s1_b") / d("n_b")
+    mean_diff = F.try_divide(d("s1_a"), d("n_a")) - F.try_divide(
+        d("s1_b"), d("n_b")
+    )
     va, vb = sem("a"), sem("b")
-    t_stat = mean_diff / F.sqrt(va + vb)
-    df = (va + vb) * (va + vb) / (
-        va * va / (d("n_a") - F.lit(1.0)) + vb * vb / (d("n_b") - F.lit(1.0))
+    t_stat = F.try_divide(mean_diff, F.sqrt(va + vb))
+    df = F.try_divide(
+        (va + vb) * (va + vb),
+        F.try_divide(va * va, d("n_a") - F.lit(1.0))
+        + F.try_divide(vb * vb, d("n_b") - F.lit(1.0)),
     )
     return (
         m.select(F.explode(pair_structs).alias("p"))

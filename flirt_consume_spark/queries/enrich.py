@@ -1040,7 +1040,7 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
-    FROM documents WHERE doc_id < 20
+    FROM documents WHERE doc_id < 20 AND text IS NOT NULL
     """,
 )
 def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1066,11 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()  # 20-row fixture build, once per (sf, fingerprint)
         )
         for r in rows:
+            # A NULL payload has no file — matching the oracle's
+            # WHERE text IS NOT NULL (a binaryFile corpus simply
+            # lacks the asset; it cannot hold a "NULL file").
+            if r.text is None:
+                continue
             with open(os.path.join(path, f"doc_{r.doc_id}.txt"), "wb") as f:
                 f.write(r.text.encode("utf-8"))
         with open(marker, "w") as f:

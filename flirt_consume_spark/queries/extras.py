@@ -275,6 +275,8 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: long, pos: long, token: string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # NULL doc -> no tokens, like the
+                return  # oracle's unnest over a NULL array
             for i, tok in enumerate(text.strip().lower().split()):
                 yield doc_id, i + 1, tok
 
@@ -518,7 +520,11 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("value", "\t", 2).alias("_p")
     ).select(
         F.element_at("_p", 1).cast("bigint").alias("doc_id"),
-        F.element_at("_p", 2).alias("text"),
+        # try_element_at: a NULL-text doc serializes as "<id>" with
+        # no tab (concat_ws skips NULLs), so the split has one field
+        # and the text reads back NULL — same as the oracle's
+        # length(NULL)/split(NULL) NULLs; element_at would throw.
+        F.try_element_at("_p", F.lit(2)).alias("text"),
     )
     return parsed.select(
         "doc_id",
@@ -687,6 +693,9 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, doc_id: int, text: str, n: int):
+            if text is None:  # NULL doc -> NULL parts, like the
+                yield (doc_id, *([None] * n))  # oracle's substr(NULL)
+                return
             b = len(text) // n
             parts = [text[i * b : (i + 1) * b] for i in range(n - 1)]
             parts.append(text[(n - 1) * b :])
@@ -731,13 +740,16 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         def __init__(self) -> None:
             self._source = None
             self._n = 0
-            self._chars = 0
+            self._chars = None  # stays NULL if every n_chars is NULL
             self._top = None
 
         def eval(self, row):
             self._source = row["source"]
             self._n += 1
-            self._chars += row["n_chars"]
+            nc = row["n_chars"]
+            if nc is not None:  # SQL SUM convention: skip NULLs,
+                #  stay NULL if every input was NULL
+                self._chars = (self._chars or 0) + nc
             if self._top is None:  # rows arrive pre-sorted by ORDER BY
                 self._top = row["doc_id"]
 

@@ -729,12 +729,15 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("ay"),
     )
     j = arms.crossJoin(F.broadcast(pooled))
-    theta = (
+    # try_divide: with a degenerate pre-period (all x identical —
+    # e.g. one user, or every pre-period value NULLed upstream) the
+    # variance denominator is 0 and θ is undefined — NULL, matching
+    # DuckDB's division-by-zero NULL; identical to / otherwise.
+    theta = F.try_divide(
         F.col("n").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
+        - F.col("sx").cast("double") * F.col("sy"),
         F.col("n").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
     )
     mean_y = F.col("ay").cast("double") / F.col("an")
     mean_x = F.col("ax").cast("double") / F.col("an")

@@ -108,7 +108,16 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("_a", mid_lo).cast("double")
         + F.element_at("_a", mid_hi).cast("double")
     ) / 2.0
-    return step.select("event_id", "user_id", med.alias("roll_med"))
+    # Guard on a non-empty frame array: collect_list drops NULLs, so
+    # a frame of all-NULL values collects to [] and the middle index
+    # degenerates to 0 (which element_at rejects outright). CASE
+    # short-circuits; the median of no values is NULL — exactly
+    # DuckDB's window median over NULLs.
+    return step.select(
+        "event_id",
+        "user_id",
+        F.when(n > 0, med).alias("roll_med"),
+    )
 
 
 # --- calendar gap filling --------------------------------------------------

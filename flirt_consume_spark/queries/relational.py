@@ -727,9 +727,16 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
     stddev = F.round(F.sqrt(sxx / n - (sx / n) * (sx / n)) / 1e6, 6)
+    # try_divide: a single-row or constant-valued group has zero
+    # variance, so the correlation denominator is 0 and the statistic
+    # is undefined — NULL, which is exactly what DuckDB's double
+    # division by zero returns (ANSI / would raise). Identical to /
+    # whenever the denominator is non-zero.
     corr = F.round(
-        (n * sxy - sx * sy)
-        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+        ),
         6,
     )
     return m.select(

@@ -92,9 +92,17 @@ def _month_pairs(monthly: DataFrame) -> DataFrame:
     oracle=f"""
     WITH monthly AS ({_MONTHLY_SQL}),
     slopes AS (
+      -- NULL-revenue months (payload NULLed upstream) are excluded
+      -- on BOTH engines: Spark's collect_list drops NULL slopes
+      -- while DuckDB's list() keeps them, so the filter keeps
+      -- n_pairs consistent with the packed array. The filter is on
+      -- the OPERANDS, not the slope: a predicate on s would be
+      -- pushed below the pair-join condition and evaluate the
+      -- division on ma = mb pairs — division by zero under ANSI.
       SELECT CAST(b.rev - a.rev AS DOUBLE)
              / CAST(b.m - a.m AS DOUBLE) AS s
       FROM monthly a JOIN monthly b ON a.m < b.m
+      WHERE a.rev IS NOT NULL AND b.rev IS NOT NULL
     ), packed AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
              list_sort(list(s)) AS arr
@@ -121,11 +129,22 @@ def time_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to the calendar-bounded monthly series first; the pair
     join, sort, and selection all run on constant-size data."""
     monthly = _monthly_rev(spark, sf_dir)
-    slopes = _month_pairs(monthly).select(
-        (
-            (F.col("rb") - F.col("ra")).cast("double")
-            / (F.col("mb") - F.col("ma")).cast("double")
-        ).alias("s")
+    # NULL-revenue months (payload NULLed upstream) are excluded to
+    # keep n_pairs consistent with the collected array — collect_list
+    # silently drops NULLs, so counting them would index past the
+    # array's end. Filter on the OPERANDS, not the computed slope: a
+    # predicate on s gets pushed below the pair-join condition and
+    # evaluates the division on ma == mb pairs — ANSI DIVIDE_BY_ZERO.
+    # The oracle carries the identical operand filter.
+    slopes = (
+        _month_pairs(monthly)
+        .filter(F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        .select(
+            (
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("mb") - F.col("ma")).cast("double")
+            ).alias("s")
+        )
     )
     packed = slopes.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
@@ -134,10 +153,18 @@ def time_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_months = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
     lo = F.element_at("arr", ((F.col("n_pairs") + 1) / 2).cast("int"))
     hi = F.element_at("arr", ((F.col("n_pairs") + 2) / 2).cast("int"))
+    # Guard the selection on n_pairs > 0: a 0- or 1-month series has
+    # no pairwise slopes and the median index degenerates to 0, which
+    # element_at rejects outright (INVALID_INDEX_OF_ZERO — even
+    # try_element_at throws on 0). CASE short-circuits, so the
+    # selection never evaluates on the empty branch; the slope is
+    # NULL, matching the oracle's out-of-range list_extract.
     return packed.crossJoin(F.broadcast(n_months)).select(
         "n_months",
         "n_pairs",
-        ((lo + hi) / 2.0).alias("slope_cents_per_month"),
+        F.when(F.col("n_pairs") > 0, (lo + hi) / 2.0).alias(
+            "slope_cents_per_month"
+        ),
     )
 
 
@@ -657,6 +684,10 @@ def agg_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("tot_cents").cast("double") / F.col("n_orders").cast("double")
         ).alias("mean_cents"),
-        F.element_at("means", 2).alias("lo_cents"),
-        F.element_at("means", _N_REP - 1).alias("hi_cents"),
+        # try_element_at: fewer than 2 / 31 replicas (degenerate or
+        # near-empty input) makes the order statistic undefined —
+        # NULL, exactly DuckDB's out-of-range list_extract; on the
+        # full 32-replica path the value is identical to element_at.
+        F.try_element_at("means", F.lit(2)).alias("lo_cents"),
+        F.try_element_at("means", F.lit(_N_REP - 1)).alias("hi_cents"),
     )

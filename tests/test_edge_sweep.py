@@ -16,26 +16,12 @@ IndexError on an empty frame is a pipeline outage; the contract is
 
 from __future__ import annotations
 
-import os
-
-import pyarrow.parquet as pq
 import pytest
 
 from flirt_consume_spark.queries import REGISTRY
+from tools.edge_sweep import make_degenerate
 
 SF = "/root/testdata/sf0.001"
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
 
 # One key per risky implementation shape, spanning every module:
 # driver-side iterative loops (argmax/centroid collects), session-
@@ -61,7 +47,16 @@ KEYS = [
     "llm_semdedup",  # k-means cells + in-cell pairing
     "llm_minhash_dedup",  # minhash bands
     "llm_quality",  # text heuristics
-    "llm_multimodal",  # binary decode stub plumbing
+    "llm_multimodal",  # NULL-payload pandas kernel (regression)
+    "scan_binary",  # NULL-text fixture build (regression)
+    "scan_text",  # tab-line round-trip of NULL text (regression)
+    "udtf_expand",  # UDTF generator over NULL text (regression)
+    "udtf_analyze",  # UDTF analyze-chunk over NULL text (regression)
+    "udtf_table_arg",  # UDTF table-arg NULL-sum convention (regression)
+    "win_rolling_median",  # all-NULL frame selection (regression)
+    "time_theilsen",  # NULL-slope pair filter (regression)
+    "agg_subsample_ci",  # short replica array selection (regression)
+    "audit_ttest",  # zero-variance try_divide family (regression)
     "time_kalman",  # per-series recursive pandas UDF
     "time_viterbi",  # per-series DP pandas UDF
     "stream_tumbling",  # streaming-semantics batch twin
@@ -79,17 +74,10 @@ KEYS = [
 ]
 
 
-@pytest.fixture(scope="module", params=["empty", "one"])
+@pytest.fixture(scope="module", params=["empty", "one", "nulls"])
 def degenerate_dir(request, tmp_path_factory):
-    out = tmp_path_factory.mktemp(f"edge_{request.param}")
-    n = 0 if request.param == "empty" else 1
-    for name in TABLES:
-        tbl = pq.read_table(os.path.join(SF, f"{name}.parquet"))
-        pq.write_table(
-            tbl.slice(0, min(n, tbl.num_rows)),
-            str(out / f"{name}.parquet"),
-        )
-    return str(out)
+    root = tmp_path_factory.mktemp("edge")
+    return make_degenerate(SF, str(root), request.param)
 
 
 @pytest.mark.parametrize("key", KEYS)

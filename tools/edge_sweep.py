@@ -17,7 +17,13 @@ identical):
 - ``one``    — every table truncated to exactly 1 row (FK joins then
   mostly miss, exercising empty *intermediate* frames inside plans
   whose inputs are non-empty — a different failure class than empty
-  scans).
+  scans);
+- ``nulls``  — full sf row count, but every VALUE column is NULL
+  while key / ordering columns stay intact (the data model's PK/FK
+  and event-time NOT NULL contracts hold, so a failure here is a
+  genuine NULL-handling bug in a measure path, not a violated
+  precondition). This is the "a bad upstream job wrote the rows but
+  lost the payloads" scenario.
 
 and runs every registered query against each, recording OK /
 EXPECTED-GUARD (a deliberate raise_error with our contract message) /
@@ -64,11 +70,35 @@ TABLES = (
 #: rather than a silently-empty result.
 EXPECTED_GUARDS: dict[str, str] = {}
 
+#: Columns that stay non-NULL in ``nulls`` mode: primary/foreign keys
+#: and event-time/ordering columns — the data model declares these
+#: NOT NULL (TPC-H PK/FK contracts; an event without a timestamp is
+#: malformed upstream, not late). Everything else goes NULL.
+KEEP_IN_NULLS: dict[str, set] = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderdate"},
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
 
 def make_degenerate(base: str, out_root: str, mode: str) -> str:
     """Write a schema-identical mirror of ``base`` with 0 or 1 rows
     per table. Uses pyarrow directly (no Spark session needed) so the
     mirror build can't perturb the session under test."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     out = os.path.join(out_root, mode)
@@ -78,8 +108,19 @@ def make_degenerate(base: str, out_root: str, mode: str) -> str:
     for name in TABLES:
         src = os.path.join(base, f"{name}.parquet")
         tbl = pq.read_table(src)
-        n = 0 if mode == "empty" else min(1, tbl.num_rows)
-        pq.write_table(tbl.slice(0, n), os.path.join(out, f"{name}.parquet"))
+        if mode == "nulls":
+            keep = KEEP_IN_NULLS[name]
+            cols = [
+                tbl.column(i)
+                if f.name in keep
+                else pa.nulls(tbl.num_rows, f.type)
+                for i, f in enumerate(tbl.schema)
+            ]
+            tbl = pa.table(cols, schema=tbl.schema)
+        else:
+            n = 0 if mode == "empty" else min(1, tbl.num_rows)
+            tbl = tbl.slice(0, n)
+        pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
     return out
 
 
@@ -115,7 +156,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
-    ap.add_argument("--mode", default="empty,one")
+    ap.add_argument("--mode", default="empty,one,nulls")
     ap.add_argument("--out-root", default="/tmp/flirt_edge_sweep")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
