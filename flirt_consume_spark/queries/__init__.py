@@ -86,6 +86,10 @@ _ROUND9_WINDOW = [
     # all-NULL window frames)
     "llm_multimodal", "scan_binary", "scan_text", "udtf_analyze",
     "udtf_expand", "udtf_table_arg", "win_rolling_median",
+    # changed this round by the empty-mirror PARITY pass (funnel
+    # counts follow the COUNT(*)-is-0 convention, not SUM's NULL)
+    # and the shared-ECDF session cache
+    "funnel_steps", "win_pattern",
     # r4 driver rows, function rewritten since (git log -L)
     "win_rank", "join_similarity", "sink_upsert", "pack_sequences",
     # the 24 r3-vintage rows
@@ -96,9 +100,6 @@ _ROUND9_WINDOW = [
     "str_regex", "math_scalar", "array_ops", "map_ops",
     "json_extract", "geo_haversine", "win_firstlast",
     "win_distribution",
-    # stalest r4-vintage rows, registry order (tail trimmed as
-    # changed-this-round keys above take precedence for the 50 slots)
-    "llm_exact_dedup", "llm_minhash_dedup",
 ]
 
 

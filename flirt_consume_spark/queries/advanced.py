@@ -225,10 +225,19 @@ def win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qc").alias("clicked"),
         F.max("qp").alias("purchased"),
     )
+    # coalesce to 0: these are COUNTS of users clearing each step
+    # (oracle: COUNT(*) = 0 on an empty stream); SUM's empty-input
+    # NULL would misreport "no users" as "unknown".
     return per_user.agg(
-        F.sum("viewed").cast("bigint").alias("n_viewed"),
-        F.sum("clicked").cast("bigint").alias("n_then_clicked"),
-        F.sum("purchased").cast("bigint").alias("n_then_purchased"),
+        F.coalesce(F.sum("viewed"), F.lit(0))
+        .cast("bigint")
+        .alias("n_viewed"),
+        F.coalesce(F.sum("clicked"), F.lit(0))
+        .cast("bigint")
+        .alias("n_then_clicked"),
+        F.coalesce(F.sum("purchased"), F.lit(0))
+        .cast("bigint")
+        .alias("n_then_purchased"),
     )
 
 

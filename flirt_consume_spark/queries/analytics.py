@@ -69,10 +69,18 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("is_click").alias("clicked"),
         F.max(F.col("is_purchase") * F.col("click_before")).alias("converted"),
     )
+    # coalesce to 0: these are COUNTS of users clearing each step
+    # (the oracle spells them as COUNT(*), which is 0 on an empty
+    # stream) — SUM's empty-input NULL would misreport "no users" as
+    # "unknown".
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum("clicked").cast("bigint").alias("n_clicked"),
-        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.coalesce(F.sum("clicked"), F.lit(0))
+        .cast("bigint")
+        .alias("n_clicked"),
+        F.coalesce(F.sum("converted"), F.lit(0))
+        .cast("bigint")
+        .alias("n_converted"),
     )
 
 

@@ -33,11 +33,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flirt_consume_spark.operators.scale import global_cumsum
-from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.queries.base import query, session_state, t
 
 # --- two-sample Kolmogorov–Smirnov audit ---------------------------------
 
 _KS_PAIRS = (("F", "O"), ("F", "P"), ("O", "P"))
+
+# Session-scoped cache: audit_ks and audit_mannwhitney ride the SAME
+# staged frame — per-value order-status counts plus the three-counter
+# global cumulative sums over o_totalprice. Sharing it means ONE
+# range shuffle + checkpoint materialization per session for the
+# pair, not two (the llm._LSH_PAIR_CACHE pattern; bench records the
+# cold build in queries_first).
+_STATUS_ECDF_CACHE: dict = {}
+
+
+def _status_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        od = t(spark, sf_dir, "orders").select(
+            F.col("o_orderstatus").alias("g"),
+            F.col("o_totalprice").alias("v"),
+        )
+        vc = od.groupBy("v").agg(
+            *[
+                F.sum(F.when(F.col("g") == s, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c_{s.lower()}")
+                for s in ("F", "O", "P")
+            ]
+        )
+        return global_cumsum(
+            vc,
+            ["c_f", "c_o", "c_p"],
+            ["v"],
+            ["cum_f", "cum_o", "cum_p"],
+        )
+
+    return session_state(
+        _STATUS_ECDF_CACHE, spark, sf_dir, ("orders",), build
+    )
 
 
 @query(
@@ -99,23 +133,7 @@ def audit_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-cell global max folded map-side. The pair set is |groups|², a
     constant; data-sized work is two shuffles total.
     """
-    od = t(spark, sf_dir, "orders").select(
-        F.col("o_orderstatus").alias("g"), F.col("o_totalprice").alias("v")
-    )
-    vc = od.groupBy("v").agg(
-        *[
-            F.sum(F.when(F.col("g") == s, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"c_{s.lower()}")
-            for s in ("F", "O", "P")
-        ]
-    )
-    cum = global_cumsum(
-        vc,
-        ["c_f", "c_o", "c_p"],
-        ["v"],
-        ["cum_f", "cum_o", "cum_p"],
-    )
+    cum = _status_ecdf(spark, sf_dir)
     # Totals come from the cumsum output itself (max of a running sum
     # == its total), NOT from a second aggregation over `vc` — that
     # leg would re-scan orders; this one is a map-side-combinable max
@@ -646,20 +664,7 @@ def audit_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     total) exactly like audit_ks. At 100 TB: two shuffles (value
     agg + range cumsum), constant-size tail. t³ products lift to
     DECIMAL(38) if per-value tie groups ever approach 2^21 rows."""
-    od = t(spark, sf_dir, "orders").select(
-        F.col("o_orderstatus").alias("g"), F.col("o_totalprice").alias("v")
-    )
-    vc = od.groupBy("v").agg(
-        *[
-            F.sum(F.when(F.col("g") == s, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"c_{s.lower()}")
-            for s in ("F", "O", "P")
-        ]
-    )
-    cum = global_cumsum(
-        vc, ["c_f", "c_o", "c_p"], ["v"], ["cum_f", "cum_o", "cum_p"]
-    )
+    cum = _status_ecdf(spark, sf_dir)
 
     def r2(a: str, b: str):
         ca, cb = F.col(f"c_{a}"), F.col(f"c_{b}")

@@ -134,7 +134,13 @@ def test_cached_queries_isolate_across_sf_dirs(spark):
     sfs = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     cons = {sf: duck_connect(sf) for sf in sfs}
     try:
-        for key in ("agg_percentile", "agg_winsorize", "llm_semdedup"):
+        for key in (
+            "agg_percentile",
+            "agg_winsorize",
+            "llm_semdedup",
+            "audit_ks",  # shared _status_ecdf staged frame
+            "audit_mannwhitney",
+        ):
             # interleave: sf A, sf B, then sf A again (cache re-hit)
             for sf in (sfs[0], sfs[1], sfs[0]):
                 res = check_key(spark, cons[sf], REGISTRY[key], sf)
