@@ -1243,6 +1243,44 @@ def quota_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- precision-recall curve ----------------------------------------------
 
+# Session-scoped cache: eval_pr_curve and eval_auc ride the SAME
+# staged frame — the stopword-ratio scoring scan, per-score
+# (n, n_pos) counts, and ONE ascending-score multi-counter
+# global_cumsum. The PR curve's descending cums derive from it by
+# exact integer algebra (cum_desc(v) = total − cum_asc(v) + own(v)),
+# so the pair costs one scoring scan + one range shuffle per session
+# instead of two of each (the _status_ecdf / _LSH_PAIR_CACHE
+# pattern; the cold build shows in the bench's queries_first).
+_SCORE_ECDF_CACHE: dict = {}
+
+
+def _score_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-score (n, n_pos, cum_n, cum_pos) over ASCENDING score for
+    the langid en-ratio scorer on documents; cum columns are the
+    three-counter global_cumsum output (exact BIGINTs)."""
+    from flirt_consume_spark.operators import text as X
+    from flirt_consume_spark.operators.scale import global_cumsum
+
+    def build() -> DataFrame:
+        docs = t(spark, sf_dir, "documents")
+        scored = docs.select(
+            (F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)).alias(
+                "score"
+            ),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+        by_score = scored.groupBy("score").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+        return global_cumsum(
+            by_score, ["n", "n_pos"], ["score"], ["cum_n", "cum_pos"]
+        )
+
+    return session_state(
+        _SCORE_ECDF_CACHE, spark, sf_dir, ("documents",), build
+    )
+
 
 @query(
     "eval_pr_curve",
@@ -1287,37 +1325,30 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     single divisions per point. Output is BOUNDED at one row per
     distinct score (the 1e-6-floored ratio grid). At 100 TB the
     data-sized work is the scoring scan + two shuffles."""
-    from flirt_consume_spark.operators import text as X
-    from flirt_consume_spark.operators.scale import global_cumsum
-
-    docs = t(spark, sf_dir, "documents")
-    scored = docs.select(
-        (F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)).alias(
-            "score"
-        ),
-        (F.col("lang") == "en").cast("int").alias("y"),
+    asc = _score_ecdf(spark, sf_dir)
+    # Descending cums derive from the shared ASCENDING frame by exact
+    # integer algebra — cum_desc(v) = total − cum_asc(v) + own(v) —
+    # so this key adds no second scoring scan and no second range
+    # shuffle beyond the session-shared staged frame.
+    tot = asc.groupBy().agg(
+        F.max("cum_n").cast("bigint").alias("nt"),
+        F.max("cum_pos").cast("bigint").alias("p"),
     )
-    by_score = scored.groupBy("score").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("y").cast("bigint").alias("n_pos"),
-    ).withColumn("negs", -F.col("score"))
-    cum = global_cumsum(
-        by_score, ["n", "n_pos"], ["negs"], ["cum_n", "cum_pos"]
-    )
-    tot = cum.groupBy().agg(F.max("cum_pos").cast("bigint").alias("p"))
+    cum_n_d = F.col("nt") - F.col("cum_n") + F.col("n")
+    cum_pos_d = F.col("p") - F.col("cum_pos") + F.col("n_pos")
     return (
-        cum.crossJoin(F.broadcast(tot))
+        asc.crossJoin(F.broadcast(tot))
         .select(
             F.col("score").alias("threshold"),
-            F.col("cum_n").cast("bigint").alias("cum_n"),
-            F.col("cum_pos").cast("bigint").alias("cum_pos"),
-            (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+            cum_n_d.cast("bigint").alias("cum_n"),
+            cum_pos_d.cast("bigint").alias("cum_pos"),
+            (cum_pos_d.cast("double") / cum_n_d.cast("double"))
             .alias("precision_at"),
             # try_divide: with zero positives in the corpus recall is
             # undefined (p = 0) — NULL, matching DuckDB. cum_n needs
             # no guard: every emitted row has cum_n ≥ its own n ≥ 1.
             F.try_divide(
-                F.col("cum_pos").cast("double"), F.col("p").cast("double")
+                cum_pos_d.cast("double"), F.col("p").cast("double")
             ).alias("recall_at"),
         )
     )
@@ -1376,21 +1407,15 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs; AUC is one division). ONE multi-counter
     ``global_cumsum`` over per-score counts — two shuffles total at
     any scale, output is a single row."""
-    from flirt_consume_spark.operators import text as X
-    from flirt_consume_spark.operators.scale import global_cumsum
-
-    docs = t(spark, sf_dir, "documents")
-    scored = docs.select(
-        (F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)).alias(
-            "score"
-        ),
-        (F.col("lang") == "en").cast("int").alias("y"),
+    # The shared ascending frame carries (n, n_pos, cum_n, cum_pos);
+    # the negative-class counters are exact integer complements.
+    cum = (
+        _score_ecdf(spark, sf_dir)
+        .withColumn("c1", F.col("n_pos"))
+        .withColumn("c0", F.col("n") - F.col("n_pos"))
+        .withColumn("cum1", F.col("cum_pos"))
+        .withColumn("cum0", F.col("cum_n") - F.col("cum_pos"))
     )
-    vc = scored.groupBy("score").agg(
-        F.sum("y").cast("bigint").alias("c1"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("c0"),
-    )
-    cum = global_cumsum(vc, ["c1", "c0"], ["score"], ["cum1", "cum0"])
     c1, c0 = F.col("c1"), F.col("c0")
     before = (F.col("cum1") - c1) + (F.col("cum0") - c0)
     m = cum.groupBy().agg(

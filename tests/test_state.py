@@ -140,6 +140,8 @@ def test_cached_queries_isolate_across_sf_dirs(spark):
             "llm_semdedup",
             "audit_ks",  # shared _status_ecdf staged frame
             "audit_mannwhitney",
+            "eval_pr_curve",  # shared _score_ecdf staged frame
+            "eval_auc",
         ):
             # interleave: sf A, sf B, then sf A again (cache re-hit)
             for sf in (sfs[0], sfs[1], sfs[0]):
