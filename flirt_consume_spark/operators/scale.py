@@ -483,6 +483,36 @@ def global_cumsum(
     return out.drop(*drop)
 
 
+def _nullsafe_equi_join(
+    left: DataFrame, right: DataFrame, names: list, how: str = "inner"
+) -> DataFrame:
+    """USING-style equi-join on column names with NULL-SAFE equality.
+
+    groupBy and window PARTITION BY treat NULL as a value — a NULL
+    group/tie-class key forms its own group. A plain name-list join
+    back (EqualTo) silently DROPS every NULL-keyed row instead, so a
+    rank/offset/bounds join-back would make NULL-keyed data vanish
+    from the operator's output at scale.
+
+    Mechanics: both sides join on ONE derived struct key — struct
+    equality is per-field null-safe, and the struct itself is never
+    NULL, so a plain equi-join key carries the null-safe semantics.
+    This beats ``eqNullSafe`` conditions, which Spark rewrites into
+    (coalesce(k,''), isnull(k)) join keys: those wrappers break the
+    optimizer's equality-constraint inference and were measured to
+    add exchanges on the data-sized side (win_rank 21→24 at
+    sf0.001). Broadcast hints on ``right`` survive the struct
+    projection. Right-side key columns are dropped after the join,
+    like USING.
+    """
+    lkey = F.struct(*[left[n] for n in names])
+    rkey = F.struct(*[right[n] for n in names])
+    out = left.withColumn("_nsk", lkey).join(
+        right.withColumn("_nsk", rkey).drop(*names), "_nsk", how
+    )
+    return out.drop("_nsk")
+
+
 #: Default ceiling for grouped_rank/grouped_cumsum group cardinality —
 #: the per-group offset table rides a broadcast, so it must stay small.
 #: 100k rows of (keys, long) is a few MB; far beyond "low cardinality"
@@ -555,7 +585,7 @@ def grouped_rank(
     mins = ranked.groupBy(*gnames).agg(F.min("_gr_all").alias("_gr_min"))
     mins = _guard_group_count(mins, max_groups, "grouped_rank")
     return (
-        ranked.join(F.broadcast(mins), gnames)
+        _nullsafe_equi_join(ranked, F.broadcast(mins), gnames)
         .withColumn(
             rank_col,
             (F.col("_gr_all") - F.col("_gr_min") + 1).cast("long"),
@@ -609,7 +639,7 @@ def grouped_cumsum(
         ]
     )
     offs = _guard_group_count(offs, max_groups, "grouped_cumsum")
-    out = cum.join(F.broadcast(offs), gnames)
+    out = _nullsafe_equi_join(cum, F.broadcast(offs), gnames)
     drop = ["_g1", "_gpos"]
     for vc, cc in zip(vcols, ccols):
         out = out.withColumn(cc, F.col(f"_gc_{vc}") - F.col(f"_goff_{vc}"))
@@ -742,7 +772,7 @@ def percentile_selection(
             | (F.col("_pr") == F.col(f"_hi_{oc}"))
         )
     b = cnt.select(*sel)
-    return ranked.join(F.broadcast(b), gnames).filter(keep)
+    return _nullsafe_equi_join(ranked, F.broadcast(b), gnames).filter(keep)
 
 
 def percentiles_from_selection(
@@ -902,10 +932,20 @@ def bucketized_weighted_quantile(
         )
     )
     cond = bucket == F.col("_pb")
-    for g in gnames:
-        cond = cond & (F.col(g) == F.col(f"_pg_{g}"))
+    # null-safe via struct equality: a NULL group key is its own
+    # group (groupBy semantics); plain = would drop it from the
+    # in-bucket pass, and eqNullSafe's coalesce/isnull join keys
+    # break exchange reuse (see _nullsafe_equi_join).
+    cond = cond & (
+        F.struct(*[F.col(g) for g in gnames])
+        == F.struct(*[F.col(f"_pg_{g}") for g in gnames])
+    )
     inb = (
-        df.join(below, cond)
+        # below is |groups|-sized (bounded contract, guarded): hint
+        # the broadcast explicitly — with the struct key in the
+        # condition the stats-based planner was measured to flip this
+        # to a shuffle join of the data-sized fact (+2 exchanges).
+        df.join(F.broadcast(below), cond)
         .groupBy(*gnames, v.alias("_wqv"), "_below", "_ptw")
         .agg(F.sum(w).alias("_wqw"))
     )
@@ -978,15 +1018,29 @@ def ranking_family(
     order = [
         F.col(c).desc() if descending else F.col(c) for c in sem_names
     ]
+    # The tie class is carried as ONE derived struct key: struct
+    # equality is per-field null-safe and the struct itself is never
+    # NULL, so a NULL sem value is a legitimate tie class (SQL rank
+    # orders NULLs together) and a NULL group key a legitimate group
+    # — the previous name-list joins (plain EqualTo) silently dropped
+    # every such row from the ranking output. Grouping ties BY the
+    # struct keeps the groupBy exchange's partitioning identical to
+    # the downstream join keys, so no extra shuffle appears (an
+    # eqNullSafe condition instead would rewrite into coalesce/isnull
+    # keys and re-shuffle both tie-class frames — measured +4
+    # exchanges on win_rank).
+    tie_key = F.struct(*[F.col(c) for c in gnames + sem_names])
     ranked = grouped_rank(
         df, gnames, order + list(tiebreak),
         rank_col="rn", max_groups=max_groups,
-    )
-    ties = ranked.groupBy(*gnames, *sem_names).agg(F.min("rn").alias("rnk"))
+    ).withColumn("_tk", tie_key)
+    ties = ranked.groupBy("_tk").agg(F.min("rn").alias("rnk"))
     dense = grouped_rank(
-        ties.select(*gnames, *sem_names),
+        ties.select(
+            "_tk", *[F.col(f"_tk.{c}").alias(c) for c in gnames + sem_names]
+        ),
         gnames, order, rank_col="drnk", max_groups=max_groups,
-    )
+    ).select("_tk", "drnk")
     cnt = df.groupBy(*gnames).agg(F.count(F.lit(1)).alias("_n"))
     # Same bounded-cardinality contract as grouped_rank's minima: the
     # per-group count frame rides a broadcast, so guard it in-plan
@@ -995,16 +1049,17 @@ def ranking_family(
     cnt = _guard_group_count(cnt, max_groups, "ranking_family")
     # Fold rnk and drnk into ONE tie-class frame before touching the
     # data-sized side: ties ⋈ dense is tie-class ⋈ tie-class (small),
-    # so the full `ranked` frame is joined back ONCE instead of twice.
-    # Exchange count is unchanged (the old chained joins shared the
-    # key, so Catalyst already reused the big side's partitioning and
-    # sort) — the win is that every ranked row now streams through one
-    # merge-join operator instead of two once the tie-class frames
-    # outgrow the broadcast threshold, ~15% off win_rank at sf0.1.
-    tie_ranks = ties.join(dense, gnames + sem_names)
+    # so the full `ranked` frame is joined back ONCE instead of twice
+    # — every ranked row streams through one merge-join operator
+    # instead of two once the tie-class frames outgrow the broadcast
+    # threshold (~15% off win_rank at sf0.1).
+    tie_ranks = ties.join(dense, "_tk")
     return (
-        ranked.join(tie_ranks, gnames + sem_names)
-        .join(F.broadcast(cnt), gnames)
+        _nullsafe_equi_join(
+            ranked.join(tie_ranks, "_tk").drop("_tk"),
+            F.broadcast(cnt),
+            gnames,
+        )
         .withColumn("nt", ntile_expr("rn", "_n", k))
         .drop("_n")
     )

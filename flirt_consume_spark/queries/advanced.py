@@ -643,7 +643,10 @@ def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 reducers at any scale. Counts per status ride the same
     broadcast; each emitted double is one division of exact
     integers, 6-decimal rounded identically on both engines."""
-    from flirt_consume_spark.operators.scale import grouped_rank
+    from flirt_consume_spark.operators.scale import (
+        _nullsafe_equi_join,
+        grouped_rank,
+    )
 
     od = t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_totalprice", "o_orderkey"
@@ -655,7 +658,11 @@ def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="_r",
     )
     cnt = od.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("_n"))
-    return ranked.join(F.broadcast(cnt), "o_orderstatus").select(
+    # null-safe count join-back: a NULL status is its own group
+    # (groupBy semantics) and must keep its distribution ranks.
+    return _nullsafe_equi_join(
+        ranked, F.broadcast(cnt), ["o_orderstatus"]
+    ).select(
         "o_orderkey",
         F.round(
             # n = 1 ⇒ percent_rank is defined as 0 (not 0/0)

@@ -716,7 +716,8 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           (SELECT doc_id FROM documents d2 WHERE d2.source = d.source
+           (SELECT doc_id FROM documents d2
+            WHERE d2.source IS NOT DISTINCT FROM d.source
             ORDER BY n_chars DESC, doc_id LIMIT 1) AS top_doc_id
     FROM documents d GROUP BY d.source
     """,
@@ -738,12 +739,14 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class SummarizeSource:
         def __init__(self) -> None:
+            self._seen = False  # a NULL source is still a group
             self._source = None
             self._n = 0
             self._chars = None  # stays NULL if every n_chars is NULL
             self._top = None
 
         def eval(self, row):
+            self._seen = True
             self._source = row["source"]
             self._n += 1
             nc = row["n_chars"]
@@ -754,7 +757,8 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 self._top = row["doc_id"]
 
         def terminate(self):
-            if self._source is not None:
+            if self._seen:  # NULL source is a group too (groupBy
+                # semantics); only a truly empty partition is silent
                 yield (self._source, self._n, self._chars, self._top)
 
     spark.udtf.register(

@@ -309,7 +309,10 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 units — exact cross-engine; round() would tie-break exact
     decimal values differently. Full unique ordering (acctbal,
     custkey) keeps every rank deterministic."""
-    from flirt_consume_spark.operators.scale import grouped_rank
+    from flirt_consume_spark.operators.scale import (
+        _nullsafe_equi_join,
+        grouped_rank,
+    )
 
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -324,7 +327,10 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="_rn",
     )
     cnt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
-    return ranked.join(F.broadcast(cnt), "c_mktsegment").select(
+    # null-safe count join-back: a NULL segment is its own group.
+    return _nullsafe_equi_join(
+        ranked, F.broadcast(cnt), ["c_mktsegment"]
+    ).select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
