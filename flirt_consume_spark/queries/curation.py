@@ -1267,7 +1267,10 @@ def _score_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(X.stopword_ratio("text") * 1e6) / F.lit(1e6)).alias(
                 "score"
             ),
-            (F.col("lang") == "en").cast("int").alias("y"),
+            # NULL lang is the NEGATIVE class (oracle: CASE ... ELSE 0) —
+            # a bare boolean cast would label it NULL and knock the row
+            # out of every count.
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         )
         by_score = scored.groupBy("score").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1573,7 +1576,12 @@ def anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_try",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END)
+           -- try_divide is NULL when the divisor is 0 OR the
+           -- dividend is NULL — count both, exactly like the Spark
+           -- side's div.isNull() (equal on non-degenerate data,
+           -- where o_totalprice is never NULL)
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_div_null,
            CAST(SUM(CASE WHEN o_custkey % 7 <> 0 THEN
                   CAST(floor(o_totalprice / (o_custkey % 7) * 1e6)
@@ -1691,7 +1699,10 @@ def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CAL_BINS - 1).cast("bigint"),
         ).alias("bin"),
         F.floor(score * 1e6).cast("bigint").alias("s_u"),
-        (F.col("lang") == "en").cast("int").alias("y"),
+        # NULL lang is the NEGATIVE class (oracle: CASE ... ELSE 0) —
+        # a bare boolean cast would label it NULL and knock the row
+        # out of every count.
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

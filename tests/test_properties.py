@@ -784,8 +784,13 @@ def test_bpe_bracket_replace_equals_tuple_merge(word, merges):
 
 _rank_rows = st.lists(
     st.tuples(
-        st.sampled_from(["a", "b", "c"]),  # group
-        st.integers(min_value=0, max_value=4),  # value: few levels => ties
+        # group — None included: a NULL group key is its own
+        # partition under window semantics, and the operators must
+        # keep (not drop) its rows
+        st.sampled_from(["a", "b", "c", None]),
+        # value: few levels => ties; None => NULL tie class (SQL
+        # rank orders NULLs together)
+        st.one_of(st.integers(min_value=0, max_value=4), st.none()),
     ),
     min_size=1,
     max_size=40,
@@ -830,7 +835,10 @@ def test_grouped_rank_distribution_matches_native(spark, rows):
     native functions under the same total order."""
     from pyspark.sql.window import Window
 
-    from flirt_consume_spark.operators.scale import grouped_rank
+    from flirt_consume_spark.operators.scale import (
+        _nullsafe_equi_join,
+        grouped_rank,
+    )
 
     df = spark.createDataFrame(
         [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v int, id int"
@@ -838,7 +846,7 @@ def test_grouped_rank_distribution_matches_native(spark, rows):
     ranked = grouped_rank(df, ["g"], [F.col("v"), F.col("id")], rank_col="rn")
     cnt = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     got = (
-        ranked.join(F.broadcast(cnt), "g")
+        _nullsafe_equi_join(ranked, F.broadcast(cnt), ["g"])
         .select(
             "id",
             F.when(
