@@ -90,16 +90,24 @@ _ROUND9_WINDOW = [
     # counts follow the COUNT(*)-is-0 convention, not SUM's NULL)
     # and the shared-ECDF session cache
     "funnel_steps", "win_pattern",
+    # changed this round by the nulls-mirror parity pass (NULL label
+    # = negative class; try_divide NULL-condition oracle)
+    "eval_calibration", "scalar_try",
+    # changed this round by the rank-family struct-key rework (every
+    # consumer of grouped_rank / grouped_cumsum / grouped_percentiles
+    # / bucketized_weighted_quantile re-plans through the null-safe
+    # join-backs; agg_weighted_median already leads the window)
+    "win_ntile", "win_cume", "win_distribution", "quota_per_source",
+    "agg_percentile", "agg_winsorize", "agg_gini",
+    "sample_systematic", "sort_global",
     # r4 driver rows, function rewritten since (git log -L)
     "win_rank", "join_similarity", "sink_upsert", "pack_sequences",
-    # the 24 r3-vintage rows
+    # r3-vintage staleness backfill (unchanged code, oldest rows
+    # first; the rest of the r3/r4 backlog rotates next round —
+    # changed-this-round keys take precedence for the 50 slots)
     "filter_codeshare", "filter_predicates", "join_anti", "join_semi",
     "join_outer", "agg_cube", "agg_conditional", "agg_collect",
-    "set_diff", "unpivot_long", "time_normalize",
-    "time_bucket", "time_duration", "join_asof_fwd", "str_normalize",
-    "str_regex", "math_scalar", "array_ops", "map_ops",
-    "json_extract", "geo_haversine", "win_firstlast",
-    "win_distribution",
+    "json_extract", "geo_haversine", "win_firstlast", "array_ops",
 ]
 
 

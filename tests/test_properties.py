@@ -725,6 +725,29 @@ def test_nullsafe_join_conserves_rows(spark):
     assert out.agg(F.sum("cnt")).collect()[0][0] == n_orders
 
 
+def test_nullsafe_equi_join_helper(spark):
+    """The operators' struct-key join-back helper: NULL keys match
+    like groupBy groups (no silent row loss), non-NULL behavior is a
+    plain equi-join, a broadcast hint on the right survives the
+    struct projection, and right-side key columns are dropped."""
+    from flirt_consume_spark.operators.scale import _nullsafe_equi_join
+
+    left = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", None, 2), (None, 1.0, 3), (None, None, 4)],
+        "g string, v double, id int",
+    )
+    right = left.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    out = _nullsafe_equi_join(left, F.broadcast(right), ["g", "v"])
+    rows = {r.id: r.n for r in out.collect()}
+    # every left row — including all-NULL keys — survives with its
+    # group's count
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert set(out.columns) == {"g", "v", "id", "n"}
+    # the broadcast hint must survive the helper's struct projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 # --- BPE bracket-replace equivalence -------------------------------------
 #
 # llm_bpe_train's core trick: greedy leftmost-non-overlapping BPE
