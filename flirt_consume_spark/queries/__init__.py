@@ -91,8 +91,9 @@ _ROUND9_WINDOW = [
     # and the shared-ECDF session cache
     "funnel_steps", "win_pattern",
     # changed this round by the nulls-mirror parity pass (NULL label
-    # = negative class; try_divide NULL-condition oracle)
-    "eval_calibration", "scalar_try",
+    # = negative class; try_divide NULL-condition oracle) and the
+    # skew-mirror pass (constant-regressor OLS)
+    "eval_calibration", "scalar_try", "agg_ols",
     # changed this round by the rank-family struct-key rework (every
     # consumer of grouped_rank / grouped_cumsum / grouped_percentiles
     # / bucketized_weighted_quantile re-plans through the null-safe
@@ -107,7 +108,7 @@ _ROUND9_WINDOW = [
     # changed-this-round keys take precedence for the 50 slots)
     "filter_codeshare", "filter_predicates", "join_anti", "join_semi",
     "join_outer", "agg_cube", "agg_conditional", "agg_collect",
-    "json_extract", "geo_haversine", "win_firstlast", "array_ops",
+    "json_extract", "geo_haversine", "win_firstlast",
 ]
 
 

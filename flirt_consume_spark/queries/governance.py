@@ -1308,7 +1308,11 @@ def agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = nd * F.col("sxy") - sxd * F.col("sy")
     var_x = nd * F.col("sxx") - sxd * F.col("sx")
     var_y = nd * F.col("syy") - syd * F.col("sy")
-    slope = cov_n / var_x
+    # try_divide: a constant regressor (one hot customer owning every
+    # order in a segment — the skew-mirror shape) has var_x = 0 and
+    # the regression is undefined — NULL slope/intercept/R², exactly
+    # DuckDB's division-by-zero NULL; identical to / otherwise.
+    slope = F.try_divide(cov_n, var_x)
     return m.select(
         "segment",
         "n",
@@ -1317,7 +1321,9 @@ def agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((syd / F.col("n") - slope * (sxd / F.col("n"))) * 1e6)
             / 1e6
         ).alias("intercept"),
-        (F.floor(cov_n * cov_n / (var_x * var_y) * 1e6) / 1e6).alias("r2"),
+        (
+            F.floor(F.try_divide(cov_n * cov_n, var_x * var_y) * 1e6) / 1e6
+        ).alias("r2"),
     )
 
 

@@ -57,6 +57,7 @@ KEYS = [
     "time_theilsen",  # NULL-slope pair filter (regression)
     "agg_subsample_ci",  # short replica array selection (regression)
     "audit_ttest",  # zero-variance try_divide family (regression)
+    "agg_ols",  # constant-regressor var_x = 0 (skew regression)
     "time_kalman",  # per-series recursive pandas UDF
     "time_viterbi",  # per-series DP pandas UDF
     "stream_tumbling",  # streaming-semantics batch twin
@@ -74,7 +75,7 @@ KEYS = [
 ]
 
 
-@pytest.fixture(scope="module", params=["empty", "one", "nulls"])
+@pytest.fixture(scope="module", params=["empty", "one", "nulls", "skew"])
 def degenerate_dir(request, tmp_path_factory):
     root = tmp_path_factory.mktemp("edge")
     return make_degenerate(SF, str(root), request.param)

@@ -23,7 +23,17 @@ identical):
   and event-time NOT NULL contracts hold, so a failure here is a
   genuine NULL-handling bug in a measure path, not a violated
   precondition). This is the "a bad upstream job wrote the rows but
-  lost the payloads" scenario.
+  lost the payloads" scenario;
+- ``skew``   — full sf row count with PKs intact, but every FK /
+  dimension / payload column collapsed to its FIRST value: one
+  customer owns every order, one user emits every event, every
+  document is the same text, every embedding the same vector. The
+  production shape is a hot key after an upstream bug (or a
+  legitimately viral entity); it stresses single-group windows,
+  dedup/similarity pair explosions on all-identical content, and
+  every documented deterministic-tiebreak claim (an op with a
+  nondeterministic tie-break fails the oracle compare here, because
+  EVERY row ties).
 
 and runs every registered query against each, recording OK /
 EXPECTED-GUARD (a deliberate raise_error with our contract message) /
@@ -69,6 +79,33 @@ TABLES = (
 #: entry here must cite why empty input is a contract violation
 #: rather than a silently-empty result.
 EXPECTED_GUARDS: dict[str, str] = {}
+
+#: Columns collapsed to their first value in ``skew`` mode: FKs,
+#: dimensions, event time, and content payloads. PKs (and lineitem's
+#: composite line number) stay unique so the data model still holds.
+SKEW_COLS: dict[str, set] = {
+    "region": set(),
+    "nation": {"n_regionkey"},
+    "customer": {"c_nationkey", "c_mktsegment"},
+    "supplier": {"s_nationkey"},
+    "part": {"p_brand", "p_type", "p_size"},
+    "orders": {
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+    },
+    "lineitem": {
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"user_id", "event_type", "ts"},
+    "documents": {"text", "lang", "source", "n_chars"},
+    "embeddings": {"embedding", "label"},
+}
 
 #: Columns that stay non-NULL in ``nulls`` mode: primary/foreign keys
 #: and event-time/ordering columns — the data model declares these
@@ -117,6 +154,20 @@ def make_degenerate(base: str, out_root: str, mode: str) -> str:
                 for i, f in enumerate(tbl.schema)
             ]
             tbl = pa.table(cols, schema=tbl.schema)
+        elif mode == "skew":
+            hot = SKEW_COLS[name]
+            import pyarrow.compute as pc
+
+            cols = []
+            for i, f in enumerate(tbl.schema):
+                col = tbl.column(i)
+                if f.name in hot and tbl.num_rows > 0:
+                    first = col.combine_chunks().take([0])
+                    col = pa.chunked_array(
+                        [pc.take(first, pa.array([0] * tbl.num_rows))]
+                    )
+                cols.append(col)
+            tbl = pa.table(cols, schema=tbl.schema)
         else:
             n = 0 if mode == "empty" else min(1, tbl.num_rows)
             tbl = tbl.slice(0, n)
@@ -156,7 +207,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
-    ap.add_argument("--mode", default="empty,one,nulls")
+    ap.add_argument("--mode", default="empty,one,nulls,skew")
     ap.add_argument("--out-root", default="/tmp/flirt_edge_sweep")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
