@@ -94,6 +94,10 @@ _ROUND9_WINDOW = [
     # = negative class; try_divide NULL-condition oracle) and the
     # skew-mirror pass (constant-regressor OLS)
     "eval_calibration", "scalar_try", "agg_ols",
+    # oracles rewritten this round (NULL-vector filters in the LSH /
+    # IVF / centroid SQL): the driver gate runs oracle_sql(), so
+    # these need fresh rows on the new text
+    "llm_ann_lsh", "llm_embed_dedup", "llm_ann_ivf", "llm_centroid",
     # changed this round by the rank-family struct-key rework (every
     # consumer of grouped_rank / grouped_cumsum / grouped_percentiles
     # / bucketized_weighted_quantile re-plans through the null-safe
@@ -107,8 +111,7 @@ _ROUND9_WINDOW = [
     # first; the rest of the r3/r4 backlog rotates next round —
     # changed-this-round keys take precedence for the 50 slots)
     "filter_codeshare", "filter_predicates", "join_anti", "join_semi",
-    "join_outer", "agg_cube", "agg_conditional", "agg_collect",
-    "json_extract", "geo_haversine", "win_firstlast",
+    "join_outer", "agg_cube", "agg_conditional",
 ]
 
 

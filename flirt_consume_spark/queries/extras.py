@@ -118,11 +118,18 @@ _COS_QC = (
       SELECT label, CAST(d AS BIGINT) AS dim,
              CAST(SUM(CAST(floor(embedding[d]::DOUBLE * 1e9) AS BIGINT))
                   AS DOUBLE) / 1e9 / COUNT(*) AS centroid
-      FROM embeddings, range(1, 65) t(d) GROUP BY label, d
+      FROM embeddings, range(1, 65) t(d)
+      WHERE embedding IS NOT NULL GROUP BY label, d
     ), cent_arr AS (
       SELECT label AS c_label, list(centroid ORDER BY dim) AS cv
       FROM cent GROUP BY label
-    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ), v AS (
+      -- vector-less rows can't be assigned or searched (and DuckDB's
+      -- list_dot_product refuses NULL lists); the Spark path's NULL
+      -- dot products drop out identically
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
     assign AS (
       SELECT vec_id, e, c_label,
              round(list_dot_product(e, cv) /

@@ -307,8 +307,12 @@ _LSH_CTE = """
                   THEN 1.0 ELSE -1.0 END AS w
       FROM range(0, 8) pp(p), range(0, 64) dd(d)
     ), comp AS (
+      -- a vector-less row cannot participate in vector search (and
+      -- DuckDB's list_dot_product refuses NULL lists outright);
+      -- the Spark path's NULL projections drop out identically
       SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
       FROM embeddings, range(1, 65) t(i)
+      WHERE embedding IS NOT NULL
     ), proj AS (
       SELECT vec_id, p, SUM(x * w) AS s
       FROM comp JOIN planes USING (d) GROUP BY vec_id, p
@@ -320,6 +324,7 @@ _LSH_CTE = """
     ), v AS (
       SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS e, b.bucket
       FROM embeddings e JOIN buckets b USING (vec_id)
+      WHERE e.embedding IS NOT NULL
     )
 """
 
@@ -394,6 +399,7 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(floor(embedding[d]::DOUBLE * 1e9) AS BIGINT))
                 AS DOUBLE) / 1e9 / COUNT(*) AS centroid
     FROM embeddings, range(1, 65) t(d)
+    WHERE embedding IS NOT NULL
     GROUP BY label, d
     """,
 )
