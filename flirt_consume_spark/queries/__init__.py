@@ -54,7 +54,7 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #     widenings + the 3 stalest r3 rows).
 #     Outcome (CORRECTNESS_r08.json): all 50 green — every registry
 #     key now has externally-recorded driver evidence at least once.
-#   round 9 (this list): with zero never-checked keys left, rotation
+#   round 9: with zero never-checked keys left, rotation
 #     becomes pure staleness refresh. Slot 1: agg_weighted_median —
 #     its underlying operator (scale.bucketized_weighted_quantile)
 #     changed THIS round (ADVICE-r8 NULL-skip fix), so its r7 driver
@@ -72,7 +72,46 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #     likewise but it was already listed) — promoted to slots 2-5 so
 #     their driver rows land on the live code; the 4 least-stale
 #     r4-vintage tail keys rotate out to keep the window at 50.
-_ROUND9_WINDOW = [
+#     Outcome (CORRECTNESS_r09.json): all 50 green.
+#   round 10 (this list): pure staleness refresh, per VERDICT r9 task
+#     2. Front slots: keys whose code (or whose underlying operator /
+#     oracle text) changes THIS round — promoted as changes land so
+#     their driver rows record the live code. Then the 15 r3-vintage
+#     keys (the registry's stalest external evidence), then the
+#     stalest r4-vintage keys in staleness-list order. The five
+#     streaming-family r4 keys (stream_dedup / stream_session /
+#     stream_sliding / stream_static / stream_tumbling) yield their
+#     slots to the changed-this-round set: the family carries
+#     independent live-code evidence via the pytest stream==batch
+#     equivalence suite, so their driver rows are the least
+#     informative to refresh; they rotate first next round.
+_ROUND10_WINDOW = [
+    # changed this round: tie-class fold in bucketized_weighted_quantile
+    # (VERDICT r9 task 7) re-plans agg_weighted_median; the nulls-mirror
+    # parity pass (task 4) touched these query/oracle texts.
+    "agg_weighted_median",
+    # r3-vintage staleness backfill (oldest rows in the registry)
+    "agg_collect", "array_ops", "geo_haversine", "join_asof_fwd",
+    "json_extract", "map_ops", "math_scalar", "set_diff",
+    "str_normalize", "str_regex", "time_bucket", "time_duration",
+    "time_normalize", "unpivot_long", "win_firstlast",
+    # r4-vintage staleness backfill
+    "agg_incremental", "dedup_components", "dedup_components_star",
+    "join_salted", "llm_editdist", "llm_exact_dedup",
+    "llm_fingerprint", "llm_knn", "llm_langid", "llm_minhash_dedup",
+    "llm_ngram_jaccard", "llm_quality", "llm_redact",
+    "llm_repetition", "llm_simhash", "llm_textstats", "llm_tokens",
+    "llm_vocab", "sample_stratified", "scan_csv", "scan_jsonl",
+    "shape_large_orders", "shape_local_supplier_volume",
+    "shape_order_priority", "shape_priority_shipping",
+    "shape_shipping_priority", "sink_compact", "split_assign",
+    "sql_distribution", "udf_geomean",
+    "udf_groupnorm", "udf_scalar", "win_lag", "win_sessionize",
+]
+
+# round-9 window kept for the record (CORRECTNESS_r09.json = 50/50
+# green on exactly this list); superseded by _ROUND10_WINDOW above.
+_OLD_ROUND9_WINDOW = [
     "agg_weighted_median",
     # changed this round by the degenerate-input sweep fixes
     "agg_histogram", "llm_bpe_train", "join_dpp", "scan_partitioned",
@@ -126,4 +165,4 @@ def _rotate_front(front: list[str]) -> None:
         REGISTRY[k] = snap[k]
 
 
-_rotate_front(_ROUND9_WINDOW)
+_rotate_front(_ROUND10_WINDOW)

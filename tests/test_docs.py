@@ -41,22 +41,30 @@ def test_entry_point_exposes_full_registry():
     assert set(o) == {k for k, s in REGISTRY.items() if s.oracle}
 
 
-def test_driver_window_is_round9():
+def test_driver_window_is_round10():
     """VERDICT r7 #8: the active rotation must match the documented round.
 
-    The round-9 window is pure staleness refresh (zero never-checked
-    keys remain after round 8): the changed-this-round key first, then
-    functions rewritten since their last driver row, then the r3/r4
-    vintage backlog; every name must resolve (typos would silently
-    waste the driver's 50-key sample).
+    The round-10 window is pure staleness refresh (VERDICT r9 task 2):
+    changed-this-round keys first, then the 15 r3-vintage keys (the
+    registry's stalest external evidence), then the stalest r4-vintage
+    keys; every name must resolve (typos would silently waste the
+    driver's 50-key sample).
     """
-    from flirt_consume_spark.queries import _ROUND9_WINDOW
+    from flirt_consume_spark.queries import _ROUND10_WINDOW
 
-    assert len(_ROUND9_WINDOW) == 50
-    assert len(set(_ROUND9_WINDOW)) == 50, "window repeats a key"
-    assert _ROUND9_WINDOW[0] == "agg_weighted_median", (
+    assert len(_ROUND10_WINDOW) == 50
+    assert len(set(_ROUND10_WINDOW)) == 50, "window repeats a key"
+    assert _ROUND10_WINDOW[0] == "agg_weighted_median", (
         "the key whose operator changed this round leads the window"
     )
-    assert list(REGISTRY)[:50] == _ROUND9_WINDOW, (
-        "REGISTRY insertion order must start with the round-9 window"
+    # the full r3-vintage backlog (stalest driver rows) is in the window
+    r3_backlog = {
+        "agg_collect", "array_ops", "geo_haversine", "join_asof_fwd",
+        "json_extract", "map_ops", "math_scalar", "set_diff",
+        "str_normalize", "str_regex", "time_bucket", "time_duration",
+        "time_normalize", "unpivot_long", "win_firstlast",
+    }
+    assert r3_backlog <= set(_ROUND10_WINDOW)
+    assert list(REGISTRY)[:50] == _ROUND10_WINDOW, (
+        "REGISTRY insertion order must start with the round-10 window"
     )
