@@ -1,0 +1,100 @@
+"""Unit tests for the noise-normalized bench gate (tools/bench_gate.py).
+
+The gate anchors the driver's "within 2x of BASELINE" contract
+(BASELINE.json:2) to the per-key sf0.1 numbers frozen in
+tools/baseline_sf01.json; these tests pin its pure decision logic so a
+future edit cannot silently change what "pass" means.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from bench_gate import evaluate  # noqa: E402
+
+
+BASE = {"a": 1.0, "b": 2.0, "c": 0.5, "d": 4.0, "e": 1.5}
+
+
+def test_identical_run_passes():
+    res = evaluate(dict(BASE), BASE)
+    assert res["ok"]
+    assert res["host_factor"] == 1.0
+    assert res["over_threshold"] == {}
+    assert res["missing_keys"] == [] and res["new_keys"] == []
+
+
+def test_uniform_host_inflation_is_normalized_out():
+    # Every key 1.8x slower: raw ratios all exceed nothing after the
+    # median (1.8) divides them back to 1.0.
+    cand = {k: v * 1.8 for k, v in BASE.items()}
+    res = evaluate(cand, BASE)
+    assert res["ok"]
+    assert res["host_factor"] == pytest.approx(1.8)
+    assert all(abs(r - 1.0) < 1e-9 for r in res["normalized"].values())
+
+
+def test_single_key_regression_flagged_despite_quiet_host():
+    cand = dict(BASE)
+    cand["d"] = BASE["d"] * 2.5  # one real regression
+    res = evaluate(cand, BASE)
+    assert not res["ok"]
+    assert list(res["over_threshold"]) == ["d"]
+    # The crowd median stays ~1.0, so the regression is not excused.
+    assert res["host_factor"] == pytest.approx(1.0)
+
+
+def test_regression_still_flagged_under_host_noise():
+    # 1.4x uniform noise AND one 3x-real regression: the median tracks
+    # the crowd (1.4), the outlier normalizes to ~3.0/1.4 > 2.
+    cand = {k: v * 1.4 for k, v in BASE.items()}
+    cand["b"] = BASE["b"] * 3.0 * 1.4
+    res = evaluate(cand, BASE)
+    assert not res["ok"]
+    assert list(res["over_threshold"]) == ["b"]
+
+
+def test_deflation_floor_is_one_sided():
+    # Host twice as fast as the freeze, but key 'a' is 2.6x its frozen
+    # number outright. median(r) = 0.5 -> denom floors at 1.0, so the
+    # raw 2.6 ratio is NOT shrunk by the fast host and must flag.
+    cand = {k: v * 0.5 for k, v in BASE.items()}
+    cand["a"] = BASE["a"] * 2.6
+    res = evaluate(cand, BASE)
+    assert res["host_factor"] < 1.0
+    assert not res["ok"]
+    assert list(res["over_threshold"]) == ["a"]
+
+
+def test_missing_key_fails_and_new_key_passes():
+    cand = {k: v for k, v in BASE.items() if k != "e"}
+    cand["freshly_added"] = 9.9
+    res = evaluate(cand, BASE)
+    assert res["missing_keys"] == ["e"]
+    assert res["new_keys"] == ["freshly_added"]
+    assert not res["ok"]  # coverage loss fails
+    # New keys alone do not fail:
+    cand["e"] = BASE["e"]
+    res2 = evaluate(cand, BASE)
+    assert res2["ok"] and res2["new_keys"] == ["freshly_added"]
+
+
+def test_frozen_baseline_matches_committed_r09_artifact():
+    """The shipped freeze must accept the round-9 driver artifact."""
+    with open(os.path.join(REPO, "tools", "baseline_sf01.json")) as fh:
+        frozen = json.load(fh)
+    with open(os.path.join(REPO, "BENCH_FULL_r09.json")) as fh:
+        art = json.load(fh)
+    res = evaluate(art["queries"], frozen["median"])
+    assert res["ok"], res["over_threshold"]
+    assert res["n_compared"] == len(frozen["median"]) == 272
+    # Freeze invariant: median >= min per key, both positive.
+    assert all(
+        0 < frozen["min"][k] <= frozen["median"][k] + 1e-9
+        for k in frozen["median"]
+    )

@@ -1,0 +1,130 @@
+"""Noise-normalized 2x bench gate against the frozen sf0.1 baseline.
+
+The driver contract ("within 2x of BASELINE at the same scale factor",
+BASELINE.json:2) was unanchored for nine rounds because the reference
+publishes no numbers and its snapshot is empty (SURVEY.md S0). As of
+round 10 the engine's own best-of solo runs are frozen per key in
+``tools/baseline_sf01.json`` (protocol inside the file and in
+BASELINE.md), and this gate makes the contract mechanically checkable.
+
+Method. For a candidate full-bench artifact (default
+``BENCH_FULL_latest.json``) compute per-key ratios
+
+    r_k = candidate_median_k / baseline_median_k
+
+Single-node wall clock on a shared host moves UNIFORMLY with ambient
+load (BENCH_NOTES.md documents identical-plan control runs at 1.14x
+and 1.455x), so raw ratios conflate host noise with real regressions.
+The registry-wide MEDIAN of r_k estimates that uniform inflation: a
+real regression moves one key, host noise moves all 272, and the
+median tracks the crowd, not the outlier. The gate therefore flags
+
+    r_k / max(1.0, median(r)) > threshold   (default 2.0)
+
+The max(1.0, .) floor keeps the gate one-sided: a faster-than-baseline
+host never *excuses* a key that is slower than 2x its frozen number
+outright (deflation is not used to shrink ratios), while a slower host
+is corrected for. Keys missing from the candidate fail the gate
+(coverage loss); keys missing from the baseline (post-freeze
+additions) are reported but pass, until the next freeze.
+
+Usage:
+    python tools/bench_gate.py [--artifact BENCH_FULL_latest.json]
+                               [--baseline tools/baseline_sf01.json]
+                               [--threshold 2.0] [--top 10]
+
+Exit 0 = every baseline key present and within the normalized 2x
+bound; exit 1 otherwise. Wired into the round-close checklist next to
+tools/check.py and tools/audit_plans.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def evaluate(
+    candidate: dict[str, float],
+    baseline: dict[str, float],
+    threshold: float = 2.0,
+) -> dict:
+    """Pure gate logic (unit-tested): returns the verdict structure."""
+    missing = sorted(k for k in baseline if k not in candidate)
+    new_keys = sorted(k for k in candidate if k not in baseline)
+    shared = [k for k in baseline if k in candidate]
+    ratios = {k: candidate[k] / baseline[k] for k in shared if baseline[k] > 0}
+    host_factor = statistics.median(ratios.values()) if ratios else 1.0
+    denom = max(1.0, host_factor)
+    normalized = {k: r / denom for k, r in ratios.items()}
+    over = {
+        k: {
+            "candidate_sec": candidate[k],
+            "baseline_sec": baseline[k],
+            "raw_ratio": round(ratios[k], 3),
+            "normalized_ratio": round(normalized[k], 3),
+        }
+        for k in sorted(normalized, key=normalized.get, reverse=True)
+        if normalized[k] > threshold
+    }
+    return {
+        "n_compared": len(shared),
+        "host_factor": round(host_factor, 4),
+        "threshold": threshold,
+        "missing_keys": missing,
+        "new_keys": new_keys,
+        "over_threshold": over,
+        "ok": not missing and not over,
+        "normalized": normalized,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--artifact", default=os.path.join(REPO, "BENCH_FULL_latest.json")
+    )
+    ap.add_argument(
+        "--baseline", default=os.path.join(REPO, "tools", "baseline_sf01.json")
+    )
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--top", type=int, default=10)
+    args = ap.parse_args()
+
+    with open(args.artifact) as fh:
+        art = json.load(fh)
+    with open(args.baseline) as fh:
+        base = json.load(fh)
+
+    res = evaluate(art["queries"], base["median"], args.threshold)
+    normalized = res.pop("normalized")
+    worst = sorted(normalized, key=normalized.get, reverse=True)[: args.top]
+    print(
+        f"bench_gate: {res['n_compared']} keys compared, host_factor="
+        f"{res['host_factor']} (median raw ratio vs frozen baseline), "
+        f"threshold={args.threshold}"
+    )
+    for k in worst:
+        flag = " OVER" if k in res["over_threshold"] else ""
+        print(
+            f"  {k}: {art['queries'][k]:.3f}s vs {base['median'][k]:.3f}s "
+            f"baseline -> normalized {normalized[k]:.2f}x{flag}"
+        )
+    if res["missing_keys"]:
+        print(f"MISSING from artifact: {res['missing_keys']}")
+    if res["new_keys"]:
+        print(f"new keys (no frozen baseline, pass until next freeze): {res['new_keys']}")
+    print(json.dumps({k: v for k, v in res.items() if k != "over_threshold"}))
+    if res["over_threshold"]:
+        print("OVER-THRESHOLD DETAIL:")
+        print(json.dumps(res["over_threshold"], indent=1))
+    return 0 if res["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
