@@ -497,14 +497,32 @@ def _nullsafe_equi_join(
     Mechanics: both sides join on ONE derived struct key — struct
     equality is per-field null-safe, and the struct itself is never
     NULL, so a plain equi-join key carries the null-safe semantics.
-    This beats ``eqNullSafe`` conditions, which Spark rewrites into
-    (coalesce(k,''), isnull(k)) join keys: those wrappers break the
-    optimizer's equality-constraint inference and were measured to
-    add exchanges on the data-sized side (win_rank 21→24 at
-    sf0.001). Broadcast hints on ``right`` survive the struct
-    projection. Right-side key columns are dropped after the join,
-    like USING.
+
+    Measured plan cost (win_rank, sf0.001, formatted-plan node
+    counts): the pre-rework plain-EqualTo plan was 21 exchanges /
+    0 SMJ / 12 BHJ with IsNotNull pushed into the scan — cheaper
+    precisely BECAUSE it dropped NULL-keyed rows at the source. The
+    struct-key plan is 24 / 2 / 10 with no pushed IsNotNull: an
+    ACCEPTED regression, the price of NULL correctness (the lost
+    scan pushdown is inherent — a null-safe join cannot prune NULL
+    keys). The struct key still beats an ``eqNullSafe`` condition
+    (25 / 2 / 10 measured on the same shape): Spark rewrites
+    eqNullSafe into (coalesce(k,''), isnull(k)) join keys, whose
+    wrappers break the optimizer's equality-constraint inference.
+    Broadcast hints on ``right`` survive the struct projection.
+    Right-side key columns are dropped after the join, like USING.
+
+    Only inner/left are supported: right-side key columns are
+    dropped before the join, so for how='right'/'full' right-only
+    rows would surface with NULL key columns instead of their actual
+    keys (real USING coalesces left/right keys).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"_nullsafe_equi_join: how={how!r} unsupported — right-side "
+            "key columns are dropped pre-join, so right/full would lose "
+            "right-only keys; coalesce struct fields first if needed."
+        )
     lkey = F.struct(*[left[n] for n in names])
     rkey = F.struct(*[right[n] for n in names])
     out = left.withColumn("_nsk", lkey).join(
@@ -1025,10 +1043,19 @@ def ranking_family(
     # — the previous name-list joins (plain EqualTo) silently dropped
     # every such row from the ranking output. Grouping ties BY the
     # struct keeps the groupBy exchange's partitioning identical to
-    # the downstream join keys, so no extra shuffle appears (an
-    # eqNullSafe condition instead would rewrite into coalesce/isnull
-    # keys and re-shuffle both tie-class frames — measured +4
-    # exchanges on win_rank).
+    # the downstream join keys (an eqNullSafe condition instead would
+    # rewrite into coalesce/isnull keys and re-shuffle the tie-class
+    # frames — measured one extra exchange on win_rank, 25 vs 24).
+    # See _nullsafe_equi_join's docstring for the full measured cost
+    # of NULL correctness vs the old NULL-dropping plan (21→24
+    # exchanges, smj 0→2 — accepted).
+    if len(set(gnames + sem_names)) != len(gnames + sem_names):
+        raise ValueError(
+            "ranking_family: group_cols and sem_cols must be disjoint "
+            f"plain column names (got group={gnames}, sem={sem_names}) — "
+            "an overlap would produce duplicate tie-key struct fields "
+            "and ambiguous _tk.<c> re-extraction."
+        )
     tie_key = F.struct(*[F.col(c) for c in gnames + sem_names])
     ranked = grouped_rank(
         df, gnames, order + list(tiebreak),

@@ -360,3 +360,36 @@ def test_ranking_family_cardinality_guard(spark):
             df, ["o_orderkey"], ["o_totalprice"],
             [F.col("o_orderstatus")], max_groups=10,
         ).collect()
+
+
+def test_ranking_family_rejects_overlapping_group_and_sem_cols(spark):
+    """ADVICE r9: an overlap between group_cols and sem_cols would
+    build a tie-key struct with duplicate fields and make the
+    `_tk.<c>` re-extraction ambiguous far from the call site — the
+    contract violation must fail fast at plan-build time."""
+    from flirt_consume_spark.operators.scale import ranking_family
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        ranking_family(
+            df, ["o_orderstatus"], ["o_orderstatus", "o_totalprice"],
+            [F.col("o_orderkey")],
+        )
+
+
+def test_nullsafe_equi_join_rejects_right_and_full(spark):
+    """ADVICE r9: the helper drops right-side key columns pre-join, so
+    right/full joins would surface right-only rows with NULL keys
+    instead of their actual keys (real USING coalesces) — unsupported
+    `how` values must fail fast."""
+    from flirt_consume_spark.operators.scale import _nullsafe_equi_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, l string")
+    right = spark.createDataFrame([(2, "b")], "k int, r string")
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="unsupported"):
+            _nullsafe_equi_join(left, right, ["k"], how=how)
+    # inner and left still work.
+    assert _nullsafe_equi_join(left, right, ["k"], how="left").count() == 1

@@ -78,6 +78,14 @@ TABLES = (
 #: F.raise_error or a ValueError from plan-build validation). An
 #: entry here must cite why empty input is a contract violation
 #: rather than a silently-empty result.
+#:
+#: Contract for the first entry that lands here: the value must be
+#: the guard's raise text VERBATIM (e.g. the exact F.raise_error
+#: literal), not a generic substring — the classifier matches by
+#: substring, so a loose value like "error" would silently
+#: reclassify ANY crash on that key as expected. Pair the entry with
+#: a tests/test_edge_sweep.py case asserting a NON-matching
+#: exception on the same key still reports CRASH.
 EXPECTED_GUARDS: dict[str, str] = {}
 
 #: Columns collapsed to their first value in ``skew`` mode: FKs,
