@@ -683,8 +683,14 @@ def stage_percentile_rank(
 
     NULLs in ``value_col`` are dropped here (the F.percentile /
     percentile_cont NULL-skipping contract — see
-    ``grouped_percentiles``)."""
+    ``grouped_percentiles``), but the per-group counts come from the
+    UNfiltered frame with ``count(value_col)`` — identical _pn for
+    every group with data, plus an explicit ``_pn = 0`` row for a
+    group whose values are ALL NULL, so the group survives to the
+    output (with NULL percentiles) exactly as the SQL aggregates
+    would emit it."""
     gnames = list(group_cols)
+    nn = df
     df = df.where(F.col(value_col).isNotNull())
     ranked = grouped_rank(
         df,
@@ -693,7 +699,7 @@ def stage_percentile_rank(
         rank_col="_pr",
         max_groups=max_groups,
     )
-    cnt = df.groupBy(*gnames).agg(F.count(F.lit(1)).alias("_pn"))
+    cnt = nn.groupBy(*gnames).agg(F.count(F.col(value_col)).alias("_pn"))
     cnt = _guard_group_count(cnt, max_groups, "grouped_percentiles")
     return ranked, cnt
 
@@ -730,10 +736,10 @@ def grouped_percentiles(
 
     NULL values are skipped, matching ``F.percentile`` /
     ``percentile_cont``: they are filtered before the rank and
-    excluded from n. The one divergence: a group whose values are
-    ALL NULL is absent from the output (the built-in would emit the
-    group with a NULL percentile) — left-join the result back to the
-    group domain if those rows matter.
+    excluded from n. A group whose values are ALL NULL is emitted
+    with NULL percentiles — also the built-in convention (the stage
+    counts on the unfiltered frame and the selection unions the
+    ``_pn = 0`` groups back in as bounds-only rows).
 
     ``group_cols`` must be bounded-cardinality (grouped_rank's
     broadcast contract, enforced there AND on the per-group bounds
@@ -767,7 +773,14 @@ def percentile_selection(
     those ranks — ≤ 2·|ps| rows per group however large the table.
     Split out so callers with a persisted stage can ALSO persist this
     tiny frame: the final interpolation then touches |groups|·2·|ps|
-    rows, nothing data-sized."""
+    rows, nothing data-sized.
+
+    Groups with ``_pn = 0`` (all values NULL — kept by the stage's
+    unfiltered counts) have no ranked rows to select; they are
+    unioned in as bounds-only rows (every ranked column NULL), so the
+    final interpolation emits the group with NULL percentiles — the
+    SQL convention. The union arm is a filter on the |groups|-sized
+    counts frame: nothing data-sized is touched."""
     if len(ps) != len(out_cols):
         raise ValueError("ps and out_cols must align 1:1")
     if not all(0.0 <= p <= 1.0 for p in ps):
@@ -789,8 +802,12 @@ def percentile_selection(
             | (F.col("_pr") == F.col(f"_lo_{oc}"))
             | (F.col("_pr") == F.col(f"_hi_{oc}"))
         )
-    b = cnt.select(*sel)
-    return _nullsafe_equi_join(ranked, F.broadcast(b), gnames).filter(keep)
+    b = cnt.select(*sel, "_pn")
+    matched = _nullsafe_equi_join(ranked, F.broadcast(b), gnames).filter(keep)
+    empty_groups = b.filter(F.col("_pn") == 0)
+    return matched.unionByName(
+        empty_groups, allowMissingColumns=True
+    ).drop("_pn")
 
 
 def percentiles_from_selection(

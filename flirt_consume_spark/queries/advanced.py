@@ -275,10 +275,19 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_totalprice", "o_orderpriority"
         ).coalesce(2).write.mode("overwrite").parquet(v2)
     merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    # Provenance via the file-metadata column, NOT coalesce: only
+    # rows from the pre-evolution drop get the sentinel. A coalesce
+    # would also relabel post-evolution rows whose priority is
+    # legitimately NULL (they must stay a NULL group, as the oracle's
+    # CASE on the key parity does); _metadata.file_path is constant
+    # metadata — no extra scan, no shuffle.
     return merged.groupBy(
-        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-schema)")).alias(
-            "prio"
+        F.when(
+            F.col("_metadata.file_path").contains("/v1/"),
+            F.lit("(pre-schema)"),
         )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio")
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.floor(F.col("o_totalprice") * 1e2).cast("long"))

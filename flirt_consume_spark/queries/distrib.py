@@ -1117,10 +1117,21 @@ def time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     new_l = "0.5 * x + 0.5 * (acc.l + acc.b)"
+    # The zero's 'b' field must be NULLABLE: aggregate() takes the
+    # accumulator schema (including nullability) from the zero
+    # expression, and a non-nullable CAST(0.0 AS DOUBLE) makes Spark
+    # store a NULL step result as 0.0 (the unsafe-row write into a
+    # declared-non-null slot) — measured on an all-NULL value series:
+    # the raw step expression is NULL but the fold emitted b = 0.0.
+    # if(size(xs) >= 0, ...) is always-true yet not constant-foldable,
+    # so the literal survives with nullable = true and NULL x values
+    # propagate through the recurrence exactly as in the oracle.
     fold = F.expr(
         f"""aggregate(
               slice(xs, 2, greatest(size(xs) - 1, 0)),
-              named_struct('l', xs[0], 'b', CAST(0.0 AS DOUBLE)),
+              named_struct('l', xs[0],
+                           'b', if(size(xs) >= 0, CAST(0.0 AS DOUBLE),
+                                   CAST(NULL AS DOUBLE))),
               (acc, x) -> named_struct(
                 'l', {new_l},
                 'b', 0.5 * (({new_l}) - acc.l) + 0.5 * acc.b

@@ -450,7 +450,13 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         x, [F.col("segment"), F.col("cents"), F.col("o_orderkey")]
     )
     base = ranked.groupBy("segment").agg(F.min("rnk").alias("_r0"))
-    r = ranked.join(F.broadcast(base), "segment").select(
+    # null-safe offset join-back: a NULL segment is its own group
+    # (groupBy semantics); a plain name join would drop it from the
+    # Gini output entirely (the round-9 rank-family lesson, missed
+    # here because agg_gini predates _nullsafe_equi_join).
+    from flirt_consume_spark.operators.scale import _nullsafe_equi_join
+
+    r = _nullsafe_equi_join(ranked, F.broadcast(base), ["segment"]).select(
         "segment",
         "cents",
         (F.col("rnk") - F.col("_r0") + 1).cast("long").alias("rnk"),

@@ -721,6 +721,12 @@ def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a SAMPLE of queries (here: the 10 probe vectors) — evaluating
     recall never requires the full N² exact search."""
     emb = t(spark, sf_dir, "embeddings")
+    # Vector-less rows cannot be ranked: the oracle's v-view filters
+    # embedding IS NOT NULL (DuckDB's list_dot_product refuses NULL
+    # lists), so the exact side must skip them too — otherwise an
+    # all-NULL embeddings table yields NULL-similarity "neighbors"
+    # here and zero rows there.
+    emb = emb.filter(F.col("embedding").isNotNull())
     queries = list(range(10))
     exact = S.knn_exact(emb, queries, k=3).select("query_id", "neighbor_id")
     ann = S.ann_lsh(

@@ -360,9 +360,16 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "exact_p50",
-        (
+        # Vacuously TRUE only when the group has zero non-NULL values
+        # (exact percentile NULL — nothing to verify, and the oracle's
+        # literal TRUE must keep matching). A NULL sketch estimate on
+        # a NON-empty group still yields NULL here and fails the hash:
+        # that is a broken sketch, not a vacuous case.
+        F.when(F.col("exact_p50").isNull(), F.lit(True))
+        .otherwise(
             (F.col("ap50") >= F.col("p40")) & (F.col("ap50") <= F.col("p60"))
-        ).alias("within_rank_tol"),
+        )
+        .alias("within_rank_tol"),
     )
 
 
@@ -539,10 +546,14 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: collect_set/array_agg per group, sorted + joined for a
-    deterministic scalar representation."""
+    deterministic scalar representation. A group with NO non-NULL
+    values yields NULL (the SQL string_agg convention), not '' —
+    concat_ws alone would emit '' for the empty set, diverging from
+    every SQL engine on all-NULL groups."""
     ev = t(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+        F.when(F.size(arr) > 0, F.concat_ws(",", arr)).alias("types")
     )
 
 

@@ -116,7 +116,12 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    return merged.join(exact, "event_type").select(
+    # null-safe: a NULL event_type is a legitimate group on both
+    # sides of this group-domain ⋈ group-domain join; a plain name
+    # join would drop it (groupBy keeps it, EqualTo doesn't).
+    from flirt_consume_spark.operators.scale import _nullsafe_equi_join
+
+    return _nullsafe_equi_join(merged, exact, ["event_type"]).select(
         "event_type",
         "exact_users",
         (

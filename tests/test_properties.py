@@ -913,11 +913,13 @@ def test_grouped_rank_distribution_matches_native(spark, rows):
     ),
 )
 def test_grouped_percentiles_skips_nulls(spark, vals):
-    """ADVICE r7: NULLs in value_col must be skipped exactly as
-    F.percentile skips them — excluded from n AND from the rank
-    order — on every group with >=1 non-null value. Groups whose
-    values are ALL NULL are absent from the output (documented
-    divergence: the native aggregate emits them with NULL)."""
+    """ADVICE r7 + round-10: NULLs in value_col must be skipped
+    exactly as F.percentile skips them — excluded from n AND from the
+    rank order — and a group whose values are ALL NULL must be
+    emitted with NULL percentiles, byte-matching the native aggregate
+    on EVERY group (the former drop-the-group divergence is gone:
+    the stage counts on the unfiltered frame and the selection unions
+    _pn = 0 groups back in)."""
     from flirt_consume_spark.operators.scale import grouped_percentiles
 
     df = spark.createDataFrame(
@@ -931,7 +933,6 @@ def test_grouped_percentiles_skips_nulls(spark, vals):
         .agg(*[F.percentile("value", F.lit(p)).alias(c)
                for p, c in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]])
         .collect()
-        if r.p50 is not None  # all-NULL groups: dropped by ours
     }
     got = {
         r.g: (r.p25, r.p50, r.p75)

@@ -39,9 +39,19 @@ and runs every registered query against each, recording OK /
 EXPECTED-GUARD (a deliberate raise_error with our contract message) /
 CRASH. Exit code 1 if any CRASH.
 
+Four seeded-random mirrors extend the fixed shapes to value-domain
+boundaries (``--seed``, default 42): ``zipf`` (FK/dimension columns
+resampled from their own rows with Zipf(1.5) rank weights — heavy
+hitters plus long tail), ``unicode`` (content text replaced with
+empty strings, NFC-vs-NFD diacritics, CJK/RTL, ZWJ emoji, a 4 KiB
+run), ``nonfinite`` (NaN/+Inf/-Inf injected into double-domain
+measures: events.value and embedding coordinates), and ``epoch``
+(event times mixed with 1677/2262 pandas extremes and epoch 0).
+
 Usage:
     python tools/edge_sweep.py [--base /root/testdata/sf0.001]
                                [--only key1,key2] [--mode empty,one]
+                               [--seed 42]
 
 The sweep is also wired into tests/test_edge_sweep.py for a pinned
 subset; this standalone runner covers the full registry for the
@@ -139,10 +149,142 @@ KEEP_IN_NULLS: dict[str, set] = {
 }
 
 
-def make_degenerate(base: str, out_root: str, mode: str) -> str:
-    """Write a schema-identical mirror of ``base`` with 0 or 1 rows
-    per table. Uses pyarrow directly (no Spark session needed) so the
-    mirror build can't perturb the session under test."""
+#: Seeded-random mirror modes (round-10, VERDICT r9 task 3): the four
+#: fixed degenerate shapes (empty/one/nulls/skew) cannot see value-
+#: DOMAIN boundaries — Zipf-skewed key distributions, unicode/empty-
+#: string text, NaN/±Inf doubles, extreme-epoch timestamps. Each mode
+#: perturbs only the columns where that boundary legitimately occurs
+#: in production (NaN money or a NULL PK is a violated upstream
+#: contract, NOT an input the engine must absorb — same scoping
+#: argument as KEEP_IN_NULLS).
+RANDOM_MODES = ("zipf", "unicode", "nonfinite", "epoch")
+
+#: Text columns that carry CONTENT (not format-contracted payloads
+#: like events.props JSON): replaced with draws from a unicode pool
+#: in ``unicode`` mode.
+UNICODE_COLS: dict[str, set] = {
+    "documents": {"text", "source"},
+    "part": {"p_name"},
+    "customer": {"c_name"},
+}
+
+#: The unicode pool: empty string, whitespace-only, NBSP, combining
+#: diacritics in both normal forms (NFC "é" vs NFD "é" — NOT
+#: equal strings, a dedup/grouping stressor), CJK, RTL Arabic,
+#: ZWJ emoji family, a 4 KiB run, and control whitespace.
+UNICODE_POOL = [
+    "",
+    "   ",
+    " ",
+    "café naïve",
+    "café naïve",
+    "日本語の文書",
+    "مرحبا بالعالم",
+    "\U0001f468‍\U0001f469‍\U0001f467‍\U0001f466 family",
+    "x" * 4096,
+    "line\nbreak\ttab\rcr",
+    "ẞß SS ss",
+]
+
+#: Double-domain measure columns where NaN/±Inf legitimately occur
+#: (sensor-style values, embedding coordinates). Money/decimal-domain
+#: columns are excluded: a NaN price is a violated precondition.
+NONFINITE_COLS: dict[str, set] = {
+    "events": {"value"},
+    "embeddings": {"embedding"},
+}
+
+#: Event-time columns stressed with pandas-representable extremes
+#: (1677-09-21 / 2262-04-11, the ns-epoch int64 range) plus epoch 0 —
+#: negative epoch seconds and far-future dates catch epoch-math and
+#: window-bucketing sign bugs.
+EPOCH_COLS: dict[str, set] = {
+    "events": {"ts"},
+    "orders": {"o_orderdate"},
+}
+
+
+def _random_mirror_table(name, tbl, mode: str, seed: int):
+    """Apply one seeded random perturbation to one arrow table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    if n == 0:
+        return tbl
+    # Per-(mode, table) stream: stable regardless of TABLES order.
+    # crc32, not hash() — Python string hashing is salted per process.
+    import zlib
+
+    rng = np.random.default_rng(
+        seed + (zlib.crc32(f"{mode}/{name}".encode()) % (1 << 16))
+    )
+    cols, changed = [], False
+    for i, f in enumerate(tbl.schema):
+        col = tbl.column(i)
+        if mode == "zipf" and f.name in SKEW_COLS[name]:
+            # Resample the column FROM ITS OWN ROWS with Zipf(1.5)
+            # rank weights over a seeded permutation: heavy hitters
+            # plus a long tail, referential integrity preserved
+            # (every drawn value already exists).
+            perm = rng.permutation(n)
+            ranks = (rng.zipf(1.5, size=n) - 1) % n
+            col = pc.take(col.combine_chunks(), pa.array(perm[ranks]))
+            changed = True
+        elif mode == "unicode" and f.name in UNICODE_COLS.get(name, ()):
+            pick = rng.integers(0, 2 * len(UNICODE_POOL), size=n)
+            orig = col.to_pylist()
+            vals = [
+                UNICODE_POOL[p] if p < len(UNICODE_POOL) else orig[j]
+                for j, p in enumerate(pick)
+            ]
+            col = pa.array(vals, type=f.type)
+            changed = True
+        elif mode == "nonfinite" and f.name in NONFINITE_COLS.get(name, ()):
+            if pa.types.is_floating(f.type):
+                vals = np.asarray(col.to_pandas(), dtype="float64")
+                cls = rng.integers(0, 10, size=n)
+                vals = np.where(cls == 0, np.nan, vals)
+                vals = np.where(cls == 1, np.inf, vals)
+                vals = np.where(cls == 2, -np.inf, vals)
+                col = pa.array(vals, type=f.type)
+            else:  # list<float>: poison one coordinate of ~30% of rows
+                lst = col.to_pylist()
+                for j in range(n):
+                    v = lst[j]
+                    if not v:
+                        continue
+                    cls = rng.integers(0, 10)
+                    if cls < 3:
+                        v = list(v)
+                        v[int(rng.integers(0, len(v)))] = [
+                            float("nan"), float("inf"), float("-inf")
+                        ][cls]
+                        lst[j] = v
+                col = pa.array(lst, type=f.type)
+            changed = True
+        elif mode == "epoch" and f.name in EPOCH_COLS.get(name, ()):
+            import pandas as pd
+
+            s = col.to_pandas()
+            cls = rng.integers(0, 10, size=n)
+            s = s.where(cls != 0, pd.Timestamp("1677-09-21T00:12:44"))
+            s = s.where(cls != 1, pd.Timestamp("2262-04-11T23:47:16"))
+            s = s.where(cls != 2, pd.Timestamp("1970-01-01T00:00:00"))
+            col = pa.Array.from_pandas(s, type=f.type)
+            changed = True
+        cols.append(col)
+    return pa.table(cols, schema=tbl.schema) if changed else tbl
+
+
+def make_degenerate(
+    base: str, out_root: str, mode: str, seed: int = 42
+) -> str:
+    """Write a schema-identical mirror of ``base`` with the mode's
+    degenerate or seeded-random perturbation applied. Uses pyarrow
+    directly (no Spark session needed) so the mirror build can't
+    perturb the session under test."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -153,7 +295,9 @@ def make_degenerate(base: str, out_root: str, mode: str) -> str:
     for name in TABLES:
         src = os.path.join(base, f"{name}.parquet")
         tbl = pq.read_table(src)
-        if mode == "nulls":
+        if mode in RANDOM_MODES:
+            tbl = _random_mirror_table(name, tbl, mode, seed)
+        elif mode == "nulls":
             keep = KEEP_IN_NULLS[name]
             cols = [
                 tbl.column(i)
@@ -215,7 +359,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
-    ap.add_argument("--mode", default="empty,one,nulls,skew")
+    ap.add_argument(
+        "--mode", default="empty,one,nulls,skew,zipf,unicode,nonfinite,epoch"
+    )
+    ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out-root", default="/tmp/flirt_edge_sweep")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
@@ -231,7 +378,7 @@ def main() -> int:
     report: dict[str, dict] = {}
     rc = 0
     for mode in args.mode.split(","):
-        sf_dir = make_degenerate(args.base, args.out_root, mode)
+        sf_dir = make_degenerate(args.base, args.out_root, mode, args.seed)
         res = run_sweep(spark, sf_dir, keys)
         report[mode] = res
         crashes = {k: v for k, v in res.items() if v["status"] == "CRASH"}
