@@ -23,9 +23,29 @@ EN_STOPWORDS = (
 TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
+#: Unicode Zs (space-separator) codepoints — exactly the set DuckDB's
+#: trim() strips (probed: 0x20, 0xA0, 0x1680, 0x2000–0x200A, 0x202F,
+#: 0x205F, 0x3000; control whitespace \t\n\r\v\f is NOT trimmed by
+#: DuckDB). Java's String.trim strips ASCII <= 0x20 instead — almost
+#: the complementary convention — so tokens() uses btrim with this
+#: set, making the Spark tokenization byte-equivalent to every
+#: oracle's regexp_split_to_array(lower(trim(text)), '\\s+'): an
+#: NBSP-padded or tab-prefixed document tokenizes identically on both
+#: engines (unicode-mirror regression: NBSP-only text hashed
+#: differently in llm_chunk).
+_ZS_CHARS = "".join(
+    chr(cp)
+    for cp in (
+        [0x20, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x202F, 0x205F, 0x3000]
+    )
+)
+
+
 def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.btrim(c, F.lit(_ZS_CHARS))), r"\s+")
 
 
 def shingles(tok_col: Column | str, n: int = 3) -> Column:
@@ -45,20 +65,29 @@ def shingles(tok_col: Column | str, n: int = 3) -> Column:
     )
 
 
+# All three ratios use try_divide: an EMPTY document has length 0
+# (punct_ratio's denominator) and under ANSI a plain `/` kills the
+# whole job on one empty string — a shape every real corpus contains.
+# NULL-on-zero-denominator is also exactly DuckDB's `/` convention
+# (0/0 → NULL), so the quality oracles match on empty text for free.
+
+
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     tok = tokens(text)
     hits = F.size(F.filter(tok, lambda w: w.isin(*stopwords)))
-    return hits / F.size(tok)
+    return F.try_divide(hits, F.size(tok))
 
 
 def punct_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    return F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", "")) / F.length(c)
+    return F.try_divide(
+        F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", "")), F.length(c)
+    )
 
 
 def type_token_ratio(text: Column | str) -> Column:
     tok = tokens(text)
-    return F.size(F.array_distinct(tok)) / F.size(tok)
+    return F.try_divide(F.size(F.array_distinct(tok)), F.size(tok))
 
 
 def bpe_token_count(text: Column | str) -> Column:

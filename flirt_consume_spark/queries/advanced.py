@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flirt_consume_spark.operators import text as X
 from flirt_consume_spark.io import cache_path
 from flirt_consume_spark.queries.base import query, session_state, t
 
@@ -465,7 +466,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    ws = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    ws = F.size(X.tokens("text")).cast("long")
     return qt.select("source", split.alias("split"), ws.alias("_ws")).groupBy(
         "source", "split"
     ).agg(
@@ -507,7 +508,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flirt_consume_spark.operators import text as X
 
     docs = t(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    ws = F.size(X.tokens("text")).cast("long")
     qu = F.floor(X.quality_score("text") * 1e6).cast("long")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1294,9 +1295,14 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so quantized values hash-match bit-for-bit. Emitted as checksums
     (qsum, floored fixed-point scale/error) rather than raw int8
     arrays to keep the compared surface scalar."""
+    from flirt_consume_spark.queries.base import finite_or_fail
+
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.transform(
+            "embedding",
+            lambda x: finite_or_fail(x.cast("double"), "emb_quantize"),
+        ).alias("v"),
     )
     scaled = emb.withColumn(
         "scale", F.array_max(F.transform("v", lambda x: F.abs(x)))

@@ -67,6 +67,32 @@ def dec(col: Column | str, scale: int = 6, precision: int = 30) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+def finite_or_fail(col: Column | str, op: str) -> Column:
+    """In-plan non-finite guard for exact-decimal quantization inputs.
+
+    Spark's floor(double)->long SATURATES ±Inf/NaN to LongMax/LongMin/0
+    silently; most quantized paths then overflow a long SUM and fail
+    loudly (ANSI), but order-statistic paths (median / min_by /
+    arg_min) LEAK the sentinel into results — one Inf sensor reading
+    silently contaminates a 100-TB rollup with 9.2e18. This guard
+    makes the exact-decimal contract uniform: a non-finite measure
+    fails the action with a clear message on the Spark side exactly
+    where DuckDB's CAST(floor(...) AS BIGINT) refuses the same value.
+    NULL passes through (the SQL aggregate skip convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))), c
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: non-finite measure value (NaN/Inf) — "
+                f"exact-decimal quantization rejects it; filter or "
+                f"repair upstream"
+            )
+        )
+    )
+
+
 def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Order-independent exact SUM of a double column -> double.
 

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flirt_consume_spark.operators import text as X
 from flirt_consume_spark.operators import dedup as D
 from flirt_consume_spark.operators.scale import global_rank
 from flirt_consume_spark.queries.base import query, session_state, t
@@ -724,7 +725,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
 def _bpe_fit_build(spark: SparkSession, sf_dir: str):
     docs = t(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        docs.select(F.explode(X.tokens("text")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]{2,}$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
@@ -826,7 +827,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                X.tokens("text")
             ).alias("w"),
         )
         .filter(F.col("w").rlike("^[a-z]{2,}$"))

@@ -1041,6 +1041,7 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+      AND octet_length(encode(text)) > 0
     """,
 )
 def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,7 +1053,14 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the file name, and fingerprints the payload. The oracle
     hashes the same UTF-8 bytes via DuckDB's encode() — proving the
     bytes-on-disk round-trip, not just the text. At 100 TB this
-    source shards by file; content never transits the driver."""
+    source shards by file; content never transits the driver.
+
+    ZERO-BYTE files are SKIPPED by Spark's binaryFile source (file
+    splitting yields no partition for an empty file — verified: a
+    0-byte doc_N.txt on disk produces no row). An ingest counting on
+    empty assets must track them in a metadata table; the oracle
+    mirrors the convention with octet_length > 0 (unicode-mirror
+    regression: empty-string documents)."""
     import hashlib
 
     path = cache_path("binfiles", sf_dir, "documents")
@@ -1194,9 +1202,16 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n2
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ), w AS (
+      -- Euclidean div/mod spelled in integer ops that are exact for
+      -- NEGATIVE n too (pre-anchor dates): DuckDB's // truncates
+      -- toward zero and % keeps the dividend's sign, so the naive
+      -- n // 7 / n % 7 pair diverges from Spark's floor/pmod on any
+      -- date before the 1970 anchor (epoch-mirror regression).
       SELECT o_orderpriority,
-             (5 * (n2 // 7) + least(n2 % 7, 5))
-             - (5 * (n1 // 7) + least(n1 % 7, 5)) AS wd
+             (5 * ((n2 - ((n2 % 7) + 7) % 7) // 7)
+                + least(((n2 % 7) + 7) % 7, 5))
+             - (5 * ((n1 - ((n1 % 7) + 7) % 7) // 7)
+                + least(((n1 % 7) + 7) % 7, 5)) AS wd
       FROM d
     )
     SELECT o_orderpriority,
@@ -1233,8 +1248,12 @@ def time_workdays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def wfun(n):  # weekdays from the anchor Monday to day n (n >= 0)
-        return 5 * F.floor(n / 7) + F.least(n % 7, F.lit(5))
+    def wfun(n):
+        # Weekdays from the anchor Monday to day n, valid for ALL n
+        # (floor division + non-negative pmod — a pre-anchor date has
+        # negative n; see the oracle comment for why the naive
+        # truncating pair breaks there).
+        return 5 * F.floor(n / 7) + F.least(F.pmod(n, 7), F.lit(5))
 
     wd = (wfun(F.col("n2")) - wfun(F.col("n1"))).alias("wd")
     return (

@@ -282,9 +282,27 @@ def udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id: long, pos: long, token: string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            import re
+
             if text is None:  # NULL doc -> no tokens, like the
                 return  # oracle's unnest over a NULL array
-            for i, tok in enumerate(text.strip().lower().split()):
+            # Mirror the engine tokenization convention exactly
+            # (operators/text.tokens + the oracle's trim/\s+): strip
+            # only Unicode Zs spaces at the edges, split on ASCII
+            # whitespace runs, KEEP empty tokens. Python's bare
+            # str.split() discards empties and strips unicode-wide —
+            # on an empty or NBSP-only document it emitted 0 rows
+            # where both engines emit one ''-token row.
+            zs = "".join(
+                chr(cp)
+                for cp in [0x20, 0xA0, 0x1680]
+                + list(range(0x2000, 0x200B))
+                + [0x202F, 0x205F, 0x3000]
+            )
+            toks = re.split(
+                r"\s+", text.strip(zs).lower(), flags=re.ASCII
+            )
+            for i, tok in enumerate(toks):
                 yield doc_id, i + 1, tok
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
@@ -504,25 +522,40 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: text-lines source — one record per line, the rawest LLM
-    corpus format. Round-trips documents as '<doc_id>\\t<text>' lines
-    (text is tab/newline-free), re-reads with ``spark.read.text`` and
-    re-parses; the oracle computes the same per-doc stats from the
-    parquet view, proving the line round-trip lossless."""
+    corpus format. Round-trips documents as '<doc_id>\\t<text>' lines,
+    re-reads with ``spark.read.text`` and re-parses; the oracle
+    computes the same per-doc stats from the parquet view, proving
+    the line round-trip lossless.
+
+    The text field is percent-escaped (%→%25 first, then tab→%09,
+    LF→%0A, CR→%0D) so a document CONTAINING tabs or newlines — the
+    unicode-mirror regression: an embedded newline split one record
+    into two lines and a later field landed in the BIGINT id — still
+    round-trips losslessly; unescaping applies %25→% LAST, the
+    standard URI ordering that makes the coding self-consistent."""
     docs = t(spark, sf_dir, "documents")
-    path = cache_path("text", sf_dir, "documents")
+    # "textesc": v2 fixture key — pre-escaping fixtures on disk
+    # must not be read by the unescaping parser.
+    path = cache_path("textesc", sf_dir, "documents")
     marker = os.path.join(path, "_SUCCESS")
+    esc = F.col("text")
+    for lit, code in (("%", "%25"), ("\t", "%09"), ("\n", "%0A"),
+                      ("\r", "%0D")):
+        esc = F.replace(esc, F.lit(lit), F.lit(code))
     if not os.path.exists(marker):
         (
             docs.select(
-                F.concat_ws("\t", F.col("doc_id"), F.col("text")).alias(
-                    "value"
-                )
+                F.concat_ws("\t", F.col("doc_id"), esc).alias("value")
             )
             .coalesce(4)
             .write.mode("overwrite")
             .text(path)
         )
     lines = spark.read.text(path)
+    raw = F.try_element_at("_p", F.lit(2))
+    for code, lit in (("%0D", "\r"), ("%0A", "\n"), ("%09", "\t"),
+                      ("%25", "%")):
+        raw = F.replace(raw, F.lit(code), F.lit(lit))
     parsed = lines.select(
         F.split("value", "\t", 2).alias("_p")
     ).select(
@@ -531,7 +564,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no tab (concat_ws skips NULLs), so the split has one field
         # and the text reads back NULL — same as the oracle's
         # length(NULL)/split(NULL) NULLs; element_at would throw.
-        F.try_element_at("_p", F.lit(2)).alias("text"),
+        raw.alias("text"),
     )
     return parsed.select(
         "doc_id",

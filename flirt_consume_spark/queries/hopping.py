@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flirt_consume_spark.queries.base import query, t
+from flirt_consume_spark.operators import text as X
 
 _HOP_DAYS = 7  # window length in days; hop = 1 day
 
@@ -128,7 +129,7 @@ def llm_index_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                X.tokens("text")
             ).alias("token"),
         )
         .distinct()

@@ -97,8 +97,14 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame bound keeps memory flat at any scale."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    from flirt_consume_spark.queries.base import finite_or_fail
+
     arr = F.array_sort(
-        F.collect_list(F.floor(F.col("value") * 1e6).cast("bigint")).over(w)
+        F.collect_list(
+            F.floor(
+                finite_or_fail(F.col("value"), "win_rolling_median") * 1e6
+            ).cast("bigint")
+        ).over(w)
     )
     step = ev.select("event_id", "user_id", arr.alias("_a"))
     n = F.size("_a")

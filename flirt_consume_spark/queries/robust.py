@@ -148,9 +148,14 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the exact medians for GK sketches (agg_approx_percentile)
     and keep the same three-pass shape. The classical 1.4826
     consistency factor is omitted (threshold is 3·MAD directly)."""
+    from flirt_consume_spark.queries.base import finite_or_fail
+
     ev = t(spark, sf_dir, "events")
     v = ev.select(
-        "event_type", F.floor(F.col("value") * 1e6).cast("bigint").alias("vq")
+        "event_type",
+        F.floor(finite_or_fail(F.col("value"), "agg_mad_outliers") * 1e6)
+        .cast("bigint")
+        .alias("vq"),
     )
     med = v.groupBy("event_type").agg(F.median("vq").alias("m"))
     dev = v.join(F.broadcast(med), "event_type").select(

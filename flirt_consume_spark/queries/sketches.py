@@ -177,10 +177,14 @@ def time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
+    from flirt_consume_spark.queries.base import finite_or_fail
+
     v = ev.select(
         "event_type",
         F.expr(f"unix_micros(ts) DIV {_BAR_US}").alias("bar"),
-        F.floor(F.col("value") * 1e6).cast("bigint").alias("vq"),
+        F.floor(finite_or_fail(F.col("value"), "time_ohlc") * 1e6)
+        .cast("bigint")
+        .alias("vq"),
         key.alias("k"),
     )
     return v.groupBy("event_type", "bar").agg(

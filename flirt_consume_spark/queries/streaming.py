@@ -46,8 +46,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_tumbling",
     oracle=f"""
-    SELECT strftime(TIMESTAMP '1970-01-01'
-             + (epoch_us(ts) // {_WIN_US}) * 300 * INTERVAL 1 SECOND,
+    SELECT strftime(to_timestamp((epoch_us(ts)
+               - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
+             // 1000000),
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt,
@@ -65,8 +66,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding",
     oracle=f"""
-    SELECT strftime(TIMESTAMP '1970-01-01'
-             + ((epoch_us(ts) // {_WIN_US}) - k) * 300 * INTERVAL 1 SECOND,
+    SELECT strftime(to_timestamp(((epoch_us(ts)
+                - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
+              // 1000000) - k * 300),
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt
@@ -122,13 +124,14 @@ _BAR_US = 900 * 1_000_000  # 15-minute OHLC bars, epoch-aligned
     oracle=f"""
     WITH v AS (
       SELECT event_type,
-             epoch_us(ts) // {_BAR_US} AS bar,
+             (epoch_us(ts)
+              - ((epoch_us(ts) % {_BAR_US}) + {_BAR_US}) % {_BAR_US})
+             // {_BAR_US} AS bar,
              CAST(floor(value * 1e6) AS BIGINT) AS vq,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
       FROM events)
-    SELECT strftime(TIMESTAMP '1970-01-01'
-             + bar * 900 * INTERVAL 1 SECOND,
+    SELECT strftime(to_timestamp(bar * 900),
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            arg_min(vq, k) AS open_q,

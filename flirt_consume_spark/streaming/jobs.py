@@ -189,7 +189,11 @@ def ohlc_agg(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
-    vq = F.floor(F.col("value") * 1e6).cast("bigint")
+    from flirt_consume_spark.queries.base import finite_or_fail
+
+    vq = F.floor(finite_or_fail(F.col("value"), "ohlc_agg") * 1e6).cast(
+        "bigint"
+    )
     step = src.select("ts", "event_type", vq.alias("_vq"), key.alias("_k"))
     return (
         step.groupBy(F.window("ts", width).alias("win"), "event_type")

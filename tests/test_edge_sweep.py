@@ -91,3 +91,112 @@ def test_degenerate_input_no_crash(spark, degenerate_dir, key):
     df.write.format("noop").mode("overwrite").save()
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_nonfinite_rejects_loudly(spark, tmp_path):
+    """Round-10 nonfinite-mirror contract: a NaN/Inf measure entering
+    an exact-decimal quantization FAILS THE ACTION with the shared
+    guard message instead of silently leaking the floor-saturated
+    LongMax/LongMin sentinel into order statistics (the original
+    behavior: one Inf event placed 9.2e18 into time_ohlc's high_q)."""
+    import pytest
+
+    d = make_degenerate(SF, str(tmp_path), "nonfinite")
+    with pytest.raises(Exception, match="non-finite measure value"):
+        REGISTRY["time_ohlc"].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    # The oracle rejects the same input (DuckDB CAST refuses NaN/Inf):
+    # loud on both engines, uniform contract.
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS FROM read_parquet('{d}/events.parquet')"
+    )
+    with pytest.raises(Exception, match="[Cc]an't be cast|Conversion"):
+        con.execute(
+            "SELECT CAST(floor(value * 1e6) AS BIGINT) FROM events"
+        ).fetchall()
+
+
+def test_nonfinite_reject_classifier_is_strict(spark, monkeypatch):
+    """ADVICE r9 contract applied to the EXPECTED-REJECT path: a
+    rejected key whose exception does NOT carry one of the pinned
+    markers must still classify as CRASH — never silently absorbed."""
+    from dataclasses import dataclass
+
+    import flirt_consume_spark.queries as q
+    from tools.edge_sweep import NONFINITE_REJECTS, run_sweep
+
+    assert "time_ohlc" in NONFINITE_REJECTS
+
+    @dataclass
+    class Shim:
+        fn: object
+
+    def boom(spark_, sf_dir_):
+        raise ValueError("entirely unrelated failure")
+
+    monkeypatch.setitem(q.REGISTRY, "time_ohlc", Shim(fn=boom))
+    res = run_sweep(spark, SF, ["time_ohlc"], mode="nonfinite")
+    assert res["time_ohlc"]["status"] == "CRASH"
+
+
+def test_levenshtein_engine_divergence_pinned(spark):
+    """Documented engine boundary (unicode mirror, llm_editdist):
+    Spark's levenshtein counts CODEPOINTS, DuckDB's counts BYTES —
+    identical on ASCII (all real-data parity), divergent on
+    multibyte text. Pinned so the divergence is a known constant,
+    not a surprise."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s = "日本語の文書"  # 6 codepoints, 18 UTF-8 bytes
+    got = (
+        spark.range(1)
+        .select(F.levenshtein(F.lit(s), F.lit("")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == 6
+    duck = duckdb.connect().execute(
+        "SELECT levenshtein(?, '')", [s]
+    ).fetchone()[0]
+    assert duck == 18
+
+
+def test_percentile_nan_convention_divergence_pinned(spark):
+    """Documented engine boundary (nonfinite mirror: agg_percentile /
+    agg_approx_percentile FAIL_VALUES): Spark's percentile DEFINES
+    NaN as the greatest value (median([0,1,2,NaN]) = 1.5 at rank
+    h = 1.5 over four values, deterministic), while DuckDB 1.0's
+    quantile_cont over NaN-bearing data is NOT consistent with its
+    own ORDER BY (which sorts NaN last): p25 of the same four values
+    interpolates finitely (0.75) but p50 returns NaN even though the
+    h = 1.5 bracket (1.0, 2.0) contains no NaN — a selection-
+    algorithm artifact, observed group-dependently on the mirror
+    (some groups finite-but-shifted, some NaN). Unreconcilable by
+    rounding; NaN measures are outside these keys' domain contract
+    (real-data and all-NULL-mirror parity hold on both engines)."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (float("nan"),)], "x double"
+    )
+    got = df.agg(F.percentile("x", F.lit(0.5)).alias("p")).collect()[0]["p"]
+    assert got == 1.5  # NaN included as greatest: h over 4 values
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt (x DOUBLE)")
+    con.execute(
+        "INSERT INTO tt VALUES (0.0),(1.0),(2.0),(CAST('nan' AS DOUBLE))"
+    )
+    p25, p50 = con.execute(
+        "SELECT quantile_cont(x, 0.25), quantile_cont(x, 0.5) FROM tt"
+    ).fetchone()
+    assert p25 == 0.75  # finite bracket interpolates fine...
+    assert math.isnan(p50)  # ...but the (1,2) bracket still yields NaN

@@ -327,7 +327,43 @@ def make_degenerate(
     return out
 
 
-def run_sweep(spark, sf_dir: str, keys: list[str]) -> dict:
+#: nonfinite-mirror contract: a NaN/±Inf measure entering an
+#: exact-decimal quantization FAILS THE ACTION LOUDLY on both engines
+#: (Spark: the shared finite_or_fail guard or a downstream ANSI long
+#: overflow of the saturated sentinel; DuckDB: CAST refuses the
+#: non-finite double). These keys are therefore EXPECTED-REJECT on
+#: the nonfinite mirror, matched STRICTLY on (mode, key, marker) —
+#: any other exception on the same key still reports CRASH.
+NONFINITE_REJECTS: set = {
+    # 29 ANSI long-overflow rejections (sum/multiply of the floor-
+    # saturated sentinel):
+    "agg_cuped", "agg_delta_method", "agg_skew_kurt", "agg_stats",
+    "agg_time_weighted", "attribution_touch", "emb_covariance",
+    "emb_kmeans", "emb_mmr", "emb_pca_project", "emb_power_iteration",
+    "join_dpp", "join_salted", "llm_ann_ivf", "llm_centroid",
+    "llm_semdedup", "stream_dedup", "stream_session", "stream_static",
+    "stream_tumbling", "time_autocorr", "time_cusum",
+    "time_downsample", "time_seasonal", "win_drawdown", "win_ewma",
+    "win_range_hour", "win_rolling", "win_zscore",
+    # 5 explicit finite_or_fail guards (order-statistic paths that
+    # would otherwise LEAK the saturated sentinel silently):
+    "win_rolling_median", "time_ohlc", "agg_mad_outliers",
+    "emb_quantize", "stream_ohlc",
+}
+
+NONFINITE_REJECT_MARKERS = (
+    "non-finite measure value",  # finite_or_fail raise text
+    "ARITHMETIC_OVERFLOW",       # Spark ANSI long overflow
+    "NUMERIC_VALUE_OUT_OF_RANGE",  # ANSI decimal reject of the sentinel
+    # (which ANSI class fires first is plan/task-order dependent; all
+    # are value rejections of the floor-saturated non-finite input)
+    "SparkArithmeticException",  # same, wrapped by stage materialization
+)
+
+
+def run_sweep(
+    spark, sf_dir: str, keys: list[str], mode: str = ""
+) -> dict:
     from flirt_consume_spark.queries import REGISTRY
 
     results: dict[str, dict] = {}
@@ -345,11 +381,20 @@ def run_sweep(spark, sf_dir: str, keys: list[str]) -> dict:
         except Exception as exc:  # noqa: BLE001 — classification is the point
             msg = f"{type(exc).__name__}: {exc}"
             expected = k in EXPECTED_GUARDS and EXPECTED_GUARDS[k] in msg
+            reject = (
+                mode == "nonfinite"
+                and k in NONFINITE_REJECTS
+                and any(m in msg for m in NONFINITE_REJECT_MARKERS)
+            )
             results[k] = {
-                "status": "EXPECTED-GUARD" if expected else "CRASH",
+                "status": (
+                    "EXPECTED-GUARD"
+                    if expected
+                    else "EXPECTED-REJECT" if reject else "CRASH"
+                ),
                 "error": msg[:500],
             }
-            if not expected:
+            if not expected and not reject:
                 results[k]["trace"] = traceback.format_exc()[-2000:]
         results[k]["sec"] = round(time.time() - t0, 2)
     return results
@@ -379,13 +424,15 @@ def main() -> int:
     rc = 0
     for mode in args.mode.split(","):
         sf_dir = make_degenerate(args.base, args.out_root, mode, args.seed)
-        res = run_sweep(spark, sf_dir, keys)
+        res = run_sweep(spark, sf_dir, keys, mode=mode)
         report[mode] = res
         crashes = {k: v for k, v in res.items() if v["status"] == "CRASH"}
         ok = sum(1 for v in res.values() if v["status"] == "OK")
         print(
             f"[{mode}] OK={ok} EXPECTED-GUARD="
             f"{sum(1 for v in res.values() if v['status'] == 'EXPECTED-GUARD')}"
+            f" EXPECTED-REJECT="
+            f"{sum(1 for v in res.values() if v['status'] == 'EXPECTED-REJECT')}"
             f" CRASH={len(crashes)}",
             flush=True,
         )
