@@ -342,10 +342,13 @@ def user_running_totals(events: DataFrame, watermark: str = "60 minutes") -> Dat
 
 def run_to_memory(
     sdf: DataFrame, name: str, checkpoint: str, output_mode: str = "append"
-) -> None:
+) -> list:
     """Drain a stream into an in-memory table with availableNow
     (process-everything-then-stop — the reference's one-shot monthly
-    consume run)."""
+    consume run). Returns the per-micro-batch state-operator metrics
+    (list of stateOperators dicts from each progress event) so tests
+    can ASSERT state bounds per batch — numRowsTotal, memory/RocksDB
+    state bytes — instead of inferring them."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -355,6 +358,12 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    metrics = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") if isinstance(p, dict) else None
+        if ops:
+            metrics.append(ops)
+    return metrics
 
 
 def write_monthly_sink(
