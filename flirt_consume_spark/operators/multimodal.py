@@ -151,6 +151,97 @@ def _build_decoder():
             rows.append(bytes(rgb))
         return (w, h, "RGB", mean_luma(rows, w, h))
 
+    def decode_png(data: bytes):
+        # Non-interlaced 8-bit PNG via stdlib zlib: IHDR/IDAT walk,
+        # inflate, per-row unfilter (None/Sub/Up/Average/Paeth per the
+        # PNG spec §9), then exact integer luma. Greyscale (0), RGB
+        # (2), grey+alpha (4) and RGBA (6) — the common corpus
+        # formats; palette/16-bit/interlaced raise ValueError so the
+        # chain falls through to the loud stub.
+        import struct
+        import zlib
+
+        if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+            raise ValueError("not a PNG")
+        pos = 8
+        w = h = bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(data):
+            length, ctype = struct.unpack_from(">I4s", data, pos)
+            chunk = data[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                (w, h, bit_depth, color_type, _comp, _filt, interlace) = (
+                    struct.unpack(">IIBBBBB", chunk)
+                )
+            elif ctype == b"IDAT":
+                idat += chunk
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + CRC
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if bit_depth != 8 or channels is None or interlace != 0:
+            raise ValueError(
+                f"PNG depth={bit_depth}/color={color_type}/"
+                f"interlace={interlace} unsupported (8-bit "
+                "grey/RGB/LA/RGBA, non-interlaced only)"
+            )
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG raster")
+        prev = bytearray(stride)
+        rows = []
+        rpos = 0
+        for _y in range(h):
+            ft = raw[rpos]
+            line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+            rpos += 1 + stride
+            if ft == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad PNG filter type {ft}")
+            rows.append(bytes(line))
+            prev = line
+        if color_type == 2:
+            return (w, h, "RGB", mean_luma(rows, w, h))
+        if color_type == 6:  # strip alpha for luma
+            rgb = [
+                bytes(
+                    byte
+                    for x in range(w)
+                    for byte in r[4 * x : 4 * x + 3]
+                )
+                for r in rows
+            ]
+            return (w, h, "RGBA", mean_luma(rgb, w, h))
+        if color_type == 0:
+            return (w, h, "L", sum(sum(r) for r in rows) // (w * h))
+        total = sum(r[2 * x] for r in rows for x in range(w))
+        return (w, h, "LA", total // (w * h))
+
     def decode(data: bytes, _pil=_PILImage, _has_pil=HAS_PIL):
         # With pillow: real decode of any PIL-readable format +
         # 8x8-thumbnail mean luminance. Without it: pure-Python decode
@@ -166,24 +257,24 @@ def _build_decoder():
             luma = img.convert("L").resize((8, 8))
             pixels = list(luma.getdata())
             return (img.width, img.height, img.mode, sum(pixels) // len(pixels))
-        for pure in (decode_ppm, decode_bmp):
+        for pure in (decode_png, decode_ppm, decode_bmp):
             try:
                 return pure(data)
             except ValueError:
                 continue
         raise NotImplementedError(
             "media decoding for this format needs pillow (not in this "
-            "container); pure-Python P6 PPM / 24-bit BMP decode and "
-            "extract_features' byte-level features are the tested "
-            "paths here"
+            "container); pure-Python PNG (8-bit, non-interlaced) / P6 "
+            "PPM / 24-bit BMP decode and extract_features' byte-level "
+            "features are the tested paths here"
         )
 
-    return decode, decode_ppm, decode_bmp
+    return decode, decode_png, decode_ppm, decode_bmp
 
 
 #: decode_image(data) -> (width, height, mode, mean_luma); the pure
 #: single-format decoders are exposed for direct unit testing.
-decode_image, decode_ppm, decode_bmp = _build_decoder()
+decode_image, decode_png, decode_ppm, decode_bmp = _build_decoder()
 
 
 DECODE_SCHEMA = StructType(

@@ -517,6 +517,9 @@ def _nullsafe_equi_join(
     rows would surface with NULL key columns instead of their actual
     keys (real USING coalesces left/right keys).
     """
+    # Spark accepts several spellings per join type; normalize before
+    # the membership check so 'left_outer'/'leftouter' aren't rejected.
+    how = {"left_outer": "left", "leftouter": "left"}.get(how, how)
     if how not in ("inner", "left"):
         raise ValueError(
             f"_nullsafe_equi_join: how={how!r} unsupported — right-side "

@@ -85,6 +85,37 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #     independent live-code evidence via the pytest stream==batch
 #     equivalence suite, so their driver rows are the least
 #     informative to refresh; they rotate first next round.
+#   round 11 (this list): pure staleness refresh per VERDICT r10 task
+#     1 — after this window lands, no key's latest external row
+#     predates round 6. Front slots: the keys whose query/oracle TEXT
+#     changed this round (win_bollinger + agg_ols decimal widenings;
+#     stream_tumbling/stream_sliding/stream_ohlc timezone-free oracle
+#     rewrites — the first two are also the r4-stalest rows). Then the
+#     remaining r4-vintage streaming keys (rotated out of round 10 by
+#     design, stalest in the registry), then ALL 42 r5-vintage keys.
+_ROUND11_WINDOW = [
+    # changed this round (oracle/query text):
+    "win_bollinger", "agg_ols",
+    "stream_tumbling", "stream_sliding", "stream_ohlc",
+    # r4-vintage staleness backfill (the streaming family)
+    "stream_dedup", "stream_session", "stream_static",
+    # r5-vintage staleness backfill — the complete set, registry order
+    "agg_bitmap_distinct", "agg_bitmap_intersect", "agg_grouping_sets",
+    "agg_mad_outliers", "agg_sketch_merge", "agg_time_weighted",
+    "cdc_apply", "cohort_retention", "emb_kmeans", "emb_quantize",
+    "graph_pagerank", "graph_triangles", "join_asof_nearest",
+    "join_bloom", "join_colocated", "join_geo", "llm_chunk",
+    "llm_contaminate", "llm_corpus_pipeline", "llm_dataset_card",
+    "llm_heavy_hitters", "llm_inverted_index", "llm_rarity",
+    "llm_tfidf", "pareto_frontier", "profile_table", "sample_mixture",
+    "scan_badrecords", "scan_evolve", "scan_orc", "scan_pyds",
+    "scd2_lookup", "sink_merge", "sink_zorder", "snapshot_diff",
+    "sql_exists", "time_gap_fill", "time_islands", "time_ohlc",
+    "udf_arrow", "win_ewma", "win_running_distinct",
+]
+
+# round-10 window kept for the record (CORRECTNESS_r10.json = 50/50
+# green on exactly this list); superseded by _ROUND11_WINDOW above.
 _ROUND10_WINDOW = [
     # changed this round: tie-class fold in bucketized_weighted_quantile
     # (VERDICT r9 task 7) re-plans agg_weighted_median; the nulls-mirror
@@ -165,4 +196,4 @@ def _rotate_front(front: list[str]) -> None:
         REGISTRY[k] = snap[k]
 
 
-_rotate_front(_ROUND10_WINDOW)
+_rotate_front(_ROUND11_WINDOW)

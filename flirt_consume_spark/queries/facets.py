@@ -160,8 +160,9 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), w AS (
       SELECT flag, d, rev,
              CAST(COUNT(*) OVER win AS BIGINT) AS n,
-             CAST(SUM(rev) OVER win AS BIGINT) AS s,
-             CAST(SUM(rev * rev) OVER win AS BIGINT) AS ss
+             CAST(SUM(CAST(rev AS HUGEINT)) OVER win AS HUGEINT) AS s,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) OVER win AS HUGEINT)
+               AS ss
       FROM daily
       WINDOW win AS (PARTITION BY flag ORDER BY d
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -183,12 +184,13 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring chart draws (win_rolling's mean + an exact second
     moment in the same frame).
 
-    Exactness: the frame carries integer Σ and Σ² (whole-dollar
-    grain: floor(extendedprice) — squares of daily sums stay far
-    inside BIGINT at the driver's scale factors; at extreme scale
-    coarsen the grain one more decade, same recipe as dsum); the
-    population σ is sqrt(n·Σ²−Σ²)/n, one IEEE sqrt + division, and
-    mid/bands are the identical expression trees on both engines.
+    Exactness: the frame carries exact Σ and Σ² of whole-dollar
+    daily revenue, run in decimal(38,0) on Spark / HUGEINT on the
+    oracle (rev² passes int64 near sf17 — same widening recipe as
+    the round-7 trio; headroom now ~1e38, past sf1e9); the
+    population σ is sqrt(n·Σ²−Σ²)/n, one IEEE sqrt + division on
+    the same exact integer, and mid/bands are identical expression
+    trees on both engines.
     Scale: the fact table collapses to the calendar-bounded daily
     series first, so the windows run on constant-size partitions."""
     li = t(spark, sf_dir, "lineitem")
@@ -203,13 +205,19 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = (
         Window.partitionBy("flag").orderBy("d").rowsBetween(-6, 0)
     )
+    # rev lifted to decimal BEFORE the square: a long*long product is
+    # the first thing to overflow (~sf17); the decimal(38,0) moments
+    # are exact until n·ss ~ 1e38.
+    rev_dec = F.col("rev").cast("decimal(19,0)")
     w = daily.select(
         "flag",
         "d",
         "rev",
         F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
-        F.sum("rev").over(win).cast("bigint").alias("s"),
-        F.sum(F.col("rev") * F.col("rev")).over(win).cast("bigint").alias("ss"),
+        F.sum(rev_dec).over(win).cast("decimal(38,0)").alias("s"),
+        F.sum(rev_dec * F.col("rev")).over(win)
+        .cast("decimal(38,0)")
+        .alias("ss"),
     )
     mid = F.col("s").cast("double") / F.col("n").cast("double")
     sd = F.sqrt(

@@ -1254,9 +1254,9 @@ def join_pointpoly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT segment, COUNT(*) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
       FROM xy GROUP BY segment
     )
     SELECT segment, n,
@@ -1286,12 +1286,12 @@ def agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, outputs on floor grids. R² = corr² =
     (nΣxy−ΣxΣy)² / ((nΣxx−Σx²)(nΣyy−Σy²)) — one rational.
 
-    Units: moments accumulate in WHOLE currency units, not cents —
-    Σy² capacity is 9.2e18 / y_max² rows, and cent-units (y ≤ 5e7)
-    would overflow LONG at ~3.7k rows per group worst-case (measured
-    2.5e19 at sf0.1); dollar units hold to ~3.7e7 rows worst-case and
-    far beyond for realistic value distributions. Past that, promote
-    the two squared moments to DECIMAL(38,0) per call site."""
+    Units: x/y are WHOLE currency units (per-row products stay far
+    inside long), and the moment SUMS run in decimal(38,0) on Spark /
+    HUGEINT on the oracle — Σy² in long alone crossed int64 near
+    sf400 (capacity audit), the same widening recipe as agg_gini;
+    headroom is now ~1e38 ≈ sf4e21. The slope/R² algebra stays in
+    double off the exact sums, bit-identical cross-engine."""
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     xy = orders.join(
@@ -1301,13 +1301,14 @@ def agg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal")).cast("long").alias("x"),
         F.floor(F.col("o_totalprice")).cast("long").alias("y"),
     )
+    prod = lambda a, b: (F.col(a) * F.col(b)).cast("decimal(20,0)")  # noqa: E731
     m = xy.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(prod("x", "y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(prod("x", "x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(prod("y", "y")).cast("decimal(38,0)").alias("syy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

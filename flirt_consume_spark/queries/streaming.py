@@ -46,9 +46,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_tumbling",
     oracle=f"""
-    SELECT strftime(to_timestamp((epoch_us(ts)
-               - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
-             // 1000000),
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+               + ((epoch_us(ts)
+                   - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
+                  // 1000000) * INTERVAL 1 SECOND,
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt,
@@ -66,9 +67,10 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding",
     oracle=f"""
-    SELECT strftime(to_timestamp(((epoch_us(ts)
-                - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
-              // 1000000) - k * 300),
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+               + (((epoch_us(ts)
+                    - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
+                   // 1000000) - k * 300) * INTERVAL 1 SECOND,
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt
@@ -131,7 +133,8 @@ _BAR_US = 900 * 1_000_000  # 15-minute OHLC bars, epoch-aligned
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
       FROM events)
-    SELECT strftime(to_timestamp(bar * 900),
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+               + (bar * 900) * INTERVAL 1 SECOND,
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            arg_min(vq, k) AS open_q,

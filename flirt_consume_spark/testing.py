@@ -8,7 +8,9 @@ via repr), so a pass here implies a pass under any sane hash.
 from __future__ import annotations
 
 import datetime
+import hashlib
 import math
+import os
 import time
 
 import duckdb
@@ -19,12 +21,83 @@ from flirt_consume_spark.schemas import TABLE_NAMES
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Oracle SQL is required to be timezone-free (plain TIMESTAMP
+    # arithmetic, no to_timestamp/TIMESTAMPTZ), because the external
+    # driver runs it on a connection we don't control. Pinning UTC here
+    # is defense in depth for the local replica only.
+    con.execute("SET TimeZone='UTC'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{name}.parquet')"
         )
     return con
+
+
+def _md5_unit(tag: str) -> float:
+    """Deterministic value in [-1, 1) from an md5 tag — the same
+    no-seeded-RNG discipline as the LSH hyperplanes (operators/
+    similarity.py): reproducible across processes, hosts, rounds."""
+    h = int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+    return h / float(1 << 31) - 1.0
+
+
+def build_planted_embeddings(
+    out_dir: str,
+    n_clusters: int = 10,
+    per_cluster: int = 12,
+    dim: int = 64,
+    eps: float = 0.05,
+) -> str:
+    """Write an embeddings.parquet with PLANTED nearest neighbors.
+
+    The driver fixture's vectors are isotropic noise, so recall@k of
+    any index over it is ≈ chance by construction — fine for parity,
+    useless as a retrieval-quality measurement (VERDICT r10 task 3).
+    This builder plants ground truth: ``n_clusters`` md5-derived unit
+    centers, each with ``per_cluster`` members = normalize(center +
+    eps·noise). With eps ≪ inter-center distance, every vector's true
+    top-(per_cluster−1) neighbors are its own cluster, so a correct
+    exact kNN scores recall 1.0 and an ANN index's recall measures
+    how often its blocking keeps clusters together.
+
+    vec_id layout: member m of cluster c gets id m·n_clusters + c, so
+    ids 0..n_clusters−1 (the registry queries probe vec_id < 10) fall
+    one per cluster. label = cluster id. Schema matches the driver
+    fixture exactly (vec_id int64, embedding list<float>, label int32).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def unit(tag: str) -> list[float]:
+        v = [_md5_unit(f"{tag}/{d}") for d in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    ids, vecs, labels = [], [], []
+    for c in range(n_clusters):
+        center = unit(f"planted-center/{c}")
+        for m in range(per_cluster):
+            noise = unit(f"planted-noise/{c}/{m}")
+            raw = [a + eps * b for a, b in zip(center, noise)]
+            n = math.sqrt(sum(x * x for x in raw)) or 1.0
+            ids.append(m * n_clusters + c)
+            vecs.append([x / n for x in raw])
+            labels.append(c)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([ids[i] for i in order], pa.int64()),
+            "embedding": pa.array(
+                [vecs[i] for i in order], pa.list_(pa.float32())
+            ),
+            "label": pa.array([labels[i] for i in order], pa.int32()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    pq.write_table(tbl, path)
+    return out_dir
 
 
 def canon_value(v) -> str:

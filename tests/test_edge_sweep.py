@@ -143,6 +143,107 @@ def test_nonfinite_reject_classifier_is_strict(spark, monkeypatch):
     assert res["time_ohlc"]["status"] == "CRASH"
 
 
+def test_expected_guard_verbatim_text_classifies(spark, monkeypatch):
+    """First EXPECTED_GUARDS entry (VERDICT r10 task 7): a crash whose
+    message carries the guard's VERBATIM raise text classifies as
+    EXPECTED-GUARD — in any mode, since the guard is part of the
+    key's contract, not a mirror artifact."""
+    from dataclasses import dataclass
+
+    import flirt_consume_spark.queries as q
+    from tools.edge_sweep import EXPECTED_GUARDS, run_sweep
+
+    text = EXPECTED_GUARDS["agg_mad_outliers"]
+    # Pin the entry to the live finite_or_fail literal: a drifted
+    # guard message would silently turn every future guard trip into
+    # CRASH.
+    from flirt_consume_spark.queries.base import finite_or_fail  # noqa: F401
+
+    assert text.startswith("agg_mad_outliers: non-finite measure value")
+
+    @dataclass
+    class Shim:
+        fn: object
+
+    def guarded(spark_, sf_dir_):
+        raise RuntimeError(f"[USER_RAISED_EXCEPTION] {text}")
+
+    monkeypatch.setitem(q.REGISTRY, "agg_mad_outliers", Shim(fn=guarded))
+    res = run_sweep(spark, SF, ["agg_mad_outliers"], mode="nonfinite")
+    assert res["agg_mad_outliers"]["status"] == "EXPECTED-GUARD"
+
+
+def test_expected_guard_nonmatching_crash_stays_crash(spark, monkeypatch):
+    """The EXPECTED_GUARDS docstring's negative half: an exception on
+    a guarded key that does NOT carry the verbatim text must still
+    report CRASH — the entry is not a blanket absolution."""
+    from dataclasses import dataclass
+
+    import flirt_consume_spark.queries as q
+    from tools.edge_sweep import run_sweep
+
+    @dataclass
+    class Shim:
+        fn: object
+
+    def boom(spark_, sf_dir_):
+        raise ValueError("agg_mad_outliers: some OTHER arithmetic bug")
+
+    monkeypatch.setitem(q.REGISTRY, "agg_mad_outliers", Shim(fn=boom))
+    res = run_sweep(spark, SF, ["agg_mad_outliers"], mode="empty")
+    assert res["agg_mad_outliers"]["status"] == "CRASH"
+
+
+def test_expected_guard_fires_for_real_on_nonfinite(spark, tmp_path):
+    """End-to-end: the actual agg_mad_outliers plan on the nonfinite
+    mirror raises the exact EXPECTED_GUARDS text (not just a shim)."""
+    from tools.edge_sweep import EXPECTED_GUARDS, run_sweep
+
+    d = make_degenerate(SF, str(tmp_path), "nonfinite")
+    res = run_sweep(spark, d, ["agg_mad_outliers"], mode="nonfinite")
+    assert res["agg_mad_outliers"]["status"] == "EXPECTED-GUARD", res
+    assert (
+        EXPECTED_GUARDS["agg_mad_outliers"][:40]
+        in res["agg_mad_outliers"]["error"]
+    )
+
+
+def test_nonfinite_mirror_preserves_null_rows(tmp_path):
+    """ADVICE r10: poison injection must not erase pre-existing NULLs
+    (to_pandas renders NULL as NaN; the validity mask restores them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.edge_sweep import make_degenerate as mk
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import shutil as sh
+
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        sh.copy(f"{SF}/{name}.parquet", src / f"{name}.parquet")
+    ev = pq.read_table(f"{SF}/events.parquet")
+    idx = ev.schema.get_field_index("value")
+    n = ev.num_rows
+    # Null out every 7th value row, then mirror.
+    vals = ev.column(idx).to_pylist()
+    nulled = [None if j % 7 == 0 else v for j, v in enumerate(vals)]
+    ev = ev.set_column(
+        idx, ev.schema.field(idx), pa.array(nulled, ev.schema.field(idx).type)
+    )
+    pq.write_table(ev, src / "events.parquet")
+    out = mk(str(src), str(tmp_path / "out"), "nonfinite")
+    got = pq.read_table(f"{out}/events.parquet").column("value")
+    import pyarrow.compute as pc
+
+    assert pc.sum(pc.is_null(got)).as_py() == sum(
+        1 for j in range(n) if j % 7 == 0
+    )
+
+
 def test_levenshtein_engine_divergence_pinned(spark):
     """Documented engine boundary (unicode mirror, llm_editdist):
     Spark's levenshtein counts CODEPOINTS, DuckDB's counts BYTES —

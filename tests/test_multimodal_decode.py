@@ -120,3 +120,151 @@ def test_decode_assets_through_spark(spark):
     if not HAS_PIL:
         assert got[1].mean_luma == _EXPECT_LUMA
         assert got[2].mean_luma == _EXPECT_LUMA
+
+
+# --- PNG (VERDICT r10 task 4: stdlib-zlib decode) -------------------------
+
+
+def make_png(
+    w: int,
+    h: int,
+    pixels,
+    color_type: int = 2,
+    filters=None,
+) -> bytes:
+    """Spec-faithful PNG encoder for tests: applies the REQUESTED
+    filter type per row (so decode exercises every unfilter branch),
+    deflates with stdlib zlib, emits IHDR/IDAT/IEND with real CRCs."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * channels
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = bytes(
+            byte for px in pixels[y * w : (y + 1) * w] for byte in px
+        )
+        ft = filters[y]
+        out = bytearray(line)
+        if ft == 1:  # Sub
+            for i in range(stride - 1, channels - 1, -1):
+                out[i] = (out[i] - line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                out[i] = (out[i] - prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                out[i] = (out[i] - (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[i] = (out[i] - pred) & 0xFF
+        raw.append(ft)
+        raw += out
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_exact_all_filters():
+    from flirt_consume_spark.operators.multimodal import decode_png
+
+    # Filter type 0 baseline:
+    assert decode_png(make_png(2, 2, _PIXELS)) == (2, 2, "RGB", _EXPECT_LUMA)
+    # A 5-row image exercising every filter type (0..4) — pixel data
+    # varied so each predictor actually predicts something nonzero.
+    px = [(r * 37 % 256, (r * 59 + 11) % 256, (r * 83 + 7) % 256)
+          for r in range(10)]
+    data = make_png(2, 5, px, filters=[0, 1, 2, 3, 4])
+    w, h, mode, luma = decode_png(data)
+    expect = sum(
+        (299 * r + 587 * g + 114 * b) // 1000 for r, g, b in px
+    ) // 10
+    assert (w, h, mode, luma) == (2, 5, "RGB", expect)
+
+
+def test_png_rgba_grey_and_la_modes():
+    from flirt_consume_spark.operators.multimodal import decode_png
+
+    rgba = [(255, 0, 0, 10), (0, 255, 0, 20), (0, 0, 255, 30),
+            (255, 255, 255, 40)]
+    assert decode_png(
+        make_png(2, 2, rgba, color_type=6, filters=[1, 4])
+    ) == (2, 2, "RGBA", _EXPECT_LUMA)  # alpha ignored for luma
+    grey = [(10,), (20,), (30,), (40,)]
+    assert decode_png(make_png(2, 2, grey, color_type=0)) == (2, 2, "L", 25)
+    la = [(10, 1), (20, 2), (30, 3), (40, 4)]
+    assert decode_png(
+        make_png(2, 2, la, color_type=4, filters=[2, 3])
+    ) == (2, 2, "LA", 25)
+
+
+def test_png_rejects_unsupported_and_truncated():
+    from flirt_consume_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no IHDR
+    good = make_png(2, 2, _PIXELS)
+    # Corrupt the bit depth to 16 in IHDR (offset 8+8+8 = byte 24).
+    bad = bytearray(good)
+    bad[24] = 16
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # Truncated raster: drop the last row from the inflate stream.
+    import struct as _s
+    import zlib as _z
+
+    raw = bytearray()
+    raw.append(0)
+    raw += bytes(b for p in _PIXELS[:2] for b in p)  # one row only
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data)))
+
+    short = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(short)
+
+
+def test_png_through_spark_mapinpandas(spark):
+    """Done-bar for VERDICT r10 task 4: a synthesized PNG decodes
+    bit-exactly on the mapInPandas path (exact luma asserted on the
+    pure path; with pillow present sizes still must match)."""
+    rows = [
+        (1, bytearray(make_png(2, 2, _PIXELS, filters=[1, 2]))),
+        (2, bytearray(make_ppm(2, 2, _PIXELS))),
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {r.doc_id: r for r in decode_assets(assets).collect()}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert (got[2].width, got[2].height) == (2, 2)
+    if not HAS_PIL:
+        assert got[1].mode == "RGB"
+        assert got[1].mean_luma == _EXPECT_LUMA
+        assert got[2].mean_luma == _EXPECT_LUMA

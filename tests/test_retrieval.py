@@ -670,3 +670,48 @@ def test_mmr_matches_greedy_reference(spark):
         return tot / n
 
     assert avg_pair_dot(sel) <= avg_pair_dot(toprel)
+
+
+# --- planted-neighbor ANN recall (VERDICT r10 task 3) ---------------------
+
+
+def test_emb_recall_eval_measures_real_retrieval(spark, tmp_path):
+    """On the driver fixture recall@3 ≈ chance by construction
+    (isotropic vectors have no true neighbors), so the oracle-parity
+    pass only proved STRUCTURE. This test points the same query at a
+    planted-neighbor fixture (md5-derived cluster centers + bounded
+    perturbation — the LSH planes' determinism discipline, so the
+    measurement is exact and stable): every query's true top-3 are its
+    own cluster, and the LSH index must actually find them.
+
+    Measured on the shipped builder defaults (10 clusters × 12
+    members, eps=0.05, the registry's 8-plane/256-bucket index):
+    28/30 hits — one cluster straddles a hyperplane and splits across
+    buckets, which is exactly the failure mode recall@k exists to
+    quantify. Pinned exactly (deterministic), with ≥0.8 as the
+    contract bound so a plane-count change doesn't silently gut the
+    index."""
+    from flirt_consume_spark.testing import build_planted_embeddings
+
+    d = build_planted_embeddings(str(tmp_path / "planted"))
+    rows = REGISTRY["emb_recall_eval"].fn(spark, d).collect()
+    assert len(rows) == 10
+    total_hits = sum(r["n_hit"] for r in rows)
+    assert total_hits == 28  # deterministic: md5 fixture + md5 planes
+    mean_recall = sum(r["recall_at_3"] for r in rows) / len(rows)
+    assert mean_recall >= 0.8  # ≫ chance (~0.02 on 256 buckets)
+
+
+def test_planted_fixture_ground_truth_holds(spark, tmp_path):
+    """The planting itself must be sound: exact cosine top-3 of every
+    probe query is SAME-CLUSTER (vec_id ≡ cluster mod n_clusters), so
+    recall against it measures the index, not fixture noise."""
+    from flirt_consume_spark.operators import similarity as S
+    from flirt_consume_spark.testing import build_planted_embeddings
+
+    d = build_planted_embeddings(str(tmp_path / "planted"))
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    exact = S.knn_exact(emb, list(range(10)), k=3).collect()
+    assert len(exact) == 30
+    for r in exact:
+        assert r["neighbor_id"] % 10 == r["query_id"] % 10

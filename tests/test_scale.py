@@ -391,5 +391,7 @@ def test_nullsafe_equi_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer", "left_anti"):
         with pytest.raises(ValueError, match="unsupported"):
             _nullsafe_equi_join(left, right, ["k"], how=how)
-    # inner and left still work.
-    assert _nullsafe_equi_join(left, right, ["k"], how="left").count() == 1
+    # inner and left still work — including Spark's equivalent
+    # spellings of left (ADVICE r10: aliases must not be rejected).
+    for how in ("left", "left_outer", "leftouter"):
+        assert _nullsafe_equi_join(left, right, ["k"], how=how).count() == 1

@@ -127,7 +127,7 @@ PROBES: dict[str, tuple[str, str, str]] = {
         SELECT MAX(GREATEST(abs(sxy), sxx, syy)) FROM m
         """,
         "whole-dollar moment sums, rows linear: ~sf (slope is double)",
-        "int64",
+        "dec38",  # widened r11: moment sums in decimal(38,0)
     ),
     # Rank x cents Gini sum: rank grows with group size -> ~sf^2 sum,
     # and (n+1)*sx adds another factor. Widened to decimal in round 7.
@@ -175,7 +175,7 @@ PROBES: dict[str, tuple[str, str, str]] = {
         SELECT MAX(GREATEST(n*ss, s*s)) FROM w
         """,
         "daily rev linear, frame fixed: ~sf^2",
-        "int64",
+        "dec38",  # widened r11: rev² + frame moments in decimal(38,0)
     ),
     # KS cross-multiplies: cumulative counts x totals <= N^2.
     "audit_ks": (

@@ -89,14 +89,24 @@ TABLES = (
 #: entry here must cite why empty input is a contract violation
 #: rather than a silently-empty result.
 #:
-#: Contract for the first entry that lands here: the value must be
-#: the guard's raise text VERBATIM (e.g. the exact F.raise_error
-#: literal), not a generic substring — the classifier matches by
-#: substring, so a loose value like "error" would silently
-#: reclassify ANY crash on that key as expected. Pair the entry with
-#: a tests/test_edge_sweep.py case asserting a NON-matching
+#: Contract: the value must be the guard's raise text VERBATIM (the
+#: exact F.raise_error literal), not a generic substring — the
+#: classifier matches by substring, so a loose value like "error"
+#: would silently reclassify ANY crash on that key as expected. Each
+#: entry is paired with tests/test_edge_sweep.py cases asserting (a)
+#: the verbatim text classifies EXPECTED-GUARD and (b) a NON-matching
 #: exception on the same key still reports CRASH.
-EXPECTED_GUARDS: dict[str, str] = {}
+EXPECTED_GUARDS: dict[str, str] = {
+    # agg_mad_outliers quantizes events.value into exact decimals for
+    # the order-statistic MAD; a NaN/Inf measure would silently leak
+    # the floor-saturated LongMax sentinel into the median, so the
+    # in-plan finite_or_fail guard fails the action deliberately.
+    "agg_mad_outliers": (
+        "agg_mad_outliers: non-finite measure value (NaN/Inf) — "
+        "exact-decimal quantization rejects it; filter or "
+        "repair upstream"
+    ),
+}
 
 #: Columns collapsed to their first value in ``skew`` mode: FKs,
 #: dimensions, event time, and content payloads. PKs (and lineitem's
@@ -243,12 +253,20 @@ def _random_mirror_table(name, tbl, mode: str, seed: int):
             changed = True
         elif mode == "nonfinite" and f.name in NONFINITE_COLS.get(name, ()):
             if pa.types.is_floating(f.type):
+                # Capture validity BEFORE to_pandas: the conversion
+                # renders NULL as NaN, which would silently turn every
+                # originally-NULL row into injected poison and erase
+                # the NULL/NaN distinction the NULL-skip contracts are
+                # exercised against (ADVICE r10).
+                null_mask = pc.is_null(col.combine_chunks()).to_numpy(
+                    zero_copy_only=False
+                )
                 vals = np.asarray(col.to_pandas(), dtype="float64")
                 cls = rng.integers(0, 10, size=n)
                 vals = np.where(cls == 0, np.nan, vals)
                 vals = np.where(cls == 1, np.inf, vals)
                 vals = np.where(cls == 2, -np.inf, vals)
-                col = pa.array(vals, type=f.type)
+                col = pa.array(vals, type=f.type, mask=null_mask)
             else:  # list<float>: poison one coordinate of ~30% of rows
                 lst = col.to_pylist()
                 for j in range(n):
@@ -345,9 +363,11 @@ NONFINITE_REJECTS: set = {
     "stream_tumbling", "time_autocorr", "time_cusum",
     "time_downsample", "time_seasonal", "win_drawdown", "win_ewma",
     "win_range_hour", "win_rolling", "win_zscore",
-    # 5 explicit finite_or_fail guards (order-statistic paths that
-    # would otherwise LEAK the saturated sentinel silently):
-    "win_rolling_median", "time_ohlc", "agg_mad_outliers",
+    # 4 explicit finite_or_fail guards (order-statistic paths that
+    # would otherwise LEAK the saturated sentinel silently);
+    # agg_mad_outliers graduated to EXPECTED_GUARDS (verbatim-text
+    # classification) as the first entry of that stricter tier:
+    "win_rolling_median", "time_ohlc",
     "emb_quantize", "stream_ohlc",
 }
 
@@ -356,8 +376,12 @@ NONFINITE_REJECT_MARKERS = (
     "ARITHMETIC_OVERFLOW",       # Spark ANSI long overflow
     "NUMERIC_VALUE_OUT_OF_RANGE",  # ANSI decimal reject of the sentinel
     # (which ANSI class fires first is plan/task-order dependent; all
-    # are value rejections of the floor-saturated non-finite input)
-    "SparkArithmeticException",  # same, wrapped by stage materialization
+    # are value rejections of the floor-saturated non-finite input.
+    # The bare exception CLASS name deliberately does NOT appear here:
+    # matching "SparkArithmeticException" would classify ANY
+    # arithmetic failure — an unrelated overflow bug included — as
+    # expected; the error-class strings above already cover the
+    # wrapped cases, ADVICE r10.)
 )
 
 
