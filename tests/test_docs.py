@@ -41,30 +41,47 @@ def test_entry_point_exposes_full_registry():
     assert set(o) == {k for k, s in REGISTRY.items() if s.oracle}
 
 
-def test_driver_window_is_round10():
+def test_driver_window_is_round11():
     """VERDICT r7 #8: the active rotation must match the documented round.
 
-    The round-10 window is pure staleness refresh (VERDICT r9 task 2):
-    changed-this-round keys first, then the 15 r3-vintage keys (the
-    registry's stalest external evidence), then the stalest r4-vintage
-    keys; every name must resolve (typos would silently waste the
-    driver's 50-key sample).
+    The round-11 window finishes the staleness drain (VERDICT r10 task
+    1): changed-this-round keys first (the two decimal widenings + the
+    three timezone-free oracle rewrites), then the remaining r4-vintage
+    streaming keys, then ALL 42 r5-vintage keys — after this window no
+    key's latest external driver row predates round 6. Every name must
+    resolve (typos would silently waste the driver's 50-key sample).
     """
-    from flirt_consume_spark.queries import _ROUND10_WINDOW
+    from flirt_consume_spark.queries import _ROUND11_WINDOW
 
-    assert len(_ROUND10_WINDOW) == 50
-    assert len(set(_ROUND10_WINDOW)) == 50, "window repeats a key"
-    assert _ROUND10_WINDOW[0] == "agg_weighted_median", (
-        "the key whose operator changed this round leads the window"
-    )
-    # the full r3-vintage backlog (stalest driver rows) is in the window
-    r3_backlog = {
-        "agg_collect", "array_ops", "geo_haversine", "join_asof_fwd",
-        "json_extract", "map_ops", "math_scalar", "set_diff",
-        "str_normalize", "str_regex", "time_bucket", "time_duration",
-        "time_normalize", "unpivot_long", "win_firstlast",
+    assert len(_ROUND11_WINDOW) == 50
+    assert len(set(_ROUND11_WINDOW)) == 50, "window repeats a key"
+    assert _ROUND11_WINDOW[:5] == [
+        "win_bollinger", "agg_ols",
+        "stream_tumbling", "stream_sliding", "stream_ohlc",
+    ], "keys whose query/oracle text changed this round lead the window"
+    # The complete sub-r6 staleness backlog is in the window: the five
+    # r4-vintage streaming keys plus all 42 r5-vintage keys.
+    r4_backlog = {
+        "stream_dedup", "stream_session", "stream_sliding",
+        "stream_static", "stream_tumbling",
     }
-    assert r3_backlog <= set(_ROUND10_WINDOW)
-    assert list(REGISTRY)[:50] == _ROUND10_WINDOW, (
-        "REGISTRY insertion order must start with the round-10 window"
+    r5_backlog = {
+        "agg_bitmap_distinct", "agg_bitmap_intersect",
+        "agg_grouping_sets", "agg_mad_outliers", "agg_sketch_merge",
+        "agg_time_weighted", "cdc_apply", "cohort_retention",
+        "emb_kmeans", "emb_quantize", "graph_pagerank",
+        "graph_triangles", "join_asof_nearest", "join_bloom",
+        "join_colocated", "join_geo", "llm_chunk", "llm_contaminate",
+        "llm_corpus_pipeline", "llm_dataset_card", "llm_heavy_hitters",
+        "llm_inverted_index", "llm_rarity", "llm_tfidf",
+        "pareto_frontier", "profile_table", "sample_mixture",
+        "scan_badrecords", "scan_evolve", "scan_orc", "scan_pyds",
+        "scd2_lookup", "sink_merge", "sink_zorder", "snapshot_diff",
+        "sql_exists", "time_gap_fill", "time_islands", "time_ohlc",
+        "udf_arrow", "win_ewma", "win_running_distinct",
+    }
+    assert len(r5_backlog) == 42
+    assert (r4_backlog | r5_backlog) <= set(_ROUND11_WINDOW)
+    assert list(REGISTRY)[:50] == _ROUND11_WINDOW, (
+        "REGISTRY insertion order must start with the round-11 window"
     )
