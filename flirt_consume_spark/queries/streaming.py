@@ -17,6 +17,11 @@ from flirt_consume_spark.queries.base import dsum, query, t
 
 # One 5-min window index = epoch_us // 300e6 (windows are epoch-aligned
 # in Spark; integer µs arithmetic reproduces the assignment exactly).
+# Window starts render via make_timestamp(µs): plain TIMESTAMP (no
+# session-TimeZone dependence — the driver's DuckDB connection is not
+# ours to configure) with full int64-µs range (to_timestamp is
+# TIMESTAMPTZ; n * INTERVAL 1 SECOND casts n to INT32 and overflows on
+# the 2262-04-11 epoch-mirror extreme).
 _WIN_US = 300 * 1_000_000
 
 
@@ -46,10 +51,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_tumbling",
     oracle=f"""
-    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
-               + ((epoch_us(ts)
-                   - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
-                  // 1000000) * INTERVAL 1 SECOND,
+    SELECT strftime(make_timestamp(epoch_us(ts)
+               - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US}),
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt,
@@ -67,10 +70,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding",
     oracle=f"""
-    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
-               + (((epoch_us(ts)
-                    - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
-                   // 1000000) - k * 300) * INTERVAL 1 SECOND,
+    SELECT strftime(make_timestamp((epoch_us(ts)
+                - ((epoch_us(ts) % {_WIN_US}) + {_WIN_US}) % {_WIN_US})
+              - k * {_WIN_US}),
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS cnt
@@ -133,8 +135,7 @@ _BAR_US = 900 * 1_000_000  # 15-minute OHLC bars, epoch-aligned
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
       FROM events)
-    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
-               + (bar * 900) * INTERVAL 1 SECOND,
+    SELECT strftime(make_timestamp(bar * {_BAR_US}),
              '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            arg_min(vq, k) AS open_q,
