@@ -62,3 +62,45 @@ def test_harness_detects_tz_sensitivity():
     a = utc.execute(sql).fetchone()[0]
     b = kir.execute(sql).fetchone()[0]
     assert a != b  # if DuckDB ever changes this, revisit the gate
+
+
+def test_streaming_oracles_survive_epoch_extremes():
+    """Regression pin for the round-11 INT32 interval overflow: the
+    window-start rendering in the streaming oracles must execute over
+    the FULL int64-µs timestamp range (the epoch robustness mirror
+    carries 1677-09-21 / 2262-04-11 / epoch-0 rows) and stay
+    timezone-invariant there. `secs * INTERVAL 1 SECOND` fails this
+    (DuckDB casts the multiplier to INT32); make_timestamp(µs) holds."""
+    import pandas as pd
+
+    extremes = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["view", "click", "view", "click"],
+            "ts": [
+                pd.Timestamp("1677-09-21T00:12:44"),
+                pd.Timestamp("1970-01-01T00:00:00"),
+                pd.Timestamp("2262-04-11T23:47:16"),
+                pd.Timestamp("2024-06-01T12:34:56.789"),
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    results = {}
+    for tz in ("UTC", "Pacific/Kiritimati"):
+        con = duckdb.connect()
+        con.execute(f"SET TimeZone='{tz}'")
+        con.register("events", extremes)
+        for key in ("stream_tumbling", "stream_sliding", "stream_ohlc"):
+            df = con.execute(REGISTRY[key].oracle).df()
+            cols = sorted(df.columns)
+            rows = df[cols].sort_values(by=cols).reset_index(drop=True)
+            results.setdefault(key, []).append(rows)
+    for key, (a, b) in results.items():
+        assert len(a) > 0, key
+        assert a.equals(b), f"{key} window starts depend on session TZ"
+        # and the extreme years actually surfaced in the output
+        years = {s[:4] for s in a["win_start"]}
+        assert {"1677", "2262"} <= years, (key, years)
