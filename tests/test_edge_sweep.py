@@ -129,7 +129,7 @@ def test_nonfinite_reject_classifier_is_strict(spark, monkeypatch):
     import flirt_consume_spark.queries as q
     from tools.edge_sweep import NONFINITE_REJECTS, run_sweep
 
-    assert "time_ohlc" in NONFINITE_REJECTS
+    assert "agg_cuped" in NONFINITE_REJECTS
 
     @dataclass
     class Shim:
@@ -138,9 +138,9 @@ def test_nonfinite_reject_classifier_is_strict(spark, monkeypatch):
     def boom(spark_, sf_dir_):
         raise ValueError("entirely unrelated failure")
 
-    monkeypatch.setitem(q.REGISTRY, "time_ohlc", Shim(fn=boom))
-    res = run_sweep(spark, SF, ["time_ohlc"], mode="nonfinite")
-    assert res["time_ohlc"]["status"] == "CRASH"
+    monkeypatch.setitem(q.REGISTRY, "agg_cuped", Shim(fn=boom))
+    res = run_sweep(spark, SF, ["agg_cuped"], mode="nonfinite")
+    assert res["agg_cuped"]["status"] == "CRASH"
 
 
 def test_expected_guard_verbatim_text_classifies(spark, monkeypatch):
@@ -194,18 +194,22 @@ def test_expected_guard_nonmatching_crash_stays_crash(spark, monkeypatch):
     assert res["agg_mad_outliers"]["status"] == "CRASH"
 
 
-def test_expected_guard_fires_for_real_on_nonfinite(spark, tmp_path):
-    """End-to-end: the actual agg_mad_outliers plan on the nonfinite
-    mirror raises the exact EXPECTED_GUARDS text (not just a shim)."""
+def test_expected_guards_fire_for_real_on_nonfinite(spark, tmp_path):
+    """End-to-end: every EXPECTED_GUARDS plan on the nonfinite mirror
+    raises its exact verbatim text (not just a shim) — all five
+    finite_or_fail order-statistic keys classify EXPECTED-GUARD."""
     from tools.edge_sweep import EXPECTED_GUARDS, run_sweep
 
     d = make_degenerate(SF, str(tmp_path), "nonfinite")
-    res = run_sweep(spark, d, ["agg_mad_outliers"], mode="nonfinite")
-    assert res["agg_mad_outliers"]["status"] == "EXPECTED-GUARD", res
-    assert (
-        EXPECTED_GUARDS["agg_mad_outliers"][:40]
-        in res["agg_mad_outliers"]["error"]
-    )
+    keys = sorted(EXPECTED_GUARDS)
+    assert keys == [
+        "agg_mad_outliers", "emb_quantize", "stream_ohlc",
+        "time_ohlc", "win_rolling_median",
+    ]
+    res = run_sweep(spark, d, keys, mode="nonfinite")
+    for k in keys:
+        assert res[k]["status"] == "EXPECTED-GUARD", (k, res[k])
+        assert EXPECTED_GUARDS[k][:30] in res[k]["error"], k
 
 
 def test_nonfinite_mirror_preserves_null_rows(tmp_path):

@@ -96,16 +96,29 @@ TABLES = (
 #: entry is paired with tests/test_edge_sweep.py cases asserting (a)
 #: the verbatim text classifies EXPECTED-GUARD and (b) a NON-matching
 #: exception on the same key still reports CRASH.
-EXPECTED_GUARDS: dict[str, str] = {
-    # agg_mad_outliers quantizes events.value into exact decimals for
-    # the order-statistic MAD; a NaN/Inf measure would silently leak
-    # the floor-saturated LongMax sentinel into the median, so the
-    # in-plan finite_or_fail guard fails the action deliberately.
-    "agg_mad_outliers": (
-        "agg_mad_outliers: non-finite measure value (NaN/Inf) — "
+def _finite_guard_text(op: str) -> str:
+    """The exact queries/base.py finite_or_fail raise literal for one
+    op tag — kept as a single source so a wording change there breaks
+    these entries loudly (tests pin both directions)."""
+    return (
+        f"{op}: non-finite measure value (NaN/Inf) — "
         "exact-decimal quantization rejects it; filter or "
         "repair upstream"
-    ),
+    )
+
+
+#: The five order-statistic keys whose plans carry an explicit
+#: finite_or_fail guard: a NaN/Inf measure would silently leak the
+#: floor-saturated LongMax sentinel into a median/min_by/arg_min, so
+#: the guard fails the action deliberately. Each entry is the guard's
+#: verbatim raise text (stream_ohlc guards inside the shared
+#: jobs.ohlc_agg transform, hence the "ohlc_agg" tag).
+EXPECTED_GUARDS: dict[str, str] = {
+    "agg_mad_outliers": _finite_guard_text("agg_mad_outliers"),
+    "win_rolling_median": _finite_guard_text("win_rolling_median"),
+    "time_ohlc": _finite_guard_text("time_ohlc"),
+    "emb_quantize": _finite_guard_text("emb_quantize"),
+    "stream_ohlc": _finite_guard_text("ohlc_agg"),
 }
 
 #: Columns collapsed to their first value in ``skew`` mode: FKs,
@@ -363,12 +376,10 @@ NONFINITE_REJECTS: set = {
     "stream_tumbling", "time_autocorr", "time_cusum",
     "time_downsample", "time_seasonal", "win_drawdown", "win_ewma",
     "win_range_hour", "win_rolling", "win_zscore",
-    # 4 explicit finite_or_fail guards (order-statistic paths that
-    # would otherwise LEAK the saturated sentinel silently);
-    # agg_mad_outliers graduated to EXPECTED_GUARDS (verbatim-text
-    # classification) as the first entry of that stricter tier:
-    "win_rolling_median", "time_ohlc",
-    "emb_quantize", "stream_ohlc",
+    # (the five explicit finite_or_fail keys graduated to
+    # EXPECTED_GUARDS — verbatim-text classification; this set now
+    # holds ONLY the ANSI value-rejection keys, whose error class is
+    # plan/task-order dependent and cannot be pinned verbatim)
 }
 
 NONFINITE_REJECT_MARKERS = (
