@@ -170,9 +170,14 @@ def _build_decoder():
             length, ctype = struct.unpack_from(">I4s", data, pos)
             chunk = data[pos + 8 : pos + 8 + length]
             if ctype == b"IHDR":
-                (w, h, bit_depth, color_type, _comp, _filt, interlace) = (
-                    struct.unpack(">IIBBBBB", chunk)
-                )
+                try:
+                    (w, h, bit_depth, color_type, _comp, _filt, interlace) = (
+                        struct.unpack(">IIBBBBB", chunk)
+                    )
+                except struct.error as exc:
+                    # A truncated IHDR must stay inside the decode()
+                    # ValueError contract, not escape as struct.error.
+                    raise ValueError(f"truncated PNG IHDR: {exc}") from exc
             elif ctype == b"IDAT":
                 idat += chunk
             elif ctype == b"IEND":
@@ -187,7 +192,12 @@ def _build_decoder():
                 f"interlace={interlace} unsupported (8-bit "
                 "grey/RGB/LA/RGBA, non-interlaced only)"
             )
-        raw = zlib.decompress(bytes(idat))
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as exc:
+            # Corrupt IDAT must stay inside the decode() ValueError
+            # contract so decode() falls through to the loud stub.
+            raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
         stride = w * channels
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG raster")

@@ -67,6 +67,17 @@ def dec(col: Column | str, scale: int = 6, precision: int = 30) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+#: Verbatim raise-text template for :func:`finite_or_fail`. Shared
+#: with tools/edge_sweep.py's EXPECTED_GUARDS classifier (which
+#: matches crash text by substring), so the guard wording and the
+#: sweep's expected-guard entries cannot drift apart silently.
+FINITE_GUARD_TEXT = (
+    "{op}: non-finite measure value (NaN/Inf) — "
+    "exact-decimal quantization rejects it; filter or "
+    "repair upstream"
+)
+
+
 def finite_or_fail(col: Column | str, op: str) -> Column:
     """In-plan non-finite guard for exact-decimal quantization inputs.
 
@@ -83,13 +94,7 @@ def finite_or_fail(col: Column | str, op: str) -> Column:
     return F.when(
         c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))), c
     ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"{op}: non-finite measure value (NaN/Inf) — "
-                f"exact-decimal quantization rejects it; filter or "
-                f"repair upstream"
-            )
-        )
+        F.raise_error(F.lit(FINITE_GUARD_TEXT.format(op=op)))
     )
 
 

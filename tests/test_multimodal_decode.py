@@ -252,6 +252,36 @@ def test_png_rejects_unsupported_and_truncated():
         decode_png(short)
 
 
+def test_png_corrupt_idat_and_truncated_ihdr_raise_valueerror():
+    """ADVICE r11: corrupt IDAT used to escape as zlib.error and a
+    truncated IHDR chunk as struct.error — both outside the decode()
+    'except ValueError' fallthrough, crashing mapInPandas with an
+    opaque error. Both must surface as ValueError so decode() falls
+    through to the documented loud stub."""
+    import struct as _s
+    import zlib as _z
+
+    from flirt_consume_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data)))
+
+    # Corrupt IDAT: valid IHDR, garbage (non-deflate) IDAT bytes.
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    corrupt = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", b"\xff\xfe\xfd\xfc not deflate")
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_png(corrupt)
+
+    # Truncated IHDR: chunk shorter than the 13-byte IHDR layout.
+    trunc = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr[:5])
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        decode_png(trunc)
+
+
 def test_png_through_spark_mapinpandas(spark):
     """Done-bar for VERDICT r10 task 4: a synthesized PNG decodes
     bit-exactly on the mapInPandas path (exact luma asserted on the

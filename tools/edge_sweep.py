@@ -98,13 +98,12 @@ TABLES = (
 #: exception on the same key still reports CRASH.
 def _finite_guard_text(op: str) -> str:
     """The exact queries/base.py finite_or_fail raise literal for one
-    op tag — kept as a single source so a wording change there breaks
-    these entries loudly (tests pin both directions)."""
-    return (
-        f"{op}: non-finite measure value (NaN/Inf) — "
-        "exact-decimal quantization rejects it; filter or "
-        "repair upstream"
-    )
+    op tag — imported from the single shared constant
+    (queries/base.py FINITE_GUARD_TEXT) rather than re-derived here,
+    so a wording change there can never drift from these entries."""
+    from flirt_consume_spark.queries.base import FINITE_GUARD_TEXT
+
+    return FINITE_GUARD_TEXT.format(op=op)
 
 
 #: The five order-statistic keys whose plans carry an explicit
