@@ -85,7 +85,49 @@ from flirt_consume_spark.queries import hopping  # noqa: F401,E402
 #     independent live-code evidence via the pytest stream==batch
 #     equivalence suite, so their driver rows are the least
 #     informative to refresh; they rotate first next round.
-#   round 11 (this list): pure staleness refresh per VERDICT r10 task
+#   round 12 (this list): staleness refresh per VERDICT r11 task 1,
+#     plus the round's one NEW key. Slot 1: emb_recall_planted — new
+#     this round (VERDICT r11 task 5), the registry's only key with
+#     no external row ever; leaving it unchecked would break the
+#     "every key has driver evidence" invariant, which outranks one
+#     extra r7 slot. Slot 2: llm_simpson — its query/oracle text
+#     changed this round (Σc² widened to decimal(38,0)/HUGEINT,
+#     VERDICT r11 task 4) AND it is r6-vintage. Slots 3-45: the
+#     remaining 43 r6-vintage keys (the registry's stalest external
+#     rows; alphabetical). Slots 46-50: the first five r7-vintage
+#     keys in registry order (scan_xml, sink_pyds, llm_semdedup,
+#     emb_recall_eval — fitting, as its planted sibling lands this
+#     round — and emb_pca_project). After this window: no key's
+#     latest external row predates round 7; 39 keys remain at r7 —
+#     one over the verdict's parenthetical ≤38 target, the explicit
+#     cost of the task-5 key's slot — they rotate through rounds
+#     13-14.
+_ROUND12_WINDOW = [
+    # new this round (never externally checked):
+    "emb_recall_planted",
+    # changed this round (Σc² decimal widening) + r6-vintage:
+    "llm_simpson",
+    # r6-vintage staleness backfill — the complete remaining set:
+    "agg_abc", "agg_approx_distinct", "agg_approx_percentile",
+    "agg_bucketed", "agg_concurrency", "agg_distinct", "agg_pivot",
+    "agg_rollup", "agg_route", "alloc_remainder", "attribution_touch",
+    "audit_benford", "audit_fk", "audit_srm", "bm25_rank",
+    "dedup_rank", "emb_covariance", "emb_power_iteration",
+    "graph_ancestors", "join_asof", "join_enrich", "join_pointpoly",
+    "join_range", "join_setsim", "llm_collocations", "llm_dupspans",
+    "llm_winnow", "sample_weighted", "scan_variant", "scd2_history",
+    "set_union", "shape_market_share", "shape_product_profit",
+    "shape_volume_shipping", "temporal_align", "time_cusum",
+    "time_downsample", "time_seasonal", "topk", "udf_scalar_iter",
+    "win_drawdown", "win_rolling", "win_transitions",
+    # r7-vintage staleness backfill (first five in registry order):
+    "scan_xml", "sink_pyds", "llm_semdedup", "emb_recall_eval",
+    "emb_pca_project",
+]
+
+# round-11 window kept for the record (CORRECTNESS_r11.json = 50/50
+# green on exactly this list); superseded by _ROUND12_WINDOW above.
+#   round 11: pure staleness refresh per VERDICT r10 task
 #     1 — after this window lands, no key's latest external row
 #     predates round 6. Front slots: the keys whose query/oracle TEXT
 #     changed this round (win_bollinger + agg_ols decimal widenings;
@@ -196,4 +238,4 @@ def _rotate_front(front: list[str]) -> None:
         REGISTRY[k] = snap[k]
 
 
-_rotate_front(_ROUND11_WINDOW)
+_rotate_front(_ROUND12_WINDOW)

@@ -748,3 +748,161 @@ def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- planted-neighbor recall (VERDICT r11 task 5) -------------------------
+#
+# The sf embeddings fixture is isotropic noise, so recall over it is
+# ~chance by construction. This key builds a PLANTED table in-plan from
+# pure md5 arithmetic — the same no-seeded-RNG discipline as the LSH
+# hyperplanes — so the driver-visible CORRECTNESS window carries a real
+# retrieval-quality number: 10 md5-derived cluster centers x 12 members
+# (member = center + noise/16). Every coordinate is an exact multiple of
+# 2^-35 (md5 32-bit int / 2^31 - 1, plus a power-of-two-scaled noise
+# term), so the vectors are BIT-IDENTICAL across Spark and DuckDB with
+# no rounding step. Vectors are deliberately left unnormalized: cosine
+# ranking is scale-invariant per vector, and skipping the norm keeps the
+# construction sqrt-free and exact.
+_PLANTED_CLUSTERS = 10
+_PLANTED_MEMBERS = 12
+_PLANTED_DIM = 64
+
+# vec_id = m*10 + c, so ids 0..9 (the probe queries) fall one per
+# cluster and a neighbor's true cluster is neighbor_id % 10.
+_PLANTED_CTE = f"""
+    WITH cells AS (
+      SELECT m * {_PLANTED_CLUSTERS} + c AS vec_id, c AS cluster, d,
+             (CAST(('0x' || substr(md5(concat_ws('/', 'planted-center',
+                     c, d)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0)
+             + (CAST(('0x' || substr(md5(concat_ws('/', 'planted-noise',
+                     c, m, d)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0)
+               / 16.0 AS x
+      FROM range(0, {_PLANTED_CLUSTERS}) cc(c),
+           range(0, {_PLANTED_MEMBERS}) mm(m),
+           range(0, {_PLANTED_DIM}) dd(d)
+    ), planes AS (
+      SELECT p, d,
+             CASE WHEN CAST(('0x' || substr(md5(p || '_' || d), 1, 2)) AS INT)
+                    % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range(0, 8) pp(p), range(0, {_PLANTED_DIM}) dd(d)
+    ), proj AS (
+      SELECT vec_id, p, SUM(x * w) AS s
+      FROM cells JOIN planes USING (d) GROUP BY vec_id, p
+    ), bkt AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM proj GROUP BY vec_id
+    ), v AS (
+      SELECT c.vec_id, list(c.x ORDER BY c.d) AS e, ANY_VALUE(b.bucket) AS bucket
+      FROM cells c JOIN bkt b ON b.vec_id = c.vec_id
+      GROUP BY c.vec_id
+    )
+"""
+
+
+def _planted_table(spark: SparkSession) -> DataFrame:
+    """The planted embeddings frame, built JVM-side (range + transform
+    over a sequence; md5/conv built-ins, no UDF, no driver data)."""
+
+    def mu(tag):  # md5 tag -> exact multiple of 2^-31 in [-1, 1)
+        return (
+            F.conv(F.substring(F.md5(tag), 1, 8), 16, 10).cast("double")
+            / F.lit(2147483648.0)
+            - F.lit(1.0)
+        )
+
+    base = spark.range(_PLANTED_CLUSTERS * _PLANTED_MEMBERS).select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        (F.col("id") % _PLANTED_CLUSTERS).cast("int").alias("cluster"),
+        F.expr(f"id DIV {_PLANTED_CLUSTERS}").cast("int").alias("m"),
+    )
+    e = F.transform(
+        F.sequence(F.lit(0), F.lit(_PLANTED_DIM - 1)),
+        lambda d: mu(
+            F.concat_ws("/", F.lit("planted-center"), F.col("cluster"), d)
+        )
+        + mu(
+            F.concat_ws(
+                "/", F.lit("planted-noise"), F.col("cluster"), F.col("m"), d
+            )
+        )
+        / F.lit(16.0),
+    )
+    return base.select("vec_id", e.alias("embedding"))
+
+
+@query(
+    "emb_recall_planted",
+    oracle=_PLANTED_CTE
+    + f"""
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM v q JOIN v c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_PLANTED_CLUSTERS}
+      ) WHERE rnk <= 3
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        WHERE q.vec_id < {_PLANTED_CLUSTERS}
+      ) WHERE rnk <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(CASE WHEN e.neighbor_id % {_PLANTED_CLUSTERS}
+                                = e.query_id THEN 1 END) AS BIGINT)
+             AS n_exact_true,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def emb_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c-planted: recall@3 of the LSH ANN index on a table with
+    PLANTED ground truth (10 tight md5-derived clusters), so the
+    number is a real retrieval-quality measurement, not chance on
+    isotropic noise. ``n_exact_true`` additionally certifies that the
+    exact top-3 recovers the planted cluster (3/3 per query — the
+    ground truth is actually planted, pinned in tests); recall_at_3
+    then measures how often 8-plane LSH blocking keeps a cluster
+    together. sf_dir is unused by design: the table derives from md5
+    arithmetic alone, identically in both engines, so the key is a
+    pure index-quality gauge at any scale factor."""
+    emb = _planted_table(spark)
+    queries = list(range(_PLANTED_CLUSTERS))
+    exact = S.knn_exact(emb, queries, k=3).select("query_id", "neighbor_id")
+    ann = S.ann_lsh(
+        emb, queries, k=3, buckets=S.lsh_buckets(emb, S.hyperplanes(spark))
+    ).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    hit = exact.join(
+        ann,
+        (F.col("query_id") == F.col("a_q"))
+        & (F.col("neighbor_id") == F.col("a_n")),
+        "left_outer",
+    )
+    true_hit = F.when(
+        F.col("neighbor_id") % _PLANTED_CLUSTERS == F.col("query_id"), 1
+    )
+    return (
+        hit.groupBy("query_id")
+        .agg(
+            F.count(true_hit).cast("bigint").alias("n_exact_true"),
+            F.count("a_n").cast("bigint").alias("n_hit"),
+            (F.count("a_n").cast("double") / 3.0).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )

@@ -124,7 +124,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_types,
-           1.0 - CAST(SUM(c * c) AS DOUBLE)
+           1.0 - CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
                  / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
              AS simpson
     FROM counts GROUP BY doc_id
@@ -135,7 +135,18 @@ def llm_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational (libm-free) cousin of token entropy, used as a quality
     signal for repetitive/template text (low diversity ⇒ boilerplate).
     Two hash aggs, no window, no UDF; Σc and Σc² are integer sums so
-    the final division is one deterministic IEEE op on both engines."""
+    the final division is one deterministic IEEE op on both engines.
+
+    Capacity: the Σc² moment runs in decimal(38,0) on Spark / HUGEINT
+    on the oracle (same widening recipe as win_bollinger / agg_ols,
+    round 11) — in long alone the capacity audit's conservative
+    corpus-level model crossed int64 near sf3,376; headroom is now
+    the 1e38 decimal ceiling (≈ sf1e13 under that same model; the
+    per-doc grouping actually shipped is sf-invariant, so the real
+    ceiling is value-domain bounded). The n² denominator is pure
+    double arithmetic off the exact Σc — correctly rounded and
+    bit-identical cross-engine at any magnitude, so it needs no
+    integer widening."""
     docs = t(spark, sf_dir, "documents")
     counts = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -143,12 +154,14 @@ def llm_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n = F.sum("c")
+    # decimal multiply (never a long c*c), decimal(38,0) accumulator
+    c2 = F.col("c").cast("decimal(19,0)") * F.col("c")
     return counts.groupBy("doc_id").agg(
         n.cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
         (
             F.lit(1.0)
-            - F.sum(F.col("c") * F.col("c")).cast("double")
+            - F.sum(c2).cast("double")
             / (n.cast("double") * n.cast("double"))
         ).alias("simpson"),
     )

@@ -125,3 +125,68 @@ def test_frozen_baseline_matches_committed_r09_artifact():
         0 < frozen["min"][k] <= frozen["median"][k] + 1e-9
         for k in frozen["median"]
     )
+
+
+def test_min_rep_rescue_requires_fast_best_rep():
+    """Round-12 min-rep fallback (VERDICT r11 task 2), both directions.
+
+    Positive: a key whose MEDIAN breaches 2x but whose best rep is
+    well inside the bound is contention, not a regression — reported
+    under min_rep_rescued, gate passes. Negative: when the best rep
+    ALSO breaches (a real regression moves every rep), the key still
+    fails exactly as before the fallback existed.
+    """
+    cand = dict(BASE)
+    cand["d"] = BASE["d"] * 2.5  # median 2.5x: one noisy rep of three
+    mins = dict(BASE)
+    mins["d"] = BASE["d"] * 1.2  # ...but the best rep is near-baseline
+    res = evaluate(cand, BASE, candidate_min=mins)
+    assert res["ok"]
+    assert res["over_threshold"] == {}
+    assert list(res["min_rep_rescued"]) == ["d"]
+    assert res["min_rep_rescued"]["d"]["min_normalized_ratio"] == 1.2
+
+    # Negative: best rep breaches too -> NOT rescued, gate fails.
+    mins_bad = dict(mins, d=BASE["d"] * 2.3)
+    res_bad = evaluate(cand, BASE, candidate_min=mins_bad)
+    assert not res_bad["ok"]
+    assert list(res_bad["over_threshold"]) == ["d"]
+    assert res_bad["min_rep_rescued"] == {}
+
+
+def test_min_rep_fallback_absent_key_keeps_median_rule():
+    """A key missing from queries_min (older artifacts) gets the
+    median-only rule — the fallback can only be EARNED by a recorded
+    fast rep, never defaulted into."""
+    cand = dict(BASE)
+    cand["d"] = BASE["d"] * 2.5
+    res = evaluate(cand, BASE, candidate_min={k: v for k, v in BASE.items() if k != "d"})
+    assert not res["ok"]
+    assert list(res["over_threshold"]) == ["d"]
+    # And with no min data at all, behavior is byte-identical to the
+    # pre-fallback gate.
+    res_none = evaluate(cand, BASE)
+    assert not res_none["ok"]
+    assert list(res_none["over_threshold"]) == ["d"]
+
+
+def test_driver_r11_loaded_host_artifact_passes_with_min_fallback():
+    """The exact artifact from the VERDICT r11 task-2 done bar: the
+    driver's post-close loaded-host run (agg_abc median 2.39x
+    normalized, best rep 0.95x) must now pass at the unchanged 2.0
+    threshold, with agg_abc explicitly recorded as min-rep rescued."""
+    with open(os.path.join(REPO, "tools", "baseline_sf01.json")) as fh:
+        frozen = json.load(fh)
+    with open(os.path.join(REPO, "BENCH_FULL_latest.json")) as fh:
+        art = json.load(fh)
+    res = evaluate(
+        art["queries"], frozen["median"], candidate_min=art.get("queries_min")
+    )
+    if "agg_abc" not in res["min_rep_rescued"]:
+        # Once the driver overwrites BENCH_FULL_latest.json with a
+        # quieter run the rescue disappears naturally; the gate must
+        # simply pass either way.
+        assert res["ok"], res["over_threshold"]
+    else:
+        assert res["ok"], res["over_threshold"]
+        assert res["min_rep_rescued"]["agg_abc"]["min_normalized_ratio"] <= 2.0

@@ -41,47 +41,43 @@ def test_entry_point_exposes_full_registry():
     assert set(o) == {k for k, s in REGISTRY.items() if s.oracle}
 
 
-def test_driver_window_is_round11():
+def test_driver_window_is_round12():
     """VERDICT r7 #8: the active rotation must match the documented round.
 
-    The round-11 window finishes the staleness drain (VERDICT r10 task
-    1): changed-this-round keys first (the two decimal widenings + the
-    three timezone-free oracle rewrites), then the remaining r4-vintage
-    streaming keys, then ALL 42 r5-vintage keys — after this window no
-    key's latest external driver row predates round 6. Every name must
-    resolve (typos would silently waste the driver's 50-key sample).
+    The round-12 window (VERDICT r11 task 1): the round's one NEW key
+    first (emb_recall_planted — the only key with no external row
+    ever), then llm_simpson (query/oracle text changed this round by
+    the Σc² decimal widening, also r6-vintage), then the complete
+    remaining r6-vintage backlog (43 keys), then the first five
+    r7-vintage keys in registry order. Every name must resolve (typos
+    would silently waste the driver's 50-key sample).
     """
-    from flirt_consume_spark.queries import _ROUND11_WINDOW
+    from flirt_consume_spark.queries import _ROUND12_WINDOW
 
-    assert len(_ROUND11_WINDOW) == 50
-    assert len(set(_ROUND11_WINDOW)) == 50, "window repeats a key"
-    assert _ROUND11_WINDOW[:5] == [
-        "win_bollinger", "agg_ols",
-        "stream_tumbling", "stream_sliding", "stream_ohlc",
-    ], "keys whose query/oracle text changed this round lead the window"
-    # The complete sub-r6 staleness backlog is in the window: the five
-    # r4-vintage streaming keys plus all 42 r5-vintage keys.
-    r4_backlog = {
-        "stream_dedup", "stream_session", "stream_sliding",
-        "stream_static", "stream_tumbling",
+    assert len(_ROUND12_WINDOW) == 50
+    assert len(set(_ROUND12_WINDOW)) == 50, "window repeats a key"
+    assert _ROUND12_WINDOW[:2] == ["emb_recall_planted", "llm_simpson"], (
+        "the never-checked key and the changed-this-round key lead"
+    )
+    # The complete r6-vintage staleness backlog is in the window.
+    r6_backlog = {
+        "agg_abc", "agg_approx_distinct", "agg_approx_percentile",
+        "agg_bucketed", "agg_concurrency", "agg_distinct", "agg_pivot",
+        "agg_rollup", "agg_route", "alloc_remainder",
+        "attribution_touch", "audit_benford", "audit_fk", "audit_srm",
+        "bm25_rank", "dedup_rank", "emb_covariance",
+        "emb_power_iteration", "graph_ancestors", "join_asof",
+        "join_enrich", "join_pointpoly", "join_range", "join_setsim",
+        "llm_collocations", "llm_dupspans", "llm_simpson",
+        "llm_winnow", "sample_weighted", "scan_variant",
+        "scd2_history", "set_union", "shape_market_share",
+        "shape_product_profit", "shape_volume_shipping",
+        "temporal_align", "time_cusum", "time_downsample",
+        "time_seasonal", "topk", "udf_scalar_iter", "win_drawdown",
+        "win_rolling", "win_transitions",
     }
-    r5_backlog = {
-        "agg_bitmap_distinct", "agg_bitmap_intersect",
-        "agg_grouping_sets", "agg_mad_outliers", "agg_sketch_merge",
-        "agg_time_weighted", "cdc_apply", "cohort_retention",
-        "emb_kmeans", "emb_quantize", "graph_pagerank",
-        "graph_triangles", "join_asof_nearest", "join_bloom",
-        "join_colocated", "join_geo", "llm_chunk", "llm_contaminate",
-        "llm_corpus_pipeline", "llm_dataset_card", "llm_heavy_hitters",
-        "llm_inverted_index", "llm_rarity", "llm_tfidf",
-        "pareto_frontier", "profile_table", "sample_mixture",
-        "scan_badrecords", "scan_evolve", "scan_orc", "scan_pyds",
-        "scd2_lookup", "sink_merge", "sink_zorder", "snapshot_diff",
-        "sql_exists", "time_gap_fill", "time_islands", "time_ohlc",
-        "udf_arrow", "win_ewma", "win_running_distinct",
-    }
-    assert len(r5_backlog) == 42
-    assert (r4_backlog | r5_backlog) <= set(_ROUND11_WINDOW)
-    assert list(REGISTRY)[:50] == _ROUND11_WINDOW, (
-        "REGISTRY insertion order must start with the round-11 window"
+    assert len(r6_backlog) == 44
+    assert r6_backlog <= set(_ROUND12_WINDOW)
+    assert list(REGISTRY)[:50] == _ROUND12_WINDOW, (
+        "REGISTRY insertion order must start with the round-12 window"
     )

@@ -717,6 +717,28 @@ def test_planted_fixture_ground_truth_holds(spark, tmp_path):
         assert r["neighbor_id"] % 10 == r["query_id"] % 10
 
 
+def test_emb_recall_planted_registry_key(spark):
+    """VERDICT r11 task 5: the driver-visible registry key
+    `emb_recall_planted` must carry a REAL recall@3 number — the
+    planted table is built in-plan from md5 arithmetic (no parquet
+    fixture, no RNG), identically in both engines.
+
+    Measured on the shipped construction (10 clusters × 12 members,
+    noise/16, 8-plane index): n_exact_true = 3 for every query (the
+    exact top-3 recovers the planted cluster — ground truth is
+    sound) and 27/30 ANN hits. Pinned exactly (deterministic), with
+    ≥0.8 mean recall as the contract lower bound — chance on 119
+    candidates is ~0.025, so any blocking regression that guts the
+    index trips this loudly."""
+    rows = REGISTRY["emb_recall_planted"].fn(spark, "unused").collect()
+    assert len(rows) == 10
+    assert all(r["n_exact_true"] == 3 for r in rows)
+    total_hits = sum(r["n_hit"] for r in rows)
+    assert total_hits == 27  # deterministic: md5 table + md5 planes
+    mean_recall = sum(r["recall_at_3"] for r in rows) / len(rows)
+    assert mean_recall >= 0.8  # ≫ chance (~0.025)
+
+
 def test_minhash_band_recall_pinned(spark):
     """Text-dedup analogue of the planted ANN recall: the MinHash
     band index (12 md5/sha slices, 4 bands x 3) must actually FIND

@@ -301,7 +301,13 @@ PROBES: dict[str, tuple[str, str, str]] = {
         "max per-group row count: ~sf",
         "dbl53",
     ),
-    # Simpson concentration: sum of squared token counts per doc set.
+    # Simpson concentration: sum of squared token counts. Widened to
+    # decimal(38,0)/HUGEINT in round 12; this probe keeps the
+    # conservative corpus-level (per-lang) growth model even though
+    # the shipped query groups per doc_id (sf-invariant) — the dec38
+    # ceiling holds under either. The n² denominator is double-domain
+    # (deterministic cross-engine at any magnitude), so only the
+    # integer Σc² moment is probed.
     "llm_simpson": (
         """
         WITH tok AS (SELECT lang,
@@ -310,11 +316,12 @@ PROBES: dict[str, tuple[str, str, str]] = {
                   FROM documents),
         c AS (SELECT lang, w, COUNT(*) c FROM tok WHERE w <> ''
               GROUP BY 1, 2),
-        m AS (SELECT lang, SUM(c*c) s2, SUM(c) s1 FROM c GROUP BY 1)
-        SELECT MAX(GREATEST(s2, s1*s1)) FROM m
+        m AS (SELECT lang, SUM(CAST(c AS HUGEINT) * c) s2 FROM c
+              GROUP BY 1)
+        SELECT MAX(s2) FROM m
         """,
         "token counts linear: ~sf^2",
-        "int64",
+        "dec38",
     ),
 }
 

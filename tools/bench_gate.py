@@ -28,6 +28,13 @@ is corrected for. Keys missing from the candidate fail the gate
 (coverage loss); keys missing from the baseline (post-freeze
 additions) are reported but pass, until the next freeze.
 
+Min-rep fallback (round 12): when the artifact carries per-key best
+reps (``queries_min``), a key fails only if BOTH its median AND its
+best rep exceed the normalized threshold — a transient load spike can
+inflate the median of 3 reps without the crowd host factor seeing it,
+but it cannot make a genuinely-regressed key produce a fast rep. See
+``evaluate`` for the full rationale.
+
 Usage:
     python tools/bench_gate.py [--artifact BENCH_FULL_latest.json]
                                [--baseline tools/baseline_sf01.json]
@@ -61,8 +68,27 @@ def evaluate(
     candidate: dict[str, float],
     baseline: dict[str, float],
     threshold: float = 2.0,
+    candidate_min: dict[str, float] | None = None,
 ) -> dict:
-    """Pure gate logic (unit-tested): returns the verdict structure."""
+    """Pure gate logic (unit-tested): returns the verdict structure.
+
+    ``candidate_min`` (the artifact's per-key best rep, ``queries_min``)
+    adds a min-rep fallback (round-12, VERDICT r11 task 2): a key is
+    flagged only when BOTH its median-rep AND its best-rep normalized
+    ratios exceed the threshold. Rationale: on a loaded shared host the
+    MEDIAN of 3 reps can absorb a transient spike that the registry-wide
+    host factor (a median over keys, not over reps) cannot see — the
+    driver's post-r11-close artifact had agg_abc at 2.39x normalized
+    median while its best rep sat at 1.23x raw, a contention signature,
+    not a plan change. A real regression moves every rep, so requiring
+    the BEST rep to also breach keeps the gate sound: a genuinely 2x
+    slower key cannot produce a fast rep at will, while one noisy rep
+    among three no longer fails the round. Both sides are normalized by
+    the same crowd host factor; min ratios use the same frozen MEDIAN
+    denominator (the min is already the candidate's most favorable
+    number — giving it the smaller frozen-min denominator too would
+    double-credit it). Keys absent from ``candidate_min`` fall back to
+    the median-only rule."""
     bad_baseline = sorted(k for k, v in baseline.items() if v <= 0)
     if bad_baseline:
         # A zero/negative frozen median would silently exempt the key
@@ -78,16 +104,30 @@ def evaluate(
     host_capped = host_factor > HOST_FACTOR_CAP
     denom = min(max(1.0, host_factor), HOST_FACTOR_CAP)
     normalized = {k: r / denom for k, r in ratios.items()}
-    over = {
-        k: {
+    min_normalized = {
+        k: candidate_min[k] / baseline[k] / denom
+        for k in shared
+        if candidate_min is not None and k in candidate_min
+    }
+    rescued = {}
+    over = {}
+    for k in sorted(normalized, key=normalized.get, reverse=True):
+        if normalized[k] <= threshold:
+            continue
+        detail = {
             "candidate_sec": candidate[k],
             "baseline_sec": baseline[k],
             "raw_ratio": round(ratios[k], 3),
             "normalized_ratio": round(normalized[k], 3),
         }
-        for k in sorted(normalized, key=normalized.get, reverse=True)
-        if normalized[k] > threshold
-    }
+        if k in min_normalized:
+            detail["min_normalized_ratio"] = round(min_normalized[k], 3)
+            if min_normalized[k] <= threshold:
+                # Median breached but the best rep is fine: transient
+                # host contention on some reps, not a plan regression.
+                rescued[k] = detail
+                continue
+        over[k] = detail
     return {
         "n_compared": len(shared),
         "host_factor": round(host_factor, 4),
@@ -96,6 +136,7 @@ def evaluate(
         "missing_keys": missing,
         "new_keys": new_keys,
         "over_threshold": over,
+        "min_rep_rescued": rescued,
         "ok": not missing and not over,
         "normalized": normalized,
     }
@@ -118,7 +159,12 @@ def main() -> int:
     with open(args.baseline) as fh:
         base = json.load(fh)
 
-    res = evaluate(art["queries"], base["median"], args.threshold)
+    res = evaluate(
+        art["queries"],
+        base["median"],
+        args.threshold,
+        candidate_min=art.get("queries_min"),
+    )
     normalized = res.pop("normalized")
     worst = sorted(normalized, key=normalized.get, reverse=True)[: args.top]
     capped = (
@@ -138,11 +184,26 @@ def main() -> int:
             f"  {k}: {art['queries'][k]:.3f}s vs {base['median'][k]:.3f}s "
             f"baseline -> normalized {normalized[k]:.2f}x{flag}"
         )
+    if res["min_rep_rescued"]:
+        print(
+            "min-rep rescued (median over threshold, best rep within — "
+            "contention, not regression):"
+        )
+        print(json.dumps(res["min_rep_rescued"], indent=1))
     if res["missing_keys"]:
         print(f"MISSING from artifact: {res['missing_keys']}")
     if res["new_keys"]:
         print(f"new keys (no frozen baseline, pass until next freeze): {res['new_keys']}")
-    print(json.dumps({k: v for k, v in res.items() if k != "over_threshold"}))
+    print(
+        json.dumps(
+            {
+                k: v
+                for k, v in res.items()
+                if k not in ("over_threshold", "min_rep_rescued")
+            }
+            | {"min_rep_rescued_keys": sorted(res["min_rep_rescued"])}
+        )
+    )
     if res["over_threshold"]:
         print("OVER-THRESHOLD DETAIL:")
         print(json.dumps(res["over_threshold"], indent=1))
