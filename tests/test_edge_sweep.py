@@ -253,7 +253,9 @@ def test_levenshtein_engine_divergence_pinned(spark):
     Spark's levenshtein counts CODEPOINTS, DuckDB's counts BYTES —
     identical on ASCII (all real-data parity), divergent on
     multibyte text. Pinned so the divergence is a known constant,
-    not a surprise."""
+    not a surprise. Permanent ruling: IMPLEMENTATION.md §"Permanent
+    divergence rulings" R5 — removing this pin requires removing
+    (and re-arguing) that ruling."""
     import duckdb
 
     from pyspark.sql import functions as F
@@ -283,7 +285,11 @@ def test_percentile_nan_convention_divergence_pinned(spark):
     algorithm artifact, observed group-dependently on the mirror
     (some groups finite-but-shifted, some NaN). Unreconcilable by
     rounding; NaN measures are outside these keys' domain contract
-    (real-data and all-NULL-mirror parity hold on both engines)."""
+    (real-data and all-NULL-mirror parity hold on both engines).
+    Permanent ruling: IMPLEMENTATION.md §"Permanent divergence
+    rulings" R6 (agg_percentile) / R7 (agg_approx_percentile) —
+    removing this pin requires removing (and re-arguing) those
+    rulings."""
     import math
 
     import duckdb
