@@ -57,6 +57,9 @@ ALLOW = {
     # recall eval reuses knn_exact's 10-row query broadcast (same
     # justification as llm_knn) for the exact side of the comparison.
     "emb_recall_eval": {"nested_loop"},
+    # planted-recall sibling: same knn_exact 10-row query broadcast;
+    # the whole planted table is 120 synthetic rows by construction.
+    "emb_recall_planted": {"nested_loop"},
     # the rank-over-50-rows windows after a TakeOrdered cut.
     "llm_vocab": {"single_partition_window"},
     "topk": {"single_partition_window"},
