@@ -112,14 +112,21 @@ def test_nonpositive_baseline_is_a_hard_error():
 
 
 def test_frozen_baseline_matches_committed_r09_artifact():
-    """The shipped freeze must accept the round-9 driver artifact."""
+    """The shipped freeze must accept the round-9 driver artifact.
+
+    Keys frozen AFTER round 9 (protocol.additions, e.g. the round-12
+    emb_recall_planted) cannot appear in the r09 artifact — they are
+    excluded from this backward-compatibility check, not counted as
+    coverage loss."""
     with open(os.path.join(REPO, "tools", "baseline_sf01.json")) as fh:
         frozen = json.load(fh)
     with open(os.path.join(REPO, "BENCH_FULL_r09.json")) as fh:
         art = json.load(fh)
-    res = evaluate(art["queries"], frozen["median"])
+    additions = set(frozen.get("protocol", {}).get("additions", {}))
+    base = {k: v for k, v in frozen["median"].items() if k not in additions}
+    res = evaluate(art["queries"], base)
     assert res["ok"], res["over_threshold"]
-    assert res["n_compared"] == len(frozen["median"]) == 272
+    assert res["n_compared"] == len(base) == 272
     # Freeze invariant: median >= min per key, both positive.
     assert all(
         0 < frozen["min"][k] <= frozen["median"][k] + 1e-9
