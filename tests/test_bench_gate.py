@@ -197,3 +197,17 @@ def test_driver_r11_loaded_host_artifact_passes_with_min_fallback():
     else:
         assert res["ok"], res["over_threshold"]
         assert res["min_rep_rescued"]["agg_abc"]["min_normalized_ratio"] <= 2.0
+
+
+def test_errored_key_fails_gate_not_sails_under():
+    """A key that errored on every bench rep ships as -1.0 in the
+    artifact; its ratio is negative, which sat UNDER every threshold
+    and silently passed the pre-round-12 gate. It must fail like a
+    missing key — and a -1.0 best rep must never min-rep-rescue it."""
+    cand = dict(BASE, d=-1.0)
+    res = evaluate(cand, BASE, candidate_min=dict(BASE, d=-1.0))
+    assert not res["ok"]
+    assert res["failed_keys"] == ["d"]
+    assert res["over_threshold"] == {} and res["min_rep_rescued"] == {}
+    # and the healthy keys still evaluate normally
+    assert res["n_compared"] == len(BASE) - 1

@@ -98,7 +98,11 @@ def evaluate(
         )
     missing = sorted(k for k in baseline if k not in candidate)
     new_keys = sorted(k for k in candidate if k not in baseline)
-    shared = [k for k in baseline if k in candidate]
+    # bench.py records a key that errored on every rep as -1.0; a
+    # negative ratio would sail UNDER any threshold, so an erroring
+    # key must fail the gate like a missing one, not pass silently.
+    failed = sorted(k for k in baseline if k in candidate and candidate[k] <= 0)
+    shared = [k for k in baseline if k in candidate and candidate[k] > 0]
     ratios = {k: candidate[k] / baseline[k] for k in shared}
     host_factor = statistics.median(ratios.values()) if ratios else 1.0
     host_capped = host_factor > HOST_FACTOR_CAP
@@ -134,10 +138,11 @@ def evaluate(
         "host_factor_capped": host_capped,
         "threshold": threshold,
         "missing_keys": missing,
+        "failed_keys": failed,
         "new_keys": new_keys,
         "over_threshold": over,
         "min_rep_rescued": rescued,
-        "ok": not missing and not over,
+        "ok": not missing and not failed and not over,
         "normalized": normalized,
     }
 
@@ -192,6 +197,8 @@ def main() -> int:
         print(json.dumps(res["min_rep_rescued"], indent=1))
     if res["missing_keys"]:
         print(f"MISSING from artifact: {res['missing_keys']}")
+    if res["failed_keys"]:
+        print(f"ERRORED in artifact (median <= 0): {res['failed_keys']}")
     if res["new_keys"]:
         print(f"new keys (no frozen baseline, pass until next freeze): {res['new_keys']}")
     print(
