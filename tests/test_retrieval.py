@@ -775,3 +775,31 @@ def test_minhash_band_recall_pinned(spark):
     assert len(true) == 28
     assert true <= cand  # recall 1.0
     assert cand == true  # and no spurious candidates on this fixture
+
+
+def test_ivf_recall_on_planted_fixture(spark, tmp_path):
+    """IVF counterpart of the LSH planted-recall measurements: on the
+    planted fixture the label column IS the true cluster, so the IVF
+    cells (label centroids) should reconstruct the ground-truth
+    blocking almost perfectly — per-cell search must find the exact
+    top-3 (which test_planted_fixture_ground_truth_holds proves is
+    same-cluster). Deterministic; pinned exact with a >=0.9 contract
+    bound (vs ~0.025 chance), the quality number behind llm_ann_ivf's
+    cell-blocking claim."""
+    from flirt_consume_spark.operators import similarity as S
+    from flirt_consume_spark.testing import build_planted_embeddings
+
+    d = build_planted_embeddings(str(tmp_path / "planted"))
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_exact(emb, list(range(10)), k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf(emb, list(range(10)), k=3).collect()
+    }
+    assert len(exact) == 30
+    hits = len(exact & ivf)
+    assert hits == 30  # deterministic: cells == true clusters
+    assert hits / len(exact) >= 0.9
