@@ -45,10 +45,16 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Don't re-shape this into project-array-then-explode-the-alias: an
     aliased HOF array column crossing a Project boundary is evaluated
     by the interpreted (non-codegen) projection path and re-serialized
-    per row — measured 15× slower at sf0.1."""
+    per row — measured 15× slower at sf0.1.
+
+    ``fan_out`` (r12) floors the tokenize+shingle stage's parallelism
+    when the doc scan is an unsplittable single task (guide §2.5);
+    no-op at real scale."""
+    from flirt_consume_spark.operators.scale import fan_out
     from flirt_consume_spark.operators.text import tokens
 
-    step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    step = base.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
         F.size("_tok") >= n
     )
     return step.select(
@@ -61,10 +67,12 @@ def shingle_stream(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Non-distinct (doc, shingle) stream. MIN-based consumers
     (MinHash) are duplicate-insensitive, so they skip shingle_table's
     distinct() — one less full shuffle; partial aggregation reduces
-    the stream map-side instead."""
+    the stream map-side instead. ``fan_out`` as in shingle_table."""
+    from flirt_consume_spark.operators.scale import fan_out
     from flirt_consume_spark.operators.text import tokens
 
-    step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    step = base.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
         F.size("_tok") >= n
     )
     return step.select(

@@ -23,6 +23,64 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-heavy narrow stages.
+
+    The guide's unsplittable-input rule (§2.5: "one huge unsplittable
+    file … repartition immediately after the read"): a single-row-group
+    parquet file scans as ONE task, so any expensive per-row expression
+    chain above it (shingling, gram statistics, XML parsing, hashing)
+    runs serially no matter how many cores exist. When the upstream
+    partition count is below the session's default parallelism,
+    round-robin repartition up to it; when the scan already meets the
+    floor — every real table at cluster scale does, since files/row
+    groups vastly outnumber cores — this is a NO-OP returning ``df``
+    unchanged, so no shuffle is ever added at the 100-TB design point.
+    The repartition moves only the columns already selected (callers
+    project first), and its cost at the small end is bounded by the
+    tiny input that made it necessary.
+
+    ``min_tasks`` defaults to ``sparkContext.defaultParallelism`` so
+    the floor tracks the actual core count (the external driver benches
+    at more than one core count; a constant would tune for one of
+    them).
+
+    The under-parallel probe is the optimizer's STATIC size estimate
+    (``optimizedPlan().stats().sizeInBytes``) against
+    floor × maxPartitionBytes — an input below that bound cannot scan
+    into ``floor`` tasks. Deliberately NOT ``df.rdd.getNumPartitions()``:
+    under AQE the RDD conversion finalizes the adaptive plan by
+    EXECUTING upstream query stages, which re-ran every consumer's
+    aggregation subtree once per call (measured +0.4-0.7 s/key at
+    sf0.1 before this was caught). A statistics probe costs one extra
+    analyzer/optimizer pass and never executes anything.
+    """
+    spark = df.sparkSession
+    floor = min_tasks or spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        max_pb = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            )
+        )
+    except Exception:  # estimate unavailable: leave the plan alone
+        return df
+    if size < floor * max_pb:
+        return df.repartition(floor)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -343,6 +401,10 @@ def global_rank(
     order (full unique key — ties would make any global rank
     nondeterministic anyway).
     """
+    # Parallelism floor before the range shuffle (no-op at scale):
+    # an unsplittable single-task scan otherwise serializes the range
+    # sampling pass AND the shuffle's map side (guide §2.5).
+    df = fan_out(df)
     ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -445,6 +507,10 @@ def global_cumsum(
                 f"global_cumsum needs an integral value column, got "
                 f"{vc}: {vt} — float prefix sums are order-dependent"
             )
+    # Parallelism floor before the range shuffle (no-op at scale):
+    # an unsplittable single-task scan otherwise serializes the range
+    # sampling pass AND the shuffle's map side (guide §2.5).
+    df = fan_out(df)
     ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -571,6 +637,56 @@ def _guard_group_count(offsets: DataFrame, max_groups: int, op: str) -> DataFram
     return offsets.withColumn("_gok", ok).filter("_gok").drop("_gok")
 
 
+def local_topk_per_group(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Narrow per-input-partition top-k pre-filter (r12, guide §2.3
+    "shuffle fewer bytes"): keeps every row whose rank within its
+    (input partition, group) is ≤ k under ``order_cols``. The output
+    is a provable superset of the global per-group top-k — a row
+    globally ranked ≤ k has at most k−1 rows ordered before it
+    anywhere, in particular inside its own partition — so a per-group
+    ranking family computed on the survivors agrees exactly with one
+    computed on the full frame for every row whose global row_number
+    is ≤ k (rank/dense_rank of a survivor depend only on rows ordered
+    strictly before it, all of which survive by the same argument).
+
+    Cost: NO data-sized shuffle. One narrow sort-within-partitions
+    pass (mono-id low bits give the within-partition position — the
+    global_rank trick), one tiny (num_partitions × |groups|) min-
+    position aggregate riding a broadcast join back, then the filter.
+    Output size is bounded by k · num_partitions · |groups|, which
+    turns the downstream per-group window from data-sized into
+    bounded — the scale answer for top-k-per-group queries that
+    neither serializes per group (plain window) nor range-shuffles
+    the full table (ranking_family).
+
+    Layout pinning: the sorted frame feeds both the min-position leg
+    and the filter leg; a lazy local checkpoint freezes one partition
+    layout for both (see ``_pin_ranged``).
+    """
+    gnames = [df.select(c).columns[0] for c in group_cols]
+    df = fan_out(df)  # parallelism floor: the local sort+filter is
+    # otherwise serial over an unsplittable single-task scan
+    s = (
+        df.sortWithinPartitions(*group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_loc", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+        )
+        .localCheckpoint(eager=False)
+    )
+    mins = s.groupBy("_pid", *gnames).agg(F.min("_loc").alias("_gmin"))
+    return (
+        _nullsafe_equi_join(s, F.broadcast(mins), ["_pid"] + gnames)
+        .filter(F.col("_loc") - F.col("_gmin") < F.lit(k))
+        .drop("_pid", "_loc", "_gmin")
+    )
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list,
@@ -593,25 +709,78 @@ def grouped_rank(
     assumption) riding a broadcast join back. This is the agg_gini
     offset construction, factored out.
 
-    Requires group_cols to have BOUNDED cardinality (the minima
+    Requires group_cols to have BOUNDED cardinality (the offset
     table is collected into a broadcast); ``max_groups`` enforces it —
     the call fails fast past the ceiling instead of OOMing the
     driver. For high-cardinality groups a plain per-group window is
     already parallel — use that.
     ``group_cols + order_cols`` must be a total order (unique key).
+
+    r12 internals rework (guide §2.4): one range shuffle on
+    (group, order), then rank-in-group = within-partition position −
+    the group's first position in this partition + the count of the
+    group's rows in earlier partitions + 1. Both correction terms
+    come from ONE tiny per-(partition, group) aggregate — each range
+    partition holds a contiguous slice of the (group, order) space,
+    so that table has ≤ |groups| + 2·num_partitions rows — folded
+    back with ONE broadcast join. The previous construction
+    (global_rank + a second FULL-WIDTH min-rank aggregate + a second
+    broadcast join-back) paid an extra full-data pass and join; the
+    produced ranks are identical (same total order, same
+    partition-offset algebra — pinned by the hypothesis property
+    suite against native windows).
     """
     gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
     gnames = [df.select(c).columns[0] for c in gcols]
-    ranked = global_rank(df, gcols + list(order_cols), rank_col="_gr_all")
-    mins = ranked.groupBy(*gnames).agg(F.min("_gr_all").alias("_gr_min"))
-    mins = _guard_group_count(mins, max_groups, "grouped_rank")
+    df = fan_out(df)  # parallelism floor before the range shuffle
+    ranged = _pin_ranged(
+        df.repartitionByRange(*(gcols + list(order_cols)))
+        .sortWithinPartitions(*(gcols + list(order_cols)))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_loc", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+        )
+    )
+    # Static partition-count ceiling for the guard — NOT
+    # ranged.rdd.getNumPartitions(), which builds a separate RDD plan
+    # and runs the range-sampling job at query-build time (measured
+    # +0.3-0.8 s per call at sf0.1). repartitionByRange without an
+    # explicit n never exceeds spark.sql.shuffle.partitions.
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    stats = ranged.groupBy("_pid", *gnames).agg(
+        F.min("_loc").alias("_gmin"), F.count(F.lit(1)).alias("_gcnt")
+    )
+    prev = stats.select(
+        F.col("_pid").alias("_ppid"),
+        F.struct(*gnames).alias("_pgk"),
+        F.col("_gcnt").alias("_pcnt"),
+    )
+    # Null-safe triangular offsets: struct equality treats a NULL
+    # group key as a value (groupBy semantics), so NULL-keyed groups
+    # keep correct cross-partition offsets.
+    offs = (
+        stats.join(
+            F.broadcast(prev),
+            (F.struct(*gnames) == F.col("_pgk"))
+            & (F.col("_ppid") < F.col("_pid")),
+            "left",
+        )
+        .groupBy("_pid", *gnames)
+        .agg(
+            F.min("_gmin").alias("_gmin"),
+            F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_goff"),
+        )
+    )
+    offs = _guard_group_count(offs, max_groups + 2 * npart, "grouped_rank")
     return (
-        _nullsafe_equi_join(ranked, F.broadcast(mins), gnames)
+        _nullsafe_equi_join(ranged, F.broadcast(offs), ["_pid"] + gnames)
         .withColumn(
             rank_col,
-            (F.col("_gr_all") - F.col("_gr_min") + 1).cast("long"),
+            (F.col("_loc") - F.col("_gmin") + F.col("_goff") + 1).cast(
+                "long"
+            ),
         )
-        .drop("_gr_all", "_gr_min")
+        .drop("_pid", "_loc", "_gmin", "_goff")
     )
 
 

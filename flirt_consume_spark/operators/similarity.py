@@ -103,8 +103,12 @@ def lsh_buckets(
 ) -> DataFrame:
     """Bucket id = 8 sign bits of plane projections. explode(vector) ×
     broadcast(planes) → one partial-aggregated sum per (vec, plane):
-    a single shuffle keyed on vec id."""
-    comp = emb.select(
+    a single shuffle keyed on vec id. ``fan_out`` (r12) floors the
+    explode/projection stage's parallelism over an unsplittable
+    single-task scan; no-op at real scale."""
+    from flirt_consume_spark.operators.scale import fan_out
+
+    comp = fan_out(emb.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), F.posexplode(as_double(vec_col)).alias("d", "x")
     )
     proj = (

@@ -116,32 +116,57 @@ def repetition_signal(
     that are repeats (1 - distinct/total) and the fraction taken by
     the single most frequent 2-gram.
 
-    Fully NARROW — no shuffle anywhere: every statistic is a
-    higher-order array expression over the doc's own gram array
-    (mode via transform+filter is O(n·distinct) per doc in codegen,
-    embarrassingly parallel — the right shape for a 100-TB quality
-    pre-filter, where any groupBy(doc, gram) would shuffle the whole
-    token stream). Rational count-ratios are floored to 1e-6 units
-    (exact cross-engine; round() would tie-break differently)."""
-    step = docs.select(
+    NARROW on the data path — no shuffle at cluster scale: every
+    statistic is a higher-order array expression over the doc's own
+    gram array. Per-doc cost is O(n log n): the gram array is sorted
+    once and BOTH the distinct-gram count and the max multiplicity
+    fall out of a single O(n) fold over the equal-adjacent runs.
+    (The previous mode-scan — transform over the distinct array, each
+    element filtering the full gram array — was O(n·distinct) per
+    doc, quadratic for low-repetition text; the run fold computes the
+    identical integer counts. r12, guide §1.2 per-task work.)
+    ``fan_out`` floors the stage's parallelism when the input scan is
+    an unsplittable file (guide §2.5); at real scale it is a no-op.
+    Rational count-ratios are floored to 1e-6 units (exact
+    cross-engine; round() would tie-break differently)."""
+    from flirt_consume_spark.operators.scale import fan_out
+
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    step = base.select(
         F.col(id_col), tokens(text_col).alias("_tok")
     ).filter(F.size("_tok") >= 2)
     g = step.select(F.col(id_col), shingles("_tok", 2).alias("_g"))
-    gd = g.select(F.col(id_col), "_g", F.array_distinct("_g").alias("_d"))
+    # One pass over the sorted grams: run = current equal-adjacent run
+    # length, best = max run length (= max multiplicity), nd = number
+    # of run starts (= distinct count). Grams are never NULL (split
+    # output), so the <=> against the NULL-seeded prev is false only
+    # on the first element, as intended.
+    runs = F.expr(
+        """aggregate(
+             array_sort(_g),
+             named_struct('prev', CAST(NULL AS STRING),
+                          'run', 0L, 'best', 0L, 'nd', 0L),
+             (acc, x) -> named_struct(
+               'prev', x,
+               'run',  IF(acc.prev <=> x, acc.run + 1L, 1L),
+               'best', GREATEST(acc.best,
+                                IF(acc.prev <=> x, acc.run + 1L, 1L)),
+               'nd',   acc.nd + IF(acc.prev <=> x, 0L, 1L)),
+             acc -> named_struct('best', acc.best, 'nd', acc.nd))"""
+    )
+    gd = g.select(F.col(id_col), "_g", runs.alias("_r"))
     total = F.size("_g").cast("double")
-    top = F.array_max(
-        F.transform(
-            F.col("_d"),
-            lambda d: F.size(F.filter(F.col("_g"), lambda x: x == d)),
-        )
-    ).cast("double")
     return gd.select(
         F.col(id_col),
         F.size("_g").cast("bigint").alias("n_grams"),
-        (F.floor((total - F.size("_d")) / total * 1e6) / F.lit(1e6)).alias(
-            "dup_gram_frac"
-        ),
-        (F.floor(top / total * 1e6) / F.lit(1e6)).alias("top_gram_frac"),
+        (
+            F.floor((total - F.col("_r.nd").cast("double")) / total * 1e6)
+            / F.lit(1e6)
+        ).alias("dup_gram_frac"),
+        (
+            F.floor(F.col("_r.best").cast("double") / total * 1e6)
+            / F.lit(1e6)
+        ).alias("top_gram_frac"),
     )
 
 

@@ -1344,7 +1344,12 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated columns. Completes the source matrix alongside
     csv/jsonl/text/orc/variant/pyds."""
     orders = t(spark, sf_dir, "orders")
-    path = cache_path("xml", sf_dir, "orders")
+    # "xml32": r12 layout bump — the sink is written at the session's
+    # parallelism instead of coalesce(4), because the XML source is
+    # not splittable within a file, so file count IS read-parse
+    # parallelism (guide §6 small-files vs parallelism trade; at
+    # 100 TB the writer would produce many files either way).
+    path = cache_path("xml32", sf_dir, "orders")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             orders.select(
@@ -1357,7 +1362,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "o_orderpriority",
             )
-            .coalesce(4)
+            .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .format("xml")
             .option("rootTag", "orders")

@@ -430,12 +430,13 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) in exact integer cents.
 
     The per-group rank does NOT use a per-group window (one reducer
-    per group — a serialized stage when a group is huge). Instead:
-    ONE `global_rank` over the total order (segment, cents, key),
-    then per-segment ranks fall out by subtracting each segment's
-    min global rank (a tiny broadcast join) — every stage range/hash
-    partitioned, no group ever serializes."""
-    from flirt_consume_spark.operators.scale import global_rank
+    per group — a serialized stage when a group is huge). It is ONE
+    ``grouped_rank`` over (segment | cents, key) — range-partitioned
+    rank with tiny per-(partition, segment) offsets on a broadcast
+    (r12: the previous global_rank + min-rank-per-segment join-back
+    paid an extra full-width aggregate and broadcast join for the
+    same ranks; NULL-segment safety is inside grouped_rank now)."""
+    from flirt_consume_spark.operators.scale import grouped_rank
 
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -446,21 +447,12 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
-    ranked = global_rank(
-        x, [F.col("segment"), F.col("cents"), F.col("o_orderkey")]
-    )
-    base = ranked.groupBy("segment").agg(F.min("rnk").alias("_r0"))
-    # null-safe offset join-back: a NULL segment is its own group
-    # (groupBy semantics); a plain name join would drop it from the
-    # Gini output entirely (the round-9 rank-family lesson, missed
-    # here because agg_gini predates _nullsafe_equi_join).
-    from flirt_consume_spark.operators.scale import _nullsafe_equi_join
-
-    r = _nullsafe_equi_join(ranked, F.broadcast(base), ["segment"]).select(
-        "segment",
-        "cents",
-        (F.col("rnk") - F.col("_r0") + 1).cast("long").alias("rnk"),
-    )
+    r = grouped_rank(
+        x,
+        ["segment"],
+        [F.col("cents"), F.col("o_orderkey")],
+        rank_col="rnk",
+    ).select("segment", "cents", "rnk")
     n = F.count(F.lit(1))
     sx = F.sum("cents")
     # Σ rnk·cents grows ~sf² (rank ~ group size) and crosses int64

@@ -74,21 +74,31 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change-log compaction: given an ordered stream of
     upsert/delete operations per key (~7 versions each here), produce
     the current snapshot — the batch core of every Debezium→lake
-    pipeline and of Delta/Hudi log replay. One window per key (latest
-    version wins, a delete as last op drops the key) — a single hash
-    shuffle on key; the log is never self-joined or replayed
-    iteratively, so cost is one pass at any log length. The synthetic
-    log can repeat a version number within a key, so the ordering
-    tie-breaks on every payload column — total up to fully identical
-    rows, which are indistinguishable winners anyway."""
+    pipeline and of Delta/Hudi log replay. Latest version wins and a
+    delete as last op drops the key; the log is never self-joined or
+    replayed iteratively, so cost is one pass at any log length.
+
+    r12 (guide §2.3 "aggregate before you shuffle"): the winner is ONE
+    ``max_by`` hash aggregation keyed on the change key — the partial
+    (map-side) aggregate collapses each task's ~7 versions/key to one
+    row BEFORE the exchange, where the previous row_number window
+    shuffled and per-key sorted the entire log. The ordering struct
+    (version, price_cents, op) is the window's (version DESC, price
+    DESC, op DESC) read as a lexicographic max; the synthetic log can
+    repeat a version within a key, so the ordinal covers every payload
+    column — total up to fully identical rows, indistinguishable
+    winners anyway."""
     log = _change_log(spark, sf_dir)
-    w = Window.partitionBy("key").orderBy(
-        F.col("version").desc(), F.col("price_cents").desc(), F.col("op").desc()
-    )
     return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select("key", "price_cents")
+        log.groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("op", "price_cents"),
+                F.struct("version", "price_cents", "op"),
+            ).alias("_w")
+        )
+        .filter(F.col("_w.op") != "D")
+        .select("key", F.col("_w.price_cents").alias("price_cents"))
     )
 
 

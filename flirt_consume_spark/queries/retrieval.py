@@ -352,27 +352,39 @@ def llm_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared substring of >= w + gram - 1 tokens yields at least one
     IDENTICAL selected fingerprint in both documents, while only
     ~2/(w+1) of positions are kept — the principled density/recall
-    trade that plain min-hashing (llm_fingerprint) lacks. One
-    per-doc position window (parallel across docs) over md5 hashes;
-    output is the per-doc fingerprint-set profile."""
+    trade that plain min-hashing (llm_fingerprint) lacks.
+
+    r12 rework (guide §2.4 "remove shuffles outright"): the sliding
+    window min lives entirely INSIDE one document, so it is a
+    row-local array expression — md5 per shingle via transform, then
+    per position i the min over slice(i, w) — not a per-doc window
+    over an exploded position stream (the pre-rework plan shuffled
+    every (doc, position, hash) row into a per-doc sort, then
+    re-aggregated; this plan never shuffles at all and
+    count-distinct/min collapse to array_distinct/array_min in-row).
+    ``fan_out`` floors the map stage's parallelism at the small end."""
+    from flirt_consume_spark.operators.scale import fan_out
     from flirt_consume_spark.operators.text import shingles, tokens
-    from pyspark.sql.window import Window
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("_tok")).filter(
-        F.size("_tok") >= 3
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("_tok")
+    ).filter(F.size("_tok") >= 3)
+    hs = toks.select(
+        "doc_id",
+        F.transform(shingles("_tok", 3), lambda s: F.md5(s)).alias("_h"),
     )
-    hashed = toks.select(
-        "doc_id", F.posexplode(shingles("_tok", 3)).alias("_p0", "sh")
-    ).select("doc_id", (F.col("_p0") + 1).alias("i"), F.md5("sh").alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(0, _WINNOW_W - 1)
+    fps = hs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(_h)),"
+            f" i -> array_min(slice(_h, i, {_WINNOW_W})))"
+        ).alias("_fp"),
     )
-    wins = hashed.select("doc_id", F.min("h").over(w).alias("fp"))
-    return wins.groupBy("doc_id").agg(
-        F.countDistinct("fp").alias("n_fp"), F.min("fp").alias("fp_min")
+    return fps.select(
+        "doc_id",
+        F.size(F.array_distinct("_fp")).cast("long").alias("n_fp"),
+        F.array_min("_fp").alias("fp_min"),
     )
 
 
@@ -769,39 +781,58 @@ def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a vec_id tie-break — every round's argmax is deterministic,
     so the k-row selection hash-matches the unrolled-CTE oracle.
 
-    Scale: one corpus pass builds the long form + relevance (64-row
-    broadcast query vector); each of the k rounds is a 64-row
-    broadcast join + per-vector hash agg to fold ONE new column of
-    dot products into the running max — k passes over state that
-    never exceeds (vec_id, rel, ms), with the 1-row argmax as the
-    only driver traffic per round (emb_kmeans/llm_bpe_train
-    pattern). No pairwise materialization anywhere: MMR needs only
-    max-sim to the selected SET, which folds incrementally."""
+    Scale: ZERO shuffles (r12 rework, guide §2.4). One narrow pass
+    builds the state frame (vec_id, rel, ms, quantized vector):
+    relevance is a row-local zip_with/aggregate dot product against
+    the query vector embedded as a 64-element literal (one O(dim)
+    driver probe fetches it — the llm_knn broadcast-query idea taken
+    to its endpoint). Each of the k rounds is then ONE TakeOrdered
+    argmax (per-partition top-1 + driver merge of num_partitions
+    rows) whose collected row already carries the winner's quantized
+    vector; folding its dot products into every survivor's running
+    max-sim is a row-local expression layer over the checkpointed
+    state — no join, no hash agg, no exchange anywhere in the loop
+    (the pre-rework plan paid a 64-row broadcast join + full-corpus
+    hash agg + state equi-join + eager checkpoint per round). State
+    never exceeds (vec_id, rel, ms, dim longs) — data-sized, narrow,
+    embarrassingly parallel at any corpus size."""
     emb = t(spark, sf_dir, "embeddings")
-    xs = (
-        emb.select(
-            "vec_id",
-            F.posexplode(
-                F.expr(
-                    "transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))"
-                )
-            ).alias("_i0", "xl"),
+    quant = F.expr("transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))")
+    base = emb.select("vec_id", quant.alias("_xq"))
+
+    def dot_against(vec: list) -> F.Column:
+        # One expr string, not 64 F.lit() calls: each Column op is a
+        # py4j round trip, and k rounds of per-component literals made
+        # the driver-side expression build a measurable cost.
+        lits = ", ".join(f"{int(v)}L" for v in vec)
+        return F.expr(
+            f"aggregate(zip_with(_xq, array({lits}), (a, b) -> a * b),"
+            f" 0L, (acc, x) -> acc + x)"
         )
-        .select("vec_id", (F.col("_i0") + 1).alias("i"), "xl")
-        .persist()
+
+    qrow = base.filter(F.col("vec_id") == 0).select("_xq").collect()
+    if not qrow or qrow[0]["_xq"] is None:
+        # No query vector (absent row, or NULL embedding on a
+        # degenerate mirror): nothing to rank — the pre-rework
+        # posexplode shape produced zero rel rows here.
+        return spark.createDataFrame(
+            [], "sel_rank bigint, vec_id bigint, rel bigint, ms bigint"
+        )
+    qvec = list(qrow[0]["_xq"])
+    state = (
+        # NULL-embedding docs are excluded, matching the pre-rework
+        # inner posexplode join (NULL explodes to zero rows).
+        base.filter((F.col("vec_id") != 0) & F.col("_xq").isNotNull())
+        .select(
+            "vec_id",
+            dot_against(qvec).alias("rel"),
+            F.lit(_MMR_SENTINEL).cast("bigint").alias("ms"),
+            "_xq",
+        )
+        # lazy: the round-1 argmax materializes the blocks; an eager
+        # checkpoint would spend a separate job on the same work.
+        .localCheckpoint(eager=False)
     )
-    qv = xs.filter(F.col("vec_id") == 0).select(
-        "i", F.col("xl").alias("qxl")
-    )
-    rel = (
-        xs.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qv), "i")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("xl") * F.col("qxl")).cast("bigint").alias("rel"))
-    )
-    state = rel.withColumn(
-        "ms", F.lit(_MMR_SENTINEL).cast("bigint")
-    ).localCheckpoint(eager=True)
     picks = []
     for rank in range(1, _MMR_K + 1):
         top = (
@@ -815,20 +846,8 @@ def emb_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         best = top[0]
         picks.append((rank, best["vec_id"], best["rel"], best["ms"]))
-        svec = xs.filter(F.col("vec_id") == best["vec_id"]).select(
-            "i", F.col("xl").alias("sxl")
-        )
-        dots = (
-            xs.join(F.broadcast(svec), "i")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("xl") * F.col("sxl")).cast("bigint").alias("dot"))
-        )
-        state = (
-            state.filter(F.col("vec_id") != best["vec_id"])
-            .join(dots, "vec_id")
-            .withColumn("ms", F.greatest(F.col("ms"), F.col("dot")))
-            .drop("dot")
-            .localCheckpoint(eager=True)
+        state = state.filter(F.col("vec_id") != best["vec_id"]).withColumn(
+            "ms", F.greatest(F.col("ms"), dot_against(list(best["_xq"])))
         )
     return spark.createDataFrame(
         picks, "sel_rank bigint, vec_id bigint, rel bigint, ms bigint"

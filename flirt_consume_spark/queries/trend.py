@@ -475,10 +475,16 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every emitted double is one product-tree of exact integers."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The basket frame feeds THREE legs (order count, per-brand
+    # degrees, pair expansion); persist it so the join+collect_set
+    # subtree materializes once instead of per leg (r12 — exchange
+    # reuse only deduplicated the shuffle write, each leg still
+    # re-ran the agg).
     sets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .persist()
     )
     n = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     ub = sets.select(F.explode("bs").alias("brand"))

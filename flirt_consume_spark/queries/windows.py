@@ -126,40 +126,72 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by a full unique key; rank/dense_rank are tie-stable on the
     semantic key alone.
 
-    Scale path: customer has 5 segments, so Window.partitionBy(
-    segment) would serialize the table into 5 reducers. Instead ONE
-    ``grouped_rank`` (range-partitioned global rank + broadcast
-    per-segment offsets) yields row_number; rank() = the min
-    row_number of the (segment, acctbal) tie class (keyed join
-    back); dense_rank() = grouped_rank over the DISTINCT tie classes
-    (value-domain-sized) joined back; ntile(4) = the exact
-    first-(n%k)-tiles-get-ceil(n/k) row-number formula with
-    per-segment counts on a broadcast — the win_ntile construction,
-    per group. Every stage is range/hash partitioned. The whole
-    family lives in ``operators/scale.ranking_family`` so the
-    hypothesis property suite pins its tie semantics against the
-    native window functions (tests/test_properties.py)."""
-    from flirt_consume_spark.operators.scale import ranking_family
+    Scale path (r12 rework, guide §2.3): the output keeps only rows
+    with row_number ≤ 10 per segment, so the full ranking family
+    never needs to run over the full table. ``local_topk_per_group``
+    pre-filters to each input partition's per-segment top 10 — a
+    narrow pass, no data-sized shuffle, provably a superset of the
+    global top 10 whose survivor ranks equal the full-table ranks
+    (rank/dense_rank of a survivor depend only on rows ordered
+    strictly before it, all of which survive). The exact
+    rn/rank/dense_rank family then runs as native windows over the
+    BOUNDED survivor set (≤ 10 · num_partitions · 5 rows — the per-
+    segment reducers sort thousands of rows at any table size, not
+    the table). ntile(4) is over the FULL segment, so it cannot be
+    windowed on survivors: it comes from the exact
+    first-(n%k)-tiles-get-ceil(n/k) row-number formula with the tiny
+    per-segment count table on a broadcast (the win_ntile
+    construction). The pre-rework ranking_family plan (range-
+    partitioned global rank + three keyed join-backs) measured 24
+    exchanges / 1.87 s at sf0.1; this shape is 5 tiny exchanges with
+    zero full-table shuffles."""
+    from flirt_consume_spark.operators.scale import (
+        _nullsafe_equi_join,
+        local_topk_per_group,
+    )
 
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    fam = ranking_family(
-        cust,
-        ["c_mktsegment"],
-        ["c_acctbal"],
-        [F.col("c_custkey")],
-        k=4,
-        descending=True,
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    cand = local_topk_per_group(cust, ["c_mktsegment"], order, 10)
+    w_full = Window.partitionBy("c_mktsegment").orderBy(*order)
+    w_tie = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc()
     )
-    return fam.filter(F.col("rn") <= 10).select(
+    fam = (
+        cand.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w_full).alias("rn"),
+            F.rank().over(w_tie).alias("rnk"),
+            F.dense_rank().over(w_tie).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+    cnts = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    out = _nullsafe_equi_join(fam, F.broadcast(cnts), ["c_mktsegment"])
+    # Exact ntile(4) in pure integer arithmetic (DIV, never doubles —
+    # float division would misround at data-sized n): the first
+    # n%4 tiles take n DIV 4 + 1 rows, the rest n DIV 4.
+    nt = F.expr(
+        "CAST(CASE WHEN rn <= (_n DIV 4 + 1) * (_n % 4) THEN"
+        " (CAST(rn AS BIGINT) - 1) DIV (_n DIV 4 + 1) + 1"
+        " ELSE (_n % 4) +"
+        " (CAST(rn AS BIGINT) - 1 - (_n DIV 4 + 1) * (_n % 4))"
+        " DIV GREATEST(_n DIV 4, 1) + 1 END AS BIGINT)"
+    )
+    return out.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
         F.col("rn").cast("int").alias("rn"),
         F.col("rnk").cast("int").alias("rnk"),
         F.col("drnk").cast("int").alias("drnk"),
-        F.col("nt").cast("bigint").alias("nt"),
+        nt.alias("nt"),
     )
 
 

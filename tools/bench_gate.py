@@ -164,6 +164,25 @@ def main() -> int:
     with open(args.baseline) as fh:
         base = json.load(fh)
 
+    # The contract is "within 2x of BASELINE at the SAME scale factor"
+    # (BASELINE.json:2): ratios of an artifact benched at a different
+    # sf against the frozen sf0.1 medians are not defined by the gate
+    # at all (fixed session overhead dominates small-sf numbers, so
+    # they'd read as garbage multiples, not regressions). The driver
+    # overwrites BENCH_FULL_latest.json with whichever leg it ran
+    # last — refuse the comparison loudly instead of mis-gating it.
+    art_sf = os.path.basename(str(art.get("sf", "")).rstrip("/"))
+    base_sf = os.path.basename(
+        str(base.get("protocol", {}).get("sf_dir", "")).rstrip("/")
+    )
+    if art_sf and base_sf and art_sf != base_sf:
+        print(
+            f"bench_gate: NOT APPLICABLE — artifact benched at {art_sf} "
+            f"but baseline frozen at {base_sf}; the 2x contract is "
+            "same-scale-factor only. No verdict."
+        )
+        return 0
+
     res = evaluate(
         art["queries"],
         base["median"],
