@@ -380,10 +380,19 @@ def global_rank(
     df: DataFrame,
     order_cols: list,
     rank_col: str = "rnk",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Distributed global row_number over a total order — the scale
     path for O1/W6 that a partition-less Window can't provide (that
     plans as a single reducer holding the whole table).
+
+    ``count_col`` (r12, guide §2.4 "remove shuffles outright"): when
+    set, the TOTAL row count is also emitted on every row under that
+    name — derived from the per-partition count table the offset
+    computation already aggregates, so it rides the same tiny
+    broadcast join for free. Consumers that need (rank, n) pairs
+    (ntile formulas, percent_rank/cume_dist) previously paid a second
+    full pass over the ranked frame for the count.
 
     Mechanics: range-repartition on the sort key (each partition holds
     a contiguous key range, in partition-index order), sort within
@@ -422,6 +431,13 @@ def global_rank(
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_off"))
     )
+    if count_col is not None:
+        # Total = Σ per-partition counts: one extra aggregate over the
+        # O(num_partitions) cnts frame, cross-joined onto the offsets
+        # (both tiny), so it reaches every row via the SAME broadcast
+        # join — no second data pass.
+        tot = cnts.agg(F.sum("_cnt").cast("long").alias(count_col))
+        offs = offs.crossJoin(tot)
     return (
         ranged.join(F.broadcast(offs), "_pid")
         # LONG, not INT: a global rank is data-sized — int32 overflows
@@ -693,6 +709,7 @@ def grouped_rank(
     order_cols: list,
     rank_col: str = "grnk",
     max_groups: int = MAX_BROADCAST_GROUPS,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-group row_number for LOW-CARDINALITY groups over a
     DATA-SIZED frame — the scale path that
@@ -729,6 +746,14 @@ def grouped_rank(
     produced ranks are identical (same total order, same
     partition-offset algebra — pinned by the hypothesis property
     suite against native windows).
+
+    ``count_col`` (r12, guide §2.4): when set, each row also carries
+    its GROUP's total row count under that name — Σ of the
+    per-(partition, group) counts the offset table already holds, a
+    tiny aggregate + null-safe join on the broadcast side, zero extra
+    data passes. Consumers needing (rank-in-group, group-n) pairs
+    (cume_dist/percent_rank, per-group ntile, LTTB bucketing)
+    previously re-scanned the input for the counts.
     """
     gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
     gnames = [df.select(c).columns[0] for c in gcols]
@@ -772,6 +797,15 @@ def grouped_rank(
         )
     )
     offs = _guard_group_count(offs, max_groups + 2 * npart, "grouped_rank")
+    if count_col is not None:
+        # Group totals = Σ per-(partition, group) counts: an extra
+        # aggregate + null-safe join entirely within the tiny stats
+        # frame (≤ |groups| + 2·npart rows), riding the same offsets
+        # broadcast — no second pass over the data.
+        tot = stats.groupBy(*gnames).agg(
+            F.sum("_gcnt").cast("long").alias(count_col)
+        )
+        offs = _nullsafe_equi_join(offs, tot, gnames)
     return (
         _nullsafe_equi_join(ranged, F.broadcast(offs), ["_pid"] + gnames)
         .withColumn(

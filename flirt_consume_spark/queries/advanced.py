@@ -653,26 +653,23 @@ def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 reducers at any scale. Counts per status ride the same
     broadcast; each emitted double is one division of exact
     integers, 6-decimal rounded identically on both engines."""
-    from flirt_consume_spark.operators.scale import (
-        _nullsafe_equi_join,
-        grouped_rank,
-    )
+    from flirt_consume_spark.operators.scale import grouped_rank
 
     od = t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_totalprice", "o_orderkey"
     )
+    # count_col: per-status totals ride grouped_rank's own offsets
+    # broadcast (r12) — the previous separate groupBy(status) count +
+    # null-safe join-back re-scanned the table for numbers the rank
+    # machinery had already aggregated.
     ranked = grouped_rank(
         od,
         ["o_orderstatus"],
         [F.col("o_totalprice"), F.col("o_orderkey")],
         rank_col="_r",
+        count_col="_n",
     )
-    cnt = od.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("_n"))
-    # null-safe count join-back: a NULL status is its own group
-    # (groupBy semantics) and must keep its distribution ranks.
-    return _nullsafe_equi_join(
-        ranked, F.broadcast(cnt), ["o_orderstatus"]
-    ).select(
+    return ranked.select(
         "o_orderkey",
         F.round(
             # n = 1 ⇒ percent_rank is defined as 0 (not 0/0)

@@ -291,34 +291,56 @@ def agg_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting, which never materializes overlapping PAIRS (quadratic)
     at all.
 
-    The running sum is ``operators/scale.global_cumsum`` (range
-    partition + per-partition window + broadcast offsets — no
-    single-reducer stage), so the sweep scales to any interval count.
-    Ordering (-1 before +1 at equal timestamps) makes ends free their
-    slot before same-instant starts, matching the exclusive end.
+    r12 rework (guide §2.3 "aggregate before you shuffle"): event
+    timestamps are calendar DATES, so the boundary stream collapses
+    to per-date (starts, ends) counts BEFORE the range shuffle — a
+    map-side-partial hash aggregate turns 2n boundary events into
+    |distinct dates| rows (~2.4k here; bounded by the calendar, not
+    the data, at any scale), and the ``global_cumsum`` sweep then
+    runs over that tiny frame instead of every event. Per-date peak
+    reconstruction is exact: with v1 = running net after date d and
+    (s, e) that date's start/end counts, the sweep visits
+    v0−1 … v0−e (ends first, v0 = v1 − s + e) then v0−e+1 … v1, so
+    max(visited) = greatest(v0 − 1, v1) — when e = 0 only the rising
+    leg exists but then v0 − 1 < v1, and when s = 0 only the falling
+    leg exists with v1 ≤ v0 − 1, so the single formula covers all
+    cases. Ordering (-1 before +1 at equal dates) is thereby encoded
+    algebraically, matching the exclusive end.
     """
     from flirt_consume_spark.operators.scale import global_cumsum
 
     orders = t(spark, sf_dir, "orders")
     starts = orders.select(
-        F.col("o_orderdate").alias("d"),
-        F.lit(1).alias("delta"),
-        "o_orderkey",
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
     )
     ends = orders.select(
         F.date_add("o_orderdate", 7).alias("d"),
         F.lit(-1).alias("delta"),
-        "o_orderkey",
+    )
+    byd = (
+        starts.unionByName(ends)
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("s"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("e"),
+        )
     )
     swept = global_cumsum(
-        starts.unionByName(ends),
-        "delta",
-        [F.col("d"), F.col("delta"), F.col("o_orderkey")],
-        cum_col="cur",
+        byd.select("d", "s", "e", (F.col("s") - F.col("e")).alias("net")),
+        "net",
+        [F.col("d")],
+        cum_col="v1",
+    )
+    peak = F.greatest(
+        F.col("v1") - F.col("s") + F.col("e") - 1, F.col("v1")
     )
     return swept.groupBy(
         F.date_format("d", "yyyy-MM").alias("month_key")
-    ).agg(F.max("cur").cast("bigint").alias("peak_active"))
+    ).agg(F.max(peak).cast("bigint").alias("peak_active"))
 
 
 @query(
@@ -596,23 +618,20 @@ def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1e6).cast("long").alias("yl"),
         "event_id",
     )
-    n = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     # grouped_rank, not Window.partitionBy(event_type): 5 types would
     # serialize the whole point stream into 5 reducers at scale.
+    # count_col: per-series totals ride the rank's offsets broadcast
+    # (r12) — the previous separate groupBy(event_type) count paid a
+    # full extra scan of the point stream plus a join-back.
     from flirt_consume_spark.operators.scale import grouped_rank
 
-    bk = (
-        grouped_rank(
-            pts,
-            ["event_type"],
-            [F.col("xs"), F.col("event_id")],
-            rank_col="r",
-        )
-        .join(F.broadcast(n), "event_type")
-        .withColumn(
-            "b", F.expr(f"((r - 1) * {_DS_BUCKETS}) div cnt")
-        )
-    )
+    bk = grouped_rank(
+        pts,
+        ["event_type"],
+        [F.col("xs"), F.col("event_id")],
+        rank_col="r",
+        count_col="cnt",
+    ).withColumn("b", F.expr(f"((r - 1) * {_DS_BUCKETS}) div cnt"))
     bm = bk.groupBy("event_type", "b").agg(
         (F.sum("xs").cast("double") / F.count(F.lit(1))).alias("mx"),
         (F.sum("yl").cast("double") / F.count(F.lit(1))).alias("my"),
@@ -626,7 +645,12 @@ def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lead("mx").over(wb), F.col("mx")).alias("nx"),
         F.coalesce(F.lead("my").over(wb), F.col("my")).alias("ny"),
     )
-    scored = bk.join(anchors, ["event_type", "b"]).withColumn(
+    # anchors is ≤ |types|·nb rows (1,250 here, bounded at any data
+    # size) — broadcast it so the data-sized bk side is NOT hash-
+    # shuffled + sorted into a SortMergeJoin (r12; the unhinted plan
+    # chose SMJ because anchors' size ESTIMATE descends from a
+    # data-sized aggregate, guide §3.1).
+    scored = bk.join(F.broadcast(anchors), ["event_type", "b"]).withColumn(
         "area",
         F.abs(
             (F.col("px") - F.col("nx")) * (F.col("yl") - F.col("py"))

@@ -305,17 +305,24 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row count. Bit-identical to the engines' ntile(4) at any
     parallelism; full unique ordering (price, orderkey) so tile
     boundaries are deterministic cross-engine."""
-    from flirt_consume_spark.operators.scale import global_rank
+    from flirt_consume_spark.operators.scale import global_rank, ntile_expr
 
     k = 4
-    orders = t(spark, sf_dir, "orders")
-    ranked = global_rank(orders, [F.col("o_totalprice"), F.col("o_orderkey")])
-    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    # Project to the two columns the rank needs BEFORE the range
+    # shuffle (r12, guide §2.3): global_rank over the full orders
+    # frame moved all 9 columns through the exchange to use 2.
+    orders = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # count_col: the total rides global_rank's own per-partition
+    # offsets broadcast (r12) — the previous separate count was a
+    # second full pass over the ranked frame.
+    ranked = global_rank(
+        orders,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        count_col="_n",
+    )
     # Exact ntile formula, shared with ranking_family and pinned
     # against F.ntile() by the property suite.
-    from flirt_consume_spark.operators.scale import ntile_expr
-
-    tiles = ranked.crossJoin(F.broadcast(total)).select(
+    tiles = ranked.select(
         "o_totalprice", ntile_expr("rnk", "_n", k).alias("tile")
     )
     return tiles.groupBy("tile").agg(
@@ -341,10 +348,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 units — exact cross-engine; round() would tie-break exact
     decimal values differently. Full unique ordering (acctbal,
     custkey) keeps every rank deterministic."""
-    from flirt_consume_spark.operators.scale import (
-        _nullsafe_equi_join,
-        grouped_rank,
-    )
+    from flirt_consume_spark.operators.scale import grouped_rank
 
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -352,17 +356,16 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped_rank, not Window.partitionBy(segment): 5 segments would
     # serialize the table into 5 reducers. The unique ordering makes
     # percent_rank = (rn−1)/(n−1) and cume_dist = rn/n exactly.
+    # count_col: per-segment totals ride the rank's own offsets
+    # broadcast (r12) — no separate count scan + join-back.
     ranked = grouped_rank(
         cust,
         ["c_mktsegment"],
         [F.col("c_acctbal"), F.col("c_custkey")],
         rank_col="_rn",
+        count_col="_n",
     )
-    cnt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_n"))
-    # null-safe count join-back: a NULL segment is its own group.
-    return _nullsafe_equi_join(
-        ranked, F.broadcast(cnt), ["c_mktsegment"]
-    ).select(
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",

@@ -855,21 +855,33 @@ def test_ranking_family_matches_native_windows(spark, rows, k):
 def test_grouped_rank_distribution_matches_native(spark, rows):
     """percent_rank/cume_dist as derived in win_distribution — over a
     FULL UNIQUE ordering, (rn-1)/(n-1) and rn/n — must equal the
-    native functions under the same total order."""
+    native functions under the same total order. Uses the r12
+    ``count_col`` ride-along (the exact win_distribution path), which
+    also pins the ridden per-group totals against an independent
+    groupBy count, NULL groups included."""
     from pyspark.sql.window import Window
 
-    from flirt_consume_spark.operators.scale import (
-        _nullsafe_equi_join,
-        grouped_rank,
-    )
+    from flirt_consume_spark.operators.scale import grouped_rank
 
     df = spark.createDataFrame(
         [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v int, id int"
     )
-    ranked = grouped_rank(df, ["g"], [F.col("v"), F.col("id")], rank_col="rn")
-    cnt = df.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ranked = grouped_rank(
+        df, ["g"], [F.col("v"), F.col("id")], rank_col="rn", count_col="n"
+    )
+    # The ridden count must equal an independent groupBy count for
+    # every group, including a NULL group key.
+    got_cnt = {
+        r.g: r.n
+        for r in ranked.select("g", "n").distinct().collect()
+    }
+    want_cnt = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_cnt == want_cnt
     got = (
-        _nullsafe_equi_join(ranked, F.broadcast(cnt), ["g"])
+        ranked
         .select(
             "id",
             F.when(
@@ -891,6 +903,24 @@ def test_grouped_rank_distribution_matches_native(spark, rows):
     gmap = {r.id: (r.pr, r.cd) for r in got}
     wmap = {r.id: (r.pr, r.cd) for r in want}
     assert gmap == wmap
+
+
+def test_global_rank_count_ride_along(spark):
+    """global_rank(count_col=...) must stamp the exact total row count
+    on every row — the r12 win_ntile path that replaced a second full
+    pass over the ranked frame."""
+    from flirt_consume_spark.operators.scale import global_rank
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate([5, 3, 9, 1, 7, 3, 8])],
+        "v int, id int",
+    )
+    ranked = global_rank(
+        df, [F.col("v"), F.col("id")], rank_col="rnk", count_col="n"
+    )
+    rows = ranked.collect()
+    assert all(r.n == 7 for r in rows)
+    assert sorted(r.rnk for r in rows) == list(range(1, 8))
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
