@@ -429,35 +429,48 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     capstone proof that the stages COMPOSE: one oracle replays the
     whole chain, so any stage interaction bug (dedup reordering
     quota's priorities, quota starving a split...) breaks the hash.
-    Scale shape: the dedup window partitions by md5(text) (high
-    cardinality — parallel); the per-source quota rank uses
-    ``grouped_rank`` (range-partitioned + broadcast offsets), never a
-    per-source window; everything else is narrow."""
-    from pyspark.sql.window import Window
 
+    r12 rework (guide §8 "decide with small rows, move big rows
+    once"): every DECISION in the chain — quality filter, exact-dup
+    winner, quota rank — depends only on (doc_id, source, score,
+    md5(text)), ~60 bytes/row, never on the text payload. The
+    previous plan shuffled full documents TWICE (the per-hash dedup
+    window, then grouped_rank's range shuffle). Now the decision
+    chain runs on the narrow proxy frame: dedup is a `min_by` hash
+    aggregation on md5(text) (map-side partial — no window sort),
+    the per-source quota rank (``grouped_rank``: range-partitioned +
+    broadcast offsets, never a per-source window) range-shuffles
+    60-byte rows, and the bounded survivor set (≤ 150/source) is
+    re-attached by a BROADCAST join — only survivors pay
+    tokenization, and no exchange ever carries text. ``fan_out``
+    floors the proxy scan's parallelism at the small end."""
     from flirt_consume_spark.operators import text as X
+    from flirt_consume_spark.operators.scale import fan_out, grouped_rank
 
     docs = t(spark, sf_dir, "documents")
     q6 = F.floor(X.quality_score("text") * 1e6) / F.lit(1e6)
-    f = docs.withColumn("_q6", q6).filter(F.col("_q6") >= 0.5)
-    d = (
-        f.withColumn("_h", F.md5("text"))
-        .withColumn(
-            "_rnd",
-            F.row_number().over(Window.partitionBy("_h").orderBy("doc_id")),
-        )
-        .filter(F.col("_rnd") == 1)
+    base = fan_out(docs.select("doc_id", "source", "text")).select(
+        "doc_id", "source", q6.alias("_q6"), F.md5("text").alias("_h")
     )
-    # grouped_rank, not Window.partitionBy(source): ~10 sources would
-    # serialize the deduped corpus into ~10 reducers at scale.
-    from flirt_consume_spark.operators.scale import grouped_rank
-
-    qt = grouped_rank(
-        d.withColumn("_pri", F.md5(F.col("doc_id").cast("string"))),
-        ["source"],
-        [F.col("_pri"), F.col("doc_id")],
-        rank_col="_rn",
-    ).filter(F.col("_rn") <= 150)
+    f = base.filter(F.col("_q6") >= 0.5).select("doc_id", "source", "_h")
+    # Exact dedup = keep min doc_id per hash: ONE min_by hash
+    # aggregation (partial collapse per task) instead of a per-hash
+    # row_number window (full shuffle + sort of every surviving row).
+    d = (
+        f.groupBy("_h")
+        .agg(F.min_by(F.struct("doc_id", "source"), "doc_id").alias("_s"))
+        .select(F.col("_s.doc_id").alias("doc_id"), F.col("_s.source").alias("source"))
+    )
+    qt = (
+        grouped_rank(
+            d.withColumn("_pri", F.md5(F.col("doc_id").cast("string"))),
+            ["source"],
+            [F.col("_pri"), F.col("doc_id")],
+            rank_col="_rn",
+        )
+        .filter(F.col("_rn") <= 150)
+        .select("doc_id")
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -467,7 +480,10 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     ws = F.size(X.tokens("text")).cast("long")
-    return qt.select("source", split.alias("split"), ws.alias("_ws")).groupBy(
+    # Survivor re-attach: ≤ 150·|sources| ids — broadcast, so the
+    # second documents scan is filtered in place, never shuffled.
+    kept = docs.join(F.broadcast(qt), "doc_id")
+    return kept.select("source", split.alias("split"), ws.alias("_ws")).groupBy(
         "source", "split"
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -166,34 +166,53 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling summary: null count, exact distinct count, and
-    min/max per profiled column, in ONE scan — the aggregates for all
-    columns run as expressions of a single aggregation (Spark plans
-    multi-distinct via Expand), then unpivot to the long (col, stats)
-    shape. The profiling pass every ingest pipeline runs before
-    trusting a new drop."""
+    min/max per profiled column. The profiling pass every ingest
+    pipeline runs before trusting a new drop.
+
+    r12 rework (guide §1.2 step 1 + §2.3): the previous single
+    multi-`countDistinct` aggregation planned as Expand (4× every
+    row) into a SortAggregate chain — string agg buffers (min/max of
+    the two status/priority columns) are not hash-aggregatable, so
+    the whole 4n-row stream was SORTED, inside the serial one-task
+    scan stage. Now each column runs a two-level hash aggregation:
+    groupBy(col).count() (fixed-width buffer — map-side partial, one
+    tiny exchange of |distinct| rows), then nulls / distinct-count /
+    min / max read off the grouped frame (the only sort-aggregate
+    left is over ≤ |distinct| rows). The three per-column legs are
+    independent subtrees of one union — Spark schedules their stages
+    concurrently, and each scan prunes to its single column."""
     orders = t(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
-    aggs = []
+    legs = []
     for c in cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            # min/max in the column's native type, THEN stringified —
-            # lexicographic min of string-cast numerics would disagree
-            # with the oracle's CAST(MIN(...) AS VARCHAR).
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        g = orders.select(c).groupBy(c).agg(F.count(F.lit(1)).alias("_cnt"))
+        legs.append(
+            g.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), F.col("_cnt"))),
+                    F.lit(0).cast("long"),
+                ).alias("n_nulls"),
+                # count(col) over the grouped frame counts the
+                # NON-NULL group keys = exact COUNT(DISTINCT col).
+                F.count(c).alias("n_distinct"),
+                # min/max in the column's native type, THEN
+                # stringified — lexicographic min of string-cast
+                # numerics would disagree with the oracle's
+                # CAST(MIN(...) AS VARCHAR).
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "n_nulls",
+                "n_distinct",
+                "min_val",
+                "max_val",
+            )
         )
-    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 @query(

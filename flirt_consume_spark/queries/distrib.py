@@ -374,8 +374,16 @@ def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0).select(
         "node", F.lit(0).cast("bigint").alias("dist")
     )
-    visited = seeds.localCheckpoint(eager=True)
-    frontier = visited
+    frontier = seeds.localCheckpoint(eager=True)
+    # visited = lazy UNION of the per-level checkpointed frontiers:
+    # each level is materialized exactly once (its own checkpoint);
+    # re-checkpointing the whole union every round re-wrote ALL
+    # visited rows per level — O(V · depth) total materialization for
+    # state that never changes after discovery (r12, guide §5
+    # localCheckpoint: cut lineage, don't re-copy data). The union of
+    # k checkpointed RDDs has depth-1 lineage, so the anti-join scans
+    # the same rows either way.
+    visited = frontier
     for depth in range(1, _BFS_MAX_DEPTH + 1):
         candidates = (
             frontier.join(edges, frontier["node"] == edges["src"])
@@ -388,7 +396,7 @@ def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = new.localCheckpoint(eager=True)
         if new.count() == 0:  # O(1) convergence probe, not a data collect
             break
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new)
         frontier = new
     return visited
 
