@@ -367,35 +367,68 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SH11 (TPC-H Q21 shape): suppliers who were the SOLE late
     shipper on finished multi-supplier orders — the classic
-    EXISTS + NOT EXISTS double correlation. Catalyst decorrelates
-    both subqueries into left-semi / left-anti hash joins on
-    l_orderkey (no per-row subquery execution — the rewrite that
-    makes this runnable at 100 TB); the NOT EXISTS correlates on an
-    outer column from a DIFFERENT table (o_orderdate), the hardest
-    decorrelation case in the battery."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_wo")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("od_wo")
-    return spark.sql(
-        """
-        SELECT l1.l_suppkey, COUNT(*) AS numwait
-        FROM li_wo l1 JOIN od_wo o ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND to_date(l1.l_shipdate) >
-              date_add(to_date(o.o_orderdate), 60)
-          AND EXISTS (
-            SELECT 1 FROM li_wo l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM li_wo l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey
-              AND to_date(l3.l_shipdate) >
-                  date_add(to_date(o.o_orderdate), 60)
-          )
-        GROUP BY l1.l_suppkey
-        """
+    EXISTS + NOT EXISTS double correlation (the oracle keeps that
+    form verbatim).
+
+    r12 rework (guide §2.3 "aggregate before you shuffle"): the
+    decorrelated semi + anti joins re-shuffled the FULL lineitem
+    table by l_orderkey twice more on top of the main join. The
+    correlation state per order is just two counts, so one
+    per-(order, supplier) aggregation replaces both subqueries:
+    with S(o) = distinct non-NULL suppliers of a status-F order and
+    L(o) = distinct non-NULL LATE suppliers,
+    EXISTS(other supplier)      ⇔ |S(o)| ≥ 2, and
+    NOT EXISTS(other late supp) ⇔ |L(o)| = 1 (l1 itself is late, and
+    NULL-supplier rows can never witness either subquery because
+    `l_suppkey <> l1.l_suppkey` is NULL for them — mirrored by
+    count(col) skipping NULL group keys; a NULL-suppkey l1 likewise
+    fails EXISTS, mirrored by the explicit isNotNull filter).
+    numwait(s) = Σ over qualifying orders of s's late-row count —
+    lineitem crosses the wire ONCE (map-side partial pair agg), the
+    per-order stats are a window over the tiny pair frame (groups
+    bounded by suppliers-per-order, so the window never serializes),
+    equivalence proven by the unchanged EXISTS-form oracle at every
+    SF."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    od = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)
+    g = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, 1).otherwise(0).alias("_late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("_late").cast("long").alias("_n_late_rows"))
+    )
+    wo = Window.partitionBy("l_orderkey")
+    st = g.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_n_late_rows",
+        F.count("l_suppkey").over(wo).alias("_n_supp"),
+        F.count(
+            F.when(F.col("_n_late_rows") > 0, F.col("l_suppkey"))
+        ).over(wo).alias("_n_late_supp"),
+    )
+    return (
+        st.filter(
+            (F.col("_n_late_rows") > 0)
+            & F.col("l_suppkey").isNotNull()
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late_supp") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_n_late_rows").cast("bigint").alias("numwait"))
     )
 
 

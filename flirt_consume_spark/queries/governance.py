@@ -991,6 +991,15 @@ def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = pmap.select(
         "node", F.col("parent").alias("ancestor"), F.lit(1).alias("depth")
     )
+    # Each frontier feeds TWO consumers — the output union leg and
+    # the next hop's join. Unpersisted, the union leg for depth k
+    # re-executes a k-join chain from the scan (broadcast joins leave
+    # no exchange to reuse), Σk ≈ d²/2 joins for d hops. persist()
+    # makes each hop's result compute once (r12, guide §5: reused AND
+    # expensive to recompute; frontiers shrink as chains hit the
+    # root, so the cached footprint is bounded by the live-path
+    # count).
+    frontier = frontier.persist()
     out = frontier
     for d in range(2, _ANC_DEPTH + 1):
         nxt = pmap.select(
@@ -1001,6 +1010,7 @@ def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node", F.col("_pp").alias("ancestor"), F.lit(d).alias("depth")
             )
+            .persist()
         )
         out = out.unionByName(frontier)
     return out

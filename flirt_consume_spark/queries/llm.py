@@ -880,7 +880,14 @@ def emb_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     together. sf_dir is unused by design: the table derives from md5
     arithmetic alone, identically in both engines, so the key is a
     pure index-quality gauge at any scale factor."""
-    emb = _planted_table(spark)
+    # localCheckpoint: the 120-row planted frame is pure md5
+    # expression work (~15k md5+conv calls) consumed by FOUR legs
+    # (exact knn, hyperplane bucketing, ANN, and their self-join
+    # sides) — materialize it once and hand every consumer a
+    # lineage-free scan, which also collapses each leg's huge
+    # expression tree at planning/codegen time (r12, guide §5).
+    # Lazy, per-invocation: no cross-run reuse.
+    emb = _planted_table(spark).localCheckpoint(eager=False)
     queries = list(range(_PLANTED_CLUSTERS))
     exact = S.knn_exact(emb, queries, k=3).select("query_id", "neighbor_id")
     ann = S.ann_lsh(

@@ -262,9 +262,16 @@ def test_subquery_shapes_decorrelate(spark):
     the correlated scalar min -> aggregate + equi-join. A plan that
     kept a correlated subquery node would re-execute per outer row —
     the exact thing that cannot run at 100 TB."""
+    # sql_waiting_orders (r12): the EXISTS/NOT EXISTS pair no longer
+    # reaches the planner at all — the correlation state is one
+    # per-(order, supplier) aggregation + per-order window counts, so
+    # the evidence is: exactly ONE lineitem scan (the semi/anti forms
+    # scanned it three times), a Window keyed on l_orderkey, and no
+    # surviving subquery/semi/anti machinery.
     p = plan_of(REGISTRY["sql_waiting_orders"].fn(spark, SF))
-    assert "LeftSemi" in p, p
-    assert "LeftAnti" in p, p
+    assert p.count("lineitem.parquet") == 1, p
+    assert "Window" in p, p
+    assert "LeftSemi" not in p and "LeftAnti" not in p, p
     p = plan_of(REGISTRY["sql_distant_customers"].fn(spark, SF))
     assert "LeftAnti" in p, p
     p = plan_of(REGISTRY["sql_min_cost"].fn(spark, SF))
