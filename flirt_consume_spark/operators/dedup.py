@@ -47,14 +47,20 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     by the interpreted (non-codegen) projection path and re-serialized
     per row — measured 15× slower at sf0.1.
 
-    ``fan_out`` (r12) floors the tokenize+shingle stage's parallelism
-    when the doc scan is an unsplittable single task (guide §2.5);
-    no-op at real scale."""
-    from flirt_consume_spark.operators.scale import fan_out
+    Deliberately NO ``fan_out`` here (reverted r12): every consumer
+    of the shingle tables puts a shuffle aggregation directly above
+    them, so downstream stages are already parallel, and the keys
+    that use them fan into SEVERAL plan legs (llm_contaminate's
+    bench/hits/sizes, gram_novelty's first-seen + join-back). A
+    round-robin exchange below means each leg re-pays a full-text
+    shuffle + the sort-before-repartition local sort whenever filter
+    pushdown specializes the subtree and defeats exchange reuse —
+    the driver's own sf0.1 artifact measured contaminate 2.6×,
+    ngram_jaccard 2.4×, gram_novelty 1.9× with the fan_out in place,
+    and an ABA solo re-measurement confirmed the direction."""
     from flirt_consume_spark.operators.text import tokens
 
-    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
-    step = base.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+    step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
         F.size("_tok") >= n
     )
     return step.select(
@@ -67,12 +73,11 @@ def shingle_stream(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Non-distinct (doc, shingle) stream. MIN-based consumers
     (MinHash) are duplicate-insensitive, so they skip shingle_table's
     distinct() — one less full shuffle; partial aggregation reduces
-    the stream map-side instead. ``fan_out`` as in shingle_table."""
-    from flirt_consume_spark.operators.scale import fan_out
+    the stream map-side instead. No ``fan_out`` — same multi-leg
+    re-shuffle hazard as shingle_table (see there)."""
     from flirt_consume_spark.operators.text import tokens
 
-    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
-    step = base.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+    step = docs.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
         F.size("_tok") >= n
     )
     return step.select(
