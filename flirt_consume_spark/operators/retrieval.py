@@ -251,20 +251,19 @@ def duplicate_spans(
     al., ACL 2022) — found as diagonal islands in gram match space.
 
     Consecutive ``gram_n``-gram matches at the same offset diagonal
-    d = pos_b - pos_a are one shared substring; the classic
-    gaps-and-islands grouping (pos - row_number over the diagonal)
-    collapses them to (start_a, start_b, length) spans without any
-    per-row iteration.
+    d = pos_b - pos_a are one shared substring; the gaps-and-islands
+    grouping collapses them to (start_a, start_b, length) spans — as
+    of r12 via ONE per-(pair, diagonal) hash aggregation whose sorted
+    position array yields the runs in-row (no row_number window, no
+    sort of the match stream).
 
     Scale shape: the only join is the gram equi-join, and grams
     occurring more than ``hot_cap`` times corpus-wide are dropped
     FIRST via a broadcast anti-join against the (tiny) hot-gram set —
     the boilerplate-gram guard that bounds join fanout at 100 TB. The
-    islands window partitions per (pair, diagonal) — parallel
-    everywhere.
+    islands aggregation groups per (pair, diagonal) — parallel
+    everywhere, arrays bounded by a single diagonal's match count.
     """
-    from pyspark.sql.window import Window
-
     from flirt_consume_spark.operators.text import shingles, tokens
 
     toks = docs.select(
@@ -295,25 +294,59 @@ def duplicate_spans(
     b = kept.select(
         F.col(id_col).alias("doc_b"), F.col("i").alias("pb"), "gram"
     )
+    # b-side position rides implicitly: for a fixed diagonal d every
+    # match satisfies pb = pa + d, so matches carry (d, pa) only and
+    # start_b is reconstructed as start_a + d — one less column
+    # through the gram join's shuffle (guide §2.3).
     matches = (
         a.join(b, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
-            "doc_a", "doc_b", "pa", "pb",
-            (F.col("pb") - F.col("pa")).alias("d"),
+            "doc_a", "doc_b",
+            (F.col("pb") - F.col("pa")).alias("d"), "pa",
         )
     )
-    rn = F.row_number().over(
-        Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    # Gaps-and-islands WITHOUT the row_number window (r12, guide §2.4):
+    # the old plan exchanged matches on (pair, d), SORTED every
+    # partition for the window, then re-aggregated per island. Per
+    # (pair, d) the match positions are unique (grams are posexploded
+    # per position), so ONE hash aggregation collects them and the
+    # islands fall out in-row: sort the bounded per-diagonal array,
+    # runs are the [start, end] stretches of consecutive positions —
+    # start indices where no predecessor position exists, end indices
+    # where no successor does, zipped pairwise in order. Same single
+    # exchange, no sort of the match stream, and the partial
+    # aggregation batches map-side.
+    grouped = matches.groupBy("doc_a", "doc_b", "d").agg(
+        F.array_sort(F.collect_list("pa")).alias("_ps")
     )
-    runs = matches.withColumn("grp", F.col("pa") - rn)
+    spans = F.expr(
+        f"""
+        filter(
+          zip_with(
+            filter(transform(sequence(1, size(_ps)), k ->
+                     IF(k = 1 OR try_element_at(_ps, k)
+                               != try_element_at(_ps, k - 1) + 1,
+                        try_element_at(_ps, k), CAST(NULL AS INT))),
+                   x -> x IS NOT NULL),
+            filter(transform(sequence(1, size(_ps)), k ->
+                     IF(k = size(_ps) OR try_element_at(_ps, k + 1)
+                               != try_element_at(_ps, k) + 1,
+                        try_element_at(_ps, k), CAST(NULL AS INT))),
+                   x -> x IS NOT NULL),
+            (s, e) -> named_struct('s', s, 'e', e)),
+          p -> p.e - p.s + {gram_n} >= {min_tokens})
+        """
+    )
     return (
-        runs.groupBy("doc_a", "doc_b", "d", "grp")
-        .agg(
-            F.min("pa").alias("start_a"),
-            F.min("pb").alias("start_b"),
-            (F.count(F.lit(1)) + (gram_n - 1)).alias("len_tokens"),
+        grouped.select("doc_a", "doc_b", "d", F.explode(spans).alias("_sp"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_sp.s").alias("start_a"),
+            (F.col("_sp.s") + F.col("d")).alias("start_b"),
+            (F.col("_sp.e") - F.col("_sp.s") + F.lit(gram_n))
+            .cast("long")
+            .alias("len_tokens"),
         )
-        .filter(F.col("len_tokens") >= min_tokens)
-        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
     )

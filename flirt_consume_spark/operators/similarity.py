@@ -279,6 +279,11 @@ def banded_similarity_join(
         # Hoist each vector's norm out of the pair loop: same IEEE ops
         # as recomputing per pair, ~3× less per-pair HOF work.
         .withColumn("nrm", norm(F.col("e")))
+        # Three consumers below (band explode + both verify sides) —
+        # without a persist each leg re-runs the emb ⋈ buckets join
+        # and the norm fold from the scan (guide §5: reuse beats
+        # recompute when the subtree is a join + per-row HOF work).
+        .persist()
     )
     mask = (1 << band_bits) - 1
     band_structs = F.array(
@@ -360,20 +365,33 @@ def ann_ivf(
         )
     )
     vecs = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-    # assign: nearest centroid by (rounded) cosine, tie-break on label
+    # assign: nearest centroid by (rounded) cosine, tie-break on label.
+    # r12 (guide §2.3 "aggregate before you shuffle"): a per-vector
+    # argmax via max_by hash aggregation instead of a row_number
+    # window — the window shuffled AND sorted nvec·|cells| rows (each
+    # carrying the full vector) to keep one in |cells|; the hash agg's
+    # map-side partial collapses every vector to ONE row before the
+    # exchange. The max_by key struct(sim, -c_label) reproduces the
+    # window's (sim DESC, c_label ASC) order exactly, including the
+    # degenerate orderings: Spark's struct comparison ranks NaN above
+    # every number (= NaN-first under DESC) and a NULL sim below every
+    # number (= NULLS LAST under DESC), with -c_label breaking ties
+    # toward the smallest label either way.
     scored = vecs.crossJoin(F.broadcast(cent_arr)).select(
         id_col,
         "v",
         "c_label",
         F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("c_label")
-    )
     cells = (
-        scored.withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .select(id_col, "v", F.col("c_label").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("v"), F.col("c_label")),
+                F.struct(F.col("sim"), (-F.col("c_label")).alias("_nl")),
+            ).alias("_best")
+        )
+        .select(id_col, F.col("_best.v").alias("v"), F.col("_best.c_label").alias("cell"))
     )
     q = cells.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"

@@ -43,16 +43,41 @@ def cms_bucket(row_col: Column, key: Column, d: int = CMS_D, w: int = CMS_W) -> 
     return out
 
 
-def cms_cells(df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+def cms_cells(
+    df: DataFrame,
+    key: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    weight: str | None = None,
+) -> DataFrame:
     """The d·w-cell sketch of ``df[key]``: one hash aggregation whose
     output size is CONSTANT in the input (the shuffle carries cell
     partials, map-side combined — never raw keys). Works identically
     on a batch DataFrame and a streaming one (counts are associative,
-    so the state store's incremental fold IS the sketch merge)."""
+    so the state store's incremental fold IS the sketch merge).
+
+    ``weight`` (r12): build the sketch from PRE-AGGREGATED
+    (key, count) rows — cnt = Σ weight instead of a row count. Lets a
+    caller that already holds per-key counts hash each distinct key
+    d times instead of hashing every raw row d times (the md5 work is
+    the dominant per-row cost); the resulting cells are identical
+    because the sketch is a sum over keys either way."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row_id")
+    cols = [F.col(key).alias("_k")] + (
+        [F.col(weight).alias("_wt")] if weight is not None else []
+    )
+    agg = (
+        F.sum("_wt").alias("cnt")
+        if weight is not None
+        else F.count(F.lit(1)).alias("cnt")
+    )
+    keep = ["row_id"] + (["_wt"] if weight is not None else [])
     return (
-        df.select(F.col(key).alias("_k"), rows)
-        .select("row_id", cms_bucket(F.col("row_id"), F.col("_k"), d, w).alias("bucket"))
+        df.select(*cols, rows)
+        .select(
+            *keep,
+            cms_bucket(F.col("row_id"), F.col("_k"), d, w).alias("bucket"),
+        )
         .groupBy("row_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg)
     )

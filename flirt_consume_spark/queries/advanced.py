@@ -1089,25 +1089,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    r = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
-    for _ in range(2):
-        contrib = (
-            e_deg.join(r, e_deg["src"] == r["node"])
-            .groupBy("dst")
-            .agg(
-                F.sum(F.expr("(r * 85) DIV (100 * d)"))
-                .cast("bigint")
-                .alias("c")
-            )
-        )
-        r = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            (F.lit(150_000) + F.coalesce(F.col("c"), F.lit(0)))
+    # Iteration 1's rank table is the CONSTANT 1,000,000 on every node
+    # (and every edge src is a node by construction), so its edges ⋈
+    # ranks join is an identity — fold the constant into the
+    # contribution expression and skip that join outright (guide §2.4
+    # "remove shuffles outright"; §1.2 step 1: don't compute what you
+    # can substitute). Iteration 2 still joins the materialized r1
+    # table — the shape a further iteration needs.
+    contrib = e_deg.groupBy("dst").agg(
+        F.sum(F.expr("(CAST(1000000 AS BIGINT) * 85) DIV (100 * d)"))
+        .cast("bigint")
+        .alias("c")
+    )
+    r = nodes.join(
+        contrib, nodes["node"] == contrib["dst"], "left"
+    ).select(
+        "node",
+        (F.lit(150_000) + F.coalesce(F.col("c"), F.lit(0)))
+        .cast("bigint")
+        .alias("r"),
+    )
+    contrib = (
+        e_deg.join(r, e_deg["src"] == r["node"])
+        .groupBy("dst")
+        .agg(
+            F.sum(F.expr("(r * 85) DIV (100 * d)"))
             .cast("bigint")
-            .alias("r"),
+            .alias("c")
         )
+    )
+    r = nodes.join(
+        contrib, nodes["node"] == contrib["dst"], "left"
+    ).select(
+        "node",
+        (F.lit(150_000) + F.coalesce(F.col("c"), F.lit(0)))
+        .cast("bigint")
+        .alias("r"),
+    )
     return r.select("node", F.col("r").alias("rank_micro"))
 
 

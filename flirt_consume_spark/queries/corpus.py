@@ -121,10 +121,20 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    # tf feeds two legs (the score join and the df aggregate below);
+    # persist so tokenization + the (doc, token) shuffle run once.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
+    # df = COUNT(DISTINCT doc_id) per token, but tf's rows ARE the
+    # distinct (doc_id, token) pairs — so a plain COUNT over the
+    # already-aggregated frame is the same number without a second
+    # tokenize/explode pass over the corpus or a countDistinct expand
+    # (guide §2.3 "aggregate before you shuffle": the Zipf head is
+    # already collapsed to one row per document here).
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # Every document tokenizes to >= 1 token (split never yields an
     # empty array), so corpus size for the idf is a plain count over
     # the base table — not a countDistinct over the exploded token

@@ -539,12 +539,22 @@ def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(_CMS_D)])
     ).alias("row_id")
-    cells = cms_cells(ev, "user_id", _CMS_D, _CMS_W)
-    probe = (
-        ev.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    # ONE pass over events builds per-user counts; both the sketch and
+    # the probe derive from it (guide §2.3 "aggregate before you
+    # shuffle" + §5 reuse): the d md5 bucket hashes — the dominant
+    # per-row cost — are computed once per DISTINCT user instead of
+    # once per raw event row, and the probe's exact counts reuse the
+    # same shuffle instead of re-scanning events. Cells are identical:
+    # the sketch is Σ over keys of their multiplicities either way.
+    user_counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
     )
+    cells = cms_cells(user_counts, "user_id", _CMS_D, _CMS_W, weight="_n")
+    probe = user_counts.filter(
+        F.col("user_id") % _CMS_PROBE_MOD == 0
+    ).select("user_id", F.col("_n").cast("bigint").alias("exact_cnt"))
     # Explode each probe key into its d (row_id, bucket) addresses so
     # the sketch lookup is a TRUE equi-join on (row_id, bucket) — a
     # hash join against the broadcast cells, not a nested loop over a
