@@ -310,13 +310,24 @@ def connected_components(
     )
     # Initialize at min(self, neighbors): the first propagation round
     # folded into the init aggregation — one fewer loop iteration
-    # (each costs a join + agg + action).
+    # (each costs a join + agg + action). The dispatch count AND the
+    # convergence-probe seed both ride the init checkpoint's action
+    # via observe() (r12) — two fewer jobs than separate agg actions.
+    from pyspark.sql import Observation
+
+    init_obs = Observation()
     labels = (
         edges.groupBy(F.col("s").alias("node"))
         .agg(F.least(F.min("s"), F.min("d")).alias("comp"))
+        .observe(
+            init_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("comp").alias("s"),
+        )
         .localCheckpoint(eager=True)
     )
-    if labels.count() > broadcast_nodes_limit:
+    init_row = init_obs.get
+    if init_row["n"] > broadcast_nodes_limit:
         return alternating_star_components(pairs, left, right)
 
     def propagate(lbl: DataFrame) -> DataFrame:
@@ -339,15 +350,21 @@ def connected_components(
             ).alias("comp"),
         )
 
-    # Seed the convergence probe with the INIT labels' sum (a tiny agg
-    # over the just-checkpointed table): near-dup graphs are
-    # star-shaped, so min(self, neighbors) init usually IS the
-    # fixpoint — seeding lets the loop confirm it with a single
-    # propagation round instead of two.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # Seed the convergence probe with the INIT labels' sum (observed
+    # on the init checkpoint above): near-dup graphs are star-shaped,
+    # so min(self, neighbors) init usually IS the fixpoint — seeding
+    # lets the loop confirm it with a single propagation round instead
+    # of two. Each round's sum rides its checkpoint action the same
+    # way — one job per round, not two.
+    prev_sum = init_row["s"]
     for _ in range(max_iter):
-        labels = propagate(labels).localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        obs = Observation()
+        labels = (
+            propagate(labels)
+            .observe(obs, F.sum("comp").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -383,26 +400,30 @@ def alternating_star_components(
     identical to ``connected_components`` output (property-tested
     against it and against a union-find reference).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
     u, v = F.col(left).cast("long"), F.col(right).cast("long")
     e = (
         pairs.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
-
-    def _mins(ed: DataFrame) -> DataFrame:
-        # m(u) = min over the represented neighborhood ∪ {u}
-        return (
-            ed.groupBy("u")
-            .agg(F.min("v").alias("_mv"))
-            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
-        )
+    # m(u) = min over the represented neighborhood ∪ {u}, as a window
+    # min partitioned by u (r12, guide §2.4): the former groupBy +
+    # join-back paid TWO exchanges of the edge list per star (the
+    # partial-agg leg and the join leg canonicalize differently, so
+    # the shuffle is not reused) plus the join itself; the window pays
+    # ONE exchange + the per-node sort the sort-merge join was doing
+    # anyway. Per-partition sort cost is bounded by node degree — the
+    # same bound the join's build/stream side had.
+    _w = Window.partitionBy("u")
+    _m = F.least(F.col("u"), F.min("v").over(_w))
 
     def large_star(ed: DataFrame) -> DataFrame:
         bidir = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = _mins(bidir)
         return (
-            bidir.join(m, "u")
+            bidir.withColumn("m", _m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -414,10 +435,13 @@ def alternating_star_components(
         d = ed.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
-        m = _mins(d)
-        joined = d.join(m, "u")
-        to_small = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-        to_self = m.select(F.col("u"), F.col("m").alias("v"))
+        dm = d.withColumn("m", _m)
+        to_small = dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # One (u, m) row PER EDGE rather than per node — the trailing
+        # distinct collapses them, so the emitted set is unchanged and
+        # no separate per-node aggregate (with its own exchange) is
+        # needed.
+        to_self = dm.select("u", F.col("m").alias("v"))
         return (
             to_small.union(to_self)
             .filter(F.col("u") != F.col("v"))
@@ -426,12 +450,21 @@ def alternating_star_components(
 
     prev_sig = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u") * 31 + F.col("v")).alias("s"),
-        ).collect()[0]
-        cur_sig = (sig["n"], sig["s"])
+        # The convergence signature rides the checkpoint's own action
+        # via observe() — one job per round instead of two (the old
+        # separate agg re-scanned the checkpointed blocks).
+        obs = Observation()
+        e = (
+            small_star(large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("u") * 31 + F.col("v")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = obs.get
+        cur_sig = (row["n"], row["s"])
         if cur_sig == prev_sig:
             break
         prev_sig = cur_sig

@@ -393,8 +393,15 @@ def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = candidates.join(visited, "node", "left_anti").select(
             "node", F.lit(depth).cast("bigint").alias("dist")
         )
-        new = new.localCheckpoint(eager=True)
-        if new.count() == 0:  # O(1) convergence probe, not a data collect
+        # O(1) convergence probe riding the checkpoint's own action
+        # via observe() (r12) — one job per level instead of two.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        if obs.get["n"] == 0:
             break
         visited = visited.unionByName(new)
         frontier = new

@@ -618,22 +618,40 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, "key", "lat", "lon", radius_km=150.0, cell_deg=4.0,
         max_abs_lat=70.0,
     )
+    # r12 (guide §2.3 "aggregate before you shuffle"): mirror each
+    # pair with ONE narrow explode (a unionByName of two projections
+    # duplicates the grid-join subtree in the plan), and take the
+    # per-key nearest with a min_by hash aggregation instead of a
+    # row_number window — map-side partials collapse each task's
+    # candidates to one row per key before the exchange, where the
+    # window shuffled AND sorted the whole symmetrized pair stream.
+    # The (dist_km, neighbor) ordering struct reproduces the window's
+    # tie-break exactly.
     sym = pairs.select(
-        F.col("key_a").alias("key"),
-        F.col("key_b").alias("neighbor"),
-        "dist_km",
-    ).unionByName(
-        pairs.select(
-            F.col("key_b").alias("key"),
-            F.col("key_a").alias("neighbor"),
-            "dist_km",
-        )
-    )
-    w = Window.partitionBy("key").orderBy("dist_km", "neighbor")
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("key_a").alias("key"),
+                    F.col("key_b").alias("neighbor"),
+                    F.col("dist_km"),
+                ),
+                F.struct(
+                    F.col("key_b").alias("key"),
+                    F.col("key_a").alias("neighbor"),
+                    F.col("dist_km"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.key", "_e.neighbor", "_e.dist_km")
     return (
-        sym.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("key", "neighbor", "dist_km")
+        sym.groupBy("key")
+        .agg(
+            F.min_by(
+                F.struct("neighbor", "dist_km"),
+                F.struct("dist_km", "neighbor"),
+            ).alias("_nn")
+        )
+        .select("key", F.col("_nn.neighbor"), F.col("_nn.dist_km"))
     )
 
 

@@ -225,14 +225,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense duplicate clusters (template farms, mirrored boilerplate)
     — the triage signal for which clusters to collapse first.
 
-    Both engines run EXACTLY {rounds} synchronized peeling rounds
-    (the mirrored edge set is directed-both-ways, so per-node degree
-    is one groupBy), so results match by construction even before
-    convergence; tests pin that the fixtures converge in <{rounds}
-    rounds, so the output IS the true 2-core. Spark keeps each
-    round's edge set on a localCheckpoint to stop plan growth —
-    rounds are O(E) shuffles on a candidate graph already far
-    smaller than the corpus.
+    Both engines compute {rounds} synchronized peeling rounds (the
+    mirrored edge set is directed-both-ways, so per-node degree is
+    one groupBy), so results match by construction even before
+    convergence. Spark stops as soon as a round leaves the edge
+    count unchanged — peeling is monotone, so every later round is
+    the identity and the early exit is result-identical; tests pin
+    that the fixtures converge in <{rounds} rounds, so the output IS
+    the true 2-core. Each round's edge set lives on a
+    localCheckpoint to stop plan growth — rounds are O(E) shuffles
+    on a candidate graph already far smaller than the corpus.
 
     Scale: peeling cost tracks the candidate-edge count per round
     and the edge set only shrinks; for graphs where global peeling
@@ -244,7 +246,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
-    e = e.localCheckpoint()
+    from pyspark.sql import Observation
+
+    init_obs = Observation()
+    e = e.observe(init_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    prev_n = init_obs.get["n"]
     for _ in range(_KCORE_ROUNDS):
         keep = (
             e.groupBy(F.col("s").alias("node"))
@@ -252,12 +258,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= _KCORE_K)
             .select("node")
         )
+        obs = Observation()
         e = (
             e.join(keep.withColumnRenamed("node", "s"), "s")
             .join(keep.withColumnRenamed("node", "d"), "d")
             .select("s", "d")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
+        # Peeling is monotone: an edge count unchanged by a round
+        # means the keep set is at its fixpoint and every remaining
+        # synchronized round is the identity — stop early with a
+        # result identical to running all _KCORE_ROUNDS (r12; the
+        # count rides the checkpoint's action via observe, so the
+        # probe costs no extra job).
+        cur_n = obs.get["n"]
+        if cur_n == prev_n:
+            break
+        prev_n = cur_n
     return e.groupBy(F.col("s").cast("bigint").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
