@@ -207,6 +207,37 @@ def test_pagerank_matches_python_reference(spark):
     assert any(v > 150_000 for v in got.values())
 
 
+def test_triangles_adjacency_matches_wedge_join(spark):
+    """r12: graph_triangles switched from the two-join wedge plan to
+    oriented adjacency intersection. Pin count-equivalence against an
+    independent driver-side wedge enumeration over the same oriented
+    edge set (each triangle a<b<c found once at its lowest edge)."""
+    from flirt_consume_spark.queries.advanced import graph_triangles
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = F.col("o_custkey") % 4999
+    b = F.col("l_suppkey") * 13 % 4999
+    edges = {
+        (r[0], r[1])
+        for r in li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .filter((F.col("o_totalprice") > 400000) & (a != b))
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .collect()
+    }
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+    want_tri = sum(
+        len(nbrs.get(u, set()) & nbrs.get(v, set())) for u, v in edges
+    )
+    row = graph_triangles(spark, SF).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (len(edges), want_tri)
+
+
 # --- regression tests for the round-4 ADVICE items -----------------------
 
 

@@ -142,7 +142,12 @@ ALLOW = {
     "llm_collocations": {"nested_loop"},
     # global_rank's triangular (pid → offset) broadcast join —
     # num_partitions rows, constant in data size (sort_global shape).
-    "agg_gini": {"nested_loop"},
+    # single_partition_window (r12): the grouped_rank
+    # _guard_group_count lazy guard — a count window over the tiny
+    # per-(pid, group) offsets frame, bounded by the broadcast
+    # contract (raise_error fires otherwise); same allowance as the
+    # other grouped_rank consumers below.
+    "agg_gini": {"nested_loop", "single_partition_window"},
     # 1-row pooled-moments broadcast (n, Σx, Σy, Σxy, Σx²) joined to
     # the per-arm rows — the lazy-scalar shape.
     "agg_cuped": {"nested_loop"},
