@@ -728,12 +728,7 @@ def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here and zero rows there.
     emb = emb.filter(F.col("embedding").isNotNull())
     queries = list(range(10))
-    exact = S.knn_exact(emb, queries, k=3).select("query_id", "neighbor_id")
-    ann = S.ann_lsh(
-        emb, queries, k=3, buckets=_emb_buckets(spark, sf_dir)
-    ).select(
-        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
-    )
+    exact, ann = _recall_legs(emb, _emb_buckets(spark, sf_dir), queries)
     hit = exact.join(
         ann,
         (F.col("query_id") == F.col("a_q"))
@@ -748,6 +743,66 @@ def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _recall_legs(emb, buckets, queries: list, k: int = 3):
+    """Shared exact/ANN ranked legs for the recall-eval keys (r12,
+    guide §2.4 "remove shuffles outright" / §5): the ANN candidate
+    set is exactly the bucket-equal SUBSET of the exact leg's pair
+    set, so both top-k rankings can read ONE scored frame — the
+    broadcast-query cosine pass runs once instead of twice, and the
+    checkpointed frame is narrow (ids + cos + bucket flag, no
+    vectors). Ranking semantics are knn_exact's / ann_lsh's
+    verbatim: round(cos, 6) DESC with neighbor-id tie-break,
+    row_number ≤ k; the ann leg filters BEFORE ranking, exactly like
+    the bucket equi-join it replaces (one bucket per vector, so the
+    join produced each candidate at most once)."""
+    from pyspark.sql.window import Window as W
+
+    vecs = emb.select(
+        "vec_id", S.as_double("embedding").alias("v")
+    ).join(buckets, "vec_id")
+    q = vecs.filter(F.col("vec_id").isin(queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("_qb"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("_cb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            (F.col("_qb") == F.col("_cb")).alias("_same"),
+        )
+        # Lazy, per-invocation: both ranked legs read one
+        # materialization; no cross-run reuse.
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ann = (
+        scored.filter("_same")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+        )
+    )
+    return exact, ann
 
 
 # --- planted-neighbor recall (VERDICT r11 task 5) -------------------------
@@ -889,11 +944,8 @@ def emb_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy, per-invocation: no cross-run reuse.
     emb = _planted_table(spark).localCheckpoint(eager=False)
     queries = list(range(_PLANTED_CLUSTERS))
-    exact = S.knn_exact(emb, queries, k=3).select("query_id", "neighbor_id")
-    ann = S.ann_lsh(
-        emb, queries, k=3, buckets=S.lsh_buckets(emb, S.hyperplanes(spark))
-    ).select(
-        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    exact, ann = _recall_legs(
+        emb, S.lsh_buckets(emb, S.hyperplanes(spark)), queries
     )
     hit = exact.join(
         ann,
