@@ -202,22 +202,62 @@ def bm25_scores(
     integer-unit sum (1e-9 units), so the total is order-independent.
 
     Returns (id, bm25) for every doc containing >= 1 query term.
+
+    r12 (guide §2.3 "aggregate before you shuffle"): ONE pass over the
+    token stream — per-doc length and the per-term tfs come from a
+    single conditional aggregation (the query term set is a compile-
+    time constant, so tf per term is a SUM(CASE) column), persisted
+    doc-sized; corpus count / total length / per-term document
+    frequencies are tiny re-aggregations of that frame. The former
+    shape tokenized the corpus up to three times (dl leg ×2 consumers
+    + the filtered tf leg) and shuffled tf for a doc-length join that
+    the single frame now carries for free. Scores are bit-identical:
+    same integer inputs, same IEEE expression tree.
     """
-    dl = tok_stream.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    stats = dl.agg(
+    per_doc = (
+        tok_stream.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_dl"),
+            *[
+                F.sum(
+                    F.when(F.col(token_col) == t, 1).otherwise(0)
+                ).alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .persist()
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("_dl").alias("_tot_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("int")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        tok_stream.filter(F.col(token_col).isin(*terms))
-        .groupBy(id_col, token_col)
-        .agg(F.count(F.lit(1)).alias("_tf"))
-    )
-    df_ = tf.groupBy(token_col).agg(F.count(F.lit(1)).alias("_df"))
+    tf = per_doc.select(
+        F.col(id_col),
+        "_dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_ti"),
+                        F.col(f"_tf_{i}").alias("_tf"),
+                    )
+                    for i in range(len(terms))
+                ]
+            )
+        ).alias("_e"),
+    ).select(
+        id_col, "_dl", F.col("_e._ti").alias("_ti"), F.col("_e._tf").alias("_tf")
+    ).filter(F.col("_tf") > 0)
     avgdl = F.col("_tot_dl").cast("double") / F.col("_n_docs")
-    idf = (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (
-        F.col("_df") + F.lit(0.5)
-    )
+    # per-term df arrives on the same 1-row broadcast as n/avgdl;
+    # element_at picks this row's term (arrays are tiny literals).
+    df_arr = F.array(*[F.col(f"_df_{i}") for i in range(len(terms))])
+    df_col = F.element_at(df_arr, F.col("_ti") + 1)
+    idf = (F.col("_n_docs") - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
     contrib = idf * (
         (F.col("_tf") * F.lit(k1 + 1.0))
         / (
@@ -225,11 +265,8 @@ def bm25_scores(
             + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / avgdl))
         )
     )
-    scored = (
-        tf.join(F.broadcast(df_), token_col)
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), contrib.alias("_s"))
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), contrib.alias("_s")
     )
     return scored.groupBy(id_col).agg(
         (F.sum(F.floor(F.col("_s") * 1e9).cast("long")) / F.lit(1e9))
