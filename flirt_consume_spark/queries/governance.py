@@ -625,13 +625,23 @@ def time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full extra scan of the point stream plus a join-back.
     from flirt_consume_spark.operators.scale import grouped_rank
 
-    bk = grouped_rank(
-        pts,
-        ["event_type"],
-        [F.col("xs"), F.col("event_id")],
-        rank_col="r",
-        count_col="cnt",
-    ).withColumn("b", F.expr(f"((r - 1) * {_DS_BUCKETS}) div cnt"))
+    # Pin bk: it feeds TWO legs (bucket-mean anchors + the scored
+    # join). grouped_rank pins only its internal range-partitioned
+    # frame, so without this each leg re-ran the per-partition offset
+    # aggregation and the offsets broadcast join above the pinned
+    # blocks — the whole rank machinery twice (r12 session 5). The
+    # lazy local checkpoint materializes (point, rank, bucket) once.
+    bk = (
+        grouped_rank(
+            pts,
+            ["event_type"],
+            [F.col("xs"), F.col("event_id")],
+            rank_col="r",
+            count_col="cnt",
+        )
+        .withColumn("b", F.expr(f"((r - 1) * {_DS_BUCKETS}) div cnt"))
+        .localCheckpoint(eager=False)
+    )
     bm = bk.groupBy("event_type", "b").agg(
         (F.sum("xs").cast("double") / F.count(F.lit(1))).alias("mx"),
         (F.sum("yl").cast("double") / F.count(F.lit(1))).alias("my"),

@@ -488,35 +488,49 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every emitted double is one product-tree of exact integers."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # The basket frame feeds THREE legs (order count, per-brand
-    # degrees, pair expansion); persist it so the join+collect_set
-    # subtree materializes once instead of per leg (r12 — exchange
-    # reuse only deduplicated the shuffle write, each leg still
-    # re-ran the agg).
     sets = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .groupBy(F.col("l_orderkey").alias("ok"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    # The basket frame feeds THREE readouts (order count, per-brand
+    # degrees, pair counts). Instead of materializing the 600k-row
+    # basket cache and re-scanning it per leg (r12 first cut), emit
+    # every readout's unit rows from ONE in-row expansion — a NULL/
+    # NULL sentinel per basket (order count), (brand, NULL) per
+    # member (degrees), (a, b) per combination (pairs) — and count
+    # them in ONE hash aggregation: the map-side partial collapses
+    # each task to ≤ 1 + |brands| + C(|brands|,2) rows, so a single
+    # tiny exchange replaces three passes over a data-sized cache.
+    units = sets.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "array(struct(CAST(NULL AS STRING) AS brand_a,"
+                "             CAST(NULL AS STRING) AS brand_b)), "
+                "transform(bs, a -> struct(a AS brand_a,"
+                "                          CAST(NULL AS STRING) AS brand_b)), "
+                "flatten(transform(bs, (a, i) -> "
+                "transform(slice(bs, i + 2, size(bs)), "
+                "b -> struct(a AS brand_a, b AS brand_b)))))"
+            )
+        ).alias("u")
+    ).select("u.brand_a", "u.brand_b")
+    # ≤ 1 + |brands| + C(|brands|,2) rows (326 here) — persist so the
+    # three filter readouts below scan the tiny frame, not the corpus.
+    counts = (
+        units.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .persist()
     )
-    n = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    ub = sets.select(F.explode("bs").alias("brand"))
-    deg = ub.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    n = counts.filter(F.col("brand_a").isNull()).select(
+        F.col("cnt").alias("n_orders")
     )
-    pairs = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(bs, (a, i) -> "
-                    "transform(slice(bs, i + 2, size(bs)), "
-                    "b -> struct(a AS brand_a, b AS brand_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.brand_a", "p.brand_b")
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    deg = counts.filter(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("brand"), F.col("cnt").alias("n_b"))
+    pairs = counts.filter(F.col("brand_b").isNotNull()).select(
+        "brand_a", "brand_b", F.col("cnt").alias("n_pair")
     )
     da = deg.select(F.col("brand").alias("_ba"), F.col("n_b").alias("n_a"))
     db = deg.select(F.col("brand").alias("_bb"), F.col("n_b").alias("n_b"))
