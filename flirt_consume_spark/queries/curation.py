@@ -1230,6 +1230,11 @@ def quota_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("quality"),
         F.length("text").cast("bigint").alias("n_chars"),
     ).withColumn("negq", -F.col("quality"))
+    # At real scale global_cumsum's internal _sample_safe pin keeps
+    # the range partitioner's sampling pass from re-running the
+    # regex-heavy quality projection (r12 session 5; measured
+    # 1.23 -> 1.01 s at sf0.1 with the fan_out floor disabled to
+    # reproduce the scale shape).
     cum = global_cumsum(d, ["n_chars"], ["negq", "doc_id"], ["cum_chars"])
     return (
         cum.filter(F.col("cum_chars") <= _BUDGET_CHARS)

@@ -1011,8 +1011,8 @@ def time_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDED (one row per distinct whole-day event duration), so the
     packed-array prefix fold is O(T²) over a constant-size table —
     the data-sized stages are two aggregations, nothing more. The
-    ascending cumulative for at-risk counts is n_total's prefix sum
-    (derived, like audit_ks, from the single agg output)."""
+    ascending cumulative for at-risk counts is n_total's prefix sum,
+    computed in-row on the packed bounded array (r12)."""
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("d0"),
@@ -1036,24 +1036,32 @@ def time_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         F.sum("ev").cast("bigint").alias("d_events"),
     )
-    cum = global_cumsum(byd, ["n_total"], ["dur"], ["cum_n"])
-    tot = cum.groupBy().agg(F.max("cum_n").cast("bigint").alias("n"))
-    curve = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("d_events") > 0)
-        .select(
-            "dur",
-            F.col("d_events").alias("d"),
-            (F.col("n") - (F.col("cum_n") - F.col("n_total"))).alias(
-                "n_at_risk"
-            ),
-        )
-    )
-    packed = curve.groupBy().agg(
+    # The per-day curve is BOUNDED (one row per distinct whole-day
+    # duration) and the plan already collects it into one packed array
+    # for the prefix product — so the at-risk prefix sums are computed
+    # IN-ROW on that same sorted array instead of running the full
+    # global_cumsum machinery (fan_out + range shuffle + window +
+    # offset broadcasts) plus a max-probe and cross join over a
+    # few-hundred-row frame (r12 session 5). Integer adds in a fixed
+    # left fold: exact, same values as the distributed prefix sum.
+    packed = byd.groupBy().agg(
         F.sort_array(
-            F.collect_list(F.struct("dur", "d", F.col("n_at_risk").alias("n")))
-        ).alias("a")
+            F.collect_list(F.struct("dur", "n_total", "d_events"))
+        ).alias("_b")
     )
+    # n_at_risk(i) = N − cum_n(i) + n_total(i), with N = Σ n_total and
+    # cum_n(i) the ascending-dur prefix sum INCLUDING row i.
+    curve_arr = F.expr(
+        "filter("
+        "  transform(_b, (x, i) -> struct("
+        "    x.dur AS dur,"
+        "    x.d_events AS d,"
+        "    aggregate(_b, 0L, (a, y) -> a + y.n_total)"
+        "      - aggregate(slice(_b, 1, i + 1), 0L, (a, y) -> a + y.n_total)"
+        "      + x.n_total AS n)),"
+        "  s -> s.d > 0)"
+    )
+    packed = packed.select(curve_arr.alias("a"))
     factor = lambda x: (x["n"] - x["d"]).cast("double") / x["n"].cast(  # noqa: E731
         "double"
     )

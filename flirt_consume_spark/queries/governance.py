@@ -55,29 +55,56 @@ _FK_RELS = (
 )
 def audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan-row counts for every
-    fact→dim foreign key in one result. Each relationship is a
-    left-anti join (Spark picks broadcast-anti when the dim fits,
-    shuffle-anti otherwise — both shapes never materialize matches),
-    so the audit cost is one scan per fact table regardless of orphan
-    count. The four one-row aggregates union into the report."""
-    out = None
+    fact→dim foreign key in one result. Each fact table is scanned
+    ONCE for ALL of its relationships (r12 session 5): its foreign-key
+    columns are left-joined against the broadcast DISTINCT key set of
+    each dim in one pass, and n_rows plus every per-relationship
+    orphan count come out of a single conditional aggregation — the
+    previous per-relationship anti-join + separate row-count plan
+    scanned each fact twice per relationship (8 fact passes for 4
+    relationships; now 2). Distinct-ing the dim keys keeps the
+    left join multiplicity-free, so "no match" is exactly the anti
+    join's NOT EXISTS (a NULL foreign key matches nothing and counts
+    as an orphan in both formulations)."""
+    by_fact: dict[str, list] = {}
     for fact, fk, dim, dk in _FK_RELS:
-        f_df = t(spark, sf_dir, fact)
-        d_df = t(spark, sf_dir, dim)
-        orphans = (
-            f_df.join(d_df, f_df[fk] == d_df[dk], "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        rows = f_df.agg(F.count(F.lit(1)).alias("n_rows"))
-        rel = (
-            rows.crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(f"{fact}.{fk}->{dim}.{dk}").alias("relationship"),
-                "n_rows",
-                "n_orphans",
+        by_fact.setdefault(fact, []).append((fk, dim, dk))
+    out = None
+    for fact, rels in by_fact.items():
+        f_df = t(spark, sf_dir, fact).select(*[r[0] for r in rels])
+        probe = f_df
+        for i, (fk, dim, dk) in enumerate(rels):
+            keys = (
+                t(spark, sf_dir, dim)
+                .select(F.col(dk).alias(f"_dk{i}"))
+                .distinct()
             )
+            probe = probe.join(
+                F.broadcast(keys), probe[fk] == keys[f"_dk{i}"], "left_outer"
+            )
+        agg = probe.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.count(F.when(F.col(f"_dk{i}").isNull(), 1)).alias(
+                    f"_orph{i}"
+                )
+                for i in range(len(rels))
+            ],
         )
-        out = rel if out is None else out.unionByName(rel)
+        rel_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{fact}.{fk}->{dim}.{dk}").alias("relationship"),
+                    F.col("n_rows"),
+                    F.col(f"_orph{i}").alias("n_orphans"),
+                )
+                for i, (fk, dim, dk) in enumerate(rels)
+            ]
+        )
+        rows = agg.select(F.explode(rel_structs).alias("_r")).select(
+            "_r.relationship", "_r.n_rows", "_r.n_orphans"
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 
