@@ -98,6 +98,41 @@ def hyperplanes(spark, n_planes: int = 8, dim: int = 64) -> DataFrame:
     )
 
 
+def bucket_expr(vec_col: str, n_planes: int = 8, dim: int = 64):
+    """IN-ROW LSH bucket signature — the same 8-sign-bit value
+    ``lsh_buckets`` computes, as one array expression over the vector
+    column (r12 session 5): bucket = Σ_p (1<<p)·[Σ_d x_d·w(p,d) > 0].
+
+    The ±1 plane weights are the identical md5-parity construction as
+    :func:`hyperplanes` — md5 of the literal bytes ``"{p}_{d}"`` — only
+    evaluated once driver-side (hashlib) into literal arrays instead of
+    per-row JVM md5 calls. Each plane's dot product folds the zipped
+    (x, w) pairs left-to-right in ascending d — the same IEEE addition
+    order as the exploded ``SUM(x*w)`` (all 64 terms of a vector sit in
+    one task, summed in explode order), so the doubles and their signs
+    are bit-identical to the table construction. Use when the bucket
+    can ride an existing per-vector projection; the shared
+    ``lsh_buckets`` TABLE remains the build-once/query-many index."""
+    import hashlib
+
+    def w(p: int, d: int) -> float:
+        h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:2]
+        return 1.0 if int(h, 16) % 2 == 1 else -1.0
+
+    terms = []
+    for p in range(n_planes):
+        arr = ", ".join(
+            f"{w(p, d):.1f}D" for d in range(dim)
+        )
+        terms.append(
+            f"IF(aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"array({arr}), (x, wv) -> x * wv), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v) > 0D, "
+            f"shiftleft(CAST(1 AS BIGINT), {p}), CAST(0 AS BIGINT))"
+        )
+    return F.expr(" + ".join(terms)).cast("bigint")
+
+
 def lsh_buckets(
     emb: DataFrame, planes: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

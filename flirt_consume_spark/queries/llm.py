@@ -756,12 +756,20 @@ def _recall_legs(emb, buckets, queries: list, k: int = 3):
     verbatim: round(cos, 6) DESC with neighbor-id tie-break,
     row_number ≤ k; the ann leg filters BEFORE ranking, exactly like
     the bucket equi-join it replaces (one bucket per vector, so the
-    join produced each candidate at most once)."""
+    join produced each candidate at most once).
+
+    ``buckets=None`` means ``emb`` already carries its ``bucket``
+    column (the planted key fuses the in-row signature into its
+    checkpoint — r12 session 5), so no bucket join is needed."""
     from pyspark.sql.window import Window as W
 
     vecs = emb.select(
-        "vec_id", S.as_double("embedding").alias("v")
-    ).join(buckets, "vec_id")
+        "vec_id",
+        S.as_double("embedding").alias("v"),
+        *(["bucket"] if buckets is None else []),
+    )
+    if buckets is not None:
+        vecs = vecs.join(buckets, "vec_id")
     q = vecs.filter(F.col("vec_id").isin(queries)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -941,12 +949,19 @@ def emb_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides) — materialize it once and hand every consumer a
     # lineage-free scan, which also collapses each leg's huge
     # expression tree at planning/codegen time (r12, guide §5).
-    # Lazy, per-invocation: no cross-run reuse.
-    emb = _planted_table(spark).localCheckpoint(eager=False)
-    queries = list(range(_PLANTED_CLUSTERS))
-    exact, ann = _recall_legs(
-        emb, S.lsh_buckets(emb, S.hyperplanes(spark)), queries
+    # The LSH bucket is FUSED into the same checkpoint as an in-row
+    # sign-bit expression (operators.similarity.bucket_expr — the
+    # identical md5-parity planes, bit-identical fold order), so the
+    # separate explode/aggregate bucket build and the vec ⋈ bucket
+    # join disappear (r12 session 5). Lazy, per-invocation: no
+    # cross-run reuse.
+    emb = (
+        _planted_table(spark)
+        .withColumn("bucket", S.bucket_expr("embedding"))
+        .localCheckpoint(eager=False)
     )
+    queries = list(range(_PLANTED_CLUSTERS))
+    exact, ann = _recall_legs(emb, None, queries)
     hit = exact.join(
         ann,
         (F.col("query_id") == F.col("a_q"))
