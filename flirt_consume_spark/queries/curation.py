@@ -397,10 +397,18 @@ def audit_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins of three constant-size marginal tables — the entire
     computation after the first agg touches O(cells) rows."""
     od = t(spark, sf_dir, "orders")
-    obs = od.groupBy(
-        F.col("o_orderpriority").alias("pri"),
-        F.col("o_orderstatus").alias("status"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    # Pin the O(cells) contingency table: its FOUR consumers (row
+    # marginals, column marginals, grand total, output join) each
+    # re-scanned orders and re-ran the aggregation (4 scans in the
+    # plan → 1; r12 session 5, guide §5). Lazy, per-invocation.
+    obs = (
+        od.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
     rt = obs.groupBy("pri").agg(F.sum("n_obs").cast("bigint").alias("n_row"))
     ct = obs.groupBy("status").agg(
         F.sum("n_obs").cast("bigint").alias("n_col")

@@ -1194,7 +1194,11 @@ def time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+        # Pin the calendar-bounded daily rollup: its three consumers
+        # (seasonal means, residual stream, pooled σ) each re-scanned
+        # events and re-ran the daily aggregation (4 scans in the
+        # plan → 1; r12 session 5, guide §5). Lazy, per-invocation.
+    ).localCheckpoint(eager=False)
     dowm = daily.groupBy("dow").agg(
         (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("dow_mean")
     )

@@ -104,12 +104,19 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing is quadratic; the held-out side needs no broadcast
     assumption."""
     docs = t(spark, sf_dir, "documents")
+    # Pin the split projection: FIVE plan legs consume it (exact-leak
+    # probe + build, the two pair-flag sides, the final train
+    # rollup), and unpinned each leg re-read the corpus text and
+    # re-hashed it — sha256 of every document three times, five
+    # document scans per run (r12 session 5, guide §5). The pinned
+    # frame is narrow (ids + split flag + 64-hex digest, no text);
+    # lazy and per-invocation, no cross-run reuse.
     split = docs.select(
         "doc_id",
         "source",
         (_BUCKET_SPARK(F.col("doc_id")) >= 90).alias("heldout"),
         F.sha2(F.col("text"), 256).alias("sha"),
-    )
+    ).localCheckpoint(eager=False)
     train = split.filter(~F.col("heldout"))
     held = split.filter(F.col("heldout"))
     exact_leak = (

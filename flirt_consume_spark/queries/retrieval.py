@@ -434,12 +434,16 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors stream through — exactly the shape that feeds a
     driver/BLAS eigensolve at any scale."""
     emb = t(spark, sf_dir, "embeddings")
+    # Pin the quantized vector frame: the moments leg (upper-triangle
+    # explode) and the per-column sums leg each re-scanned embeddings
+    # and re-ran the 64-element quantize transform (r12 session 5,
+    # guide §5). Lazy, per-invocation: no cross-run reuse.
     xs = emb.select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> CAST(floor(x * 1e6) AS LONG))"
         ).alias("xl"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         xs.select(F.posexplode("xl").alias("_ia", "xi"), F.col("xl"))
         .select("_ia", "xi", F.posexplode("xl").alias("_ib", "xj"))

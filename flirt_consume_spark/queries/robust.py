@@ -151,12 +151,19 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flirt_consume_spark.queries.base import finite_or_fail
 
     ev = t(spark, sf_dir, "events")
+    # Pin the quantized value frame: the three algorithmic passes
+    # (median, MAD, threshold count) are inherent, but unpinned each
+    # pass re-SCANNED events and re-ran the quantize/guard projection
+    # (3 scans in the plan; 5 counting the dev recompute legs). The
+    # pinned frame is narrow (type + 8-byte vq); the med/mad build
+    # sides keep their explicit broadcasts (r12 session 5, guide §5).
+    # Lazy, per-invocation: no cross-run reuse.
     v = ev.select(
         "event_type",
         F.floor(finite_or_fail(F.col("value"), "agg_mad_outliers") * 1e6)
         .cast("bigint")
         .alias("vq"),
-    )
+    ).localCheckpoint(eager=False)
     med = v.groupBy("event_type").agg(F.median("vq").alias("m"))
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type", "vq", F.abs(F.col("vq") - F.col("m")).alias("ad")
