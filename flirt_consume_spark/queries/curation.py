@@ -1152,8 +1152,15 @@ def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("actual"),
         F.when(ratio >= 0.1, "en").otherwise("unk").alias("predicted"),
     )
-    cells = pred.groupBy("actual", "predicted").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    # Pin the O(classes²) cell table: its three consumers (row
+    # marginals, column marginals, output join) each re-scanned the
+    # corpus text and re-ran the stopword-ratio regex (3 scans in the
+    # plan → 1; the audit_chisq shape, r12 session 5). Lazy,
+    # per-invocation.
+    cells = (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cell"))
+        .localCheckpoint(eager=False)
     )
     ra = cells.groupBy("actual").agg(
         F.sum("n_cell").cast("bigint").alias("n_actual")
@@ -1554,11 +1561,19 @@ def anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_regionkey").cast("bigint").alias("reg"),
     )
-    c = cu.join(F.broadcast(na), "c_nationkey").select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_nationkey").cast("bigint").alias("nat"),
-        "reg",
+    # Pin the quasi-identifier projection: FOUR consumers (three
+    # lattice-level group sizes + the record pass) each re-scanned
+    # customer and re-ran the nation join (4 scans in the plan → 1;
+    # r12 session 5). Lazy, per-invocation.
+    c = (
+        cu.join(F.broadcast(na), "c_nationkey")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("bigint").alias("nat"),
+            "reg",
+        )
+        .localCheckpoint(eager=False)
     )
     g0 = c.groupBy("nat", "seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n0")

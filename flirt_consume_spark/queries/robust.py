@@ -65,14 +65,24 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+rank form would materialize probe×version pairs at scale.
     Gaps are exact integer µs."""
     ev = t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("click_id"),
-        F.unix_micros("ts").alias("c_us"),
+    # Pin both narrow projections: the backward AND forward as-of
+    # legs each re-scanned events for clicks and purchases (4 scans
+    # in the plan → 2 materializations; r12 session 5, guide §5).
+    # Lazy, per-invocation.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_id"),
+            F.unix_micros("ts").alias("c_us"),
+        )
+        .localCheckpoint(eager=False)
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .localCheckpoint(eager=False)
     )
     common = dict(
         key="user_id",
