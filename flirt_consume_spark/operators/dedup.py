@@ -192,26 +192,38 @@ def jaccard_verify(
     (shingle_table).
 
     Unlike jaccard_pairs' raw shingle self-join (quadratic in a hot
-    shingle's document frequency), every join here is pair-bounded:
-    cand ⋈ A's shingles on doc_a, then ⋈ B's shingles on
-    (doc_b, shingle) — total work O(Σ_pairs |shingles(A)|),
-    independent of corpus-wide shingle frequencies.
+    shingle's document frequency), every join here is pair-bounded,
+    and the verify runs on DOC-LEVEL ARRAYS (the join_setsim shape,
+    r12 session 5): ONE pass collapses the shingle stream to per-doc
+    arrays (pinned — previously the sizes leg and both pair sides
+    each re-ran the shingle explode over the corpus: 3 passes → 1),
+    the candidate joins move one doc-sized row per side, and the
+    intersection is an in-row ``array_intersect`` over the two
+    bounded sets — work O(Σ_pairs |shingles|), independent of
+    corpus-wide shingle frequencies.
 
     ``cand`` must have (doc_a, doc_b) with doc_a < doc_b."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    arr = (
+        sh.groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_sh"))
+        .localCheckpoint(eager=False)
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    aa = arr.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_sh").alias("_sa"),
+        F.size("_sh").alias("n_a"),
+    )
+    bb = arr.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_sh").alias("_sb"),
+        F.size("_sh").alias("n_b"),
+    )
     j = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        )
         .withColumn(
             "jaccard",
             F.floor(

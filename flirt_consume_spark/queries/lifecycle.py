@@ -292,7 +292,12 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    pts = pts.withColumn("_b", F.expr("price_cents DIV 10000"))
+    # Pin the narrow point frame: the windowed pass and the two
+    # bucket-maxima legs each re-scanned part (3 scans in the plan →
+    # 1; r12 session 5, guide §5). Lazy, per-invocation.
+    pts = pts.withColumn(
+        "_b", F.expr("price_cents DIV 10000")
+    ).localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("_b")
         .orderBy("price_cents")

@@ -644,17 +644,30 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: intersect/except — month-over-month route-set diffing in the
-    reference's domain (customer sets across years here)."""
+    reference's domain (customer sets across years here). Both set
+    operations come from ONE aggregation (r12 session 5, guide §2.4):
+    per customer, a max-flag per year, then EXCEPT ⇔ (1996 ∧ ¬1997)
+    and INTERSECT ⇔ (1996 ∧ 1997) — one scan and one map-side-partial
+    exchange instead of four scans and two set-operator shuffles,
+    with identical distinct-per-customer output."""
     orders = t(spark, sf_dir, "orders")
-    y96 = (
-        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    yr = F.year("o_orderdate")
+    flags = (
+        orders.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((yr == 1996).cast("int")).alias("_h96"),
+            F.max((yr == 1997).cast("int")).alias("_h97"),
+        )
     )
-    y97 = (
-        orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    tag = (
+        F.when((F.col("_h96") == 1) & (F.col("_h97") == 0), "only_1996")
+        .when((F.col("_h96") == 1) & (F.col("_h97") == 1), "both")
     )
-    only = y96.subtract(y97).select(F.lit("only_1996").alias("tag"), "o_custkey")
-    both = y96.intersect(y97).select(F.lit("both").alias("tag"), "o_custkey")
-    return only.unionByName(both)
+    return (
+        flags.select(tag.alias("tag"), "o_custkey")
+        .filter(F.col("tag").isNotNull())
+    )
 
 
 @query(
