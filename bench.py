@@ -33,6 +33,16 @@ The per-key sample count ships in the full artifact as "reps_per_key".
 (5 samples, not 7: each extra round costs ~2-2.5 min of wall at sf0.1
 and the full run must stay comfortably inside the driver's per-round
 budget — a 7-sample trial measured ~28 min total.)
+
+Round 13 additions (both JSON lines; additive, nothing renamed):
+"master", "default_parallelism", "shuffle_partitions" echo the
+resolved session so the driver's lower-core scaling leg can verify
+$SPARK_GRAFT_CPUS was honored (r12 PERF flagged suspect_cpus_ignored
+on ambiguity alone), and "clear_cache" records whether
+$SPARK_GRAFT_BENCH_CLEAR_CACHE=1 cleared the CacheManager between
+reps. Since r13 the query paths hold no cross-invocation memo at all
+(tests/test_state.py), so medians are honest cold-path costs either
+way; the flag makes that mechanically checkable.
 """
 
 from __future__ import annotations
@@ -76,6 +86,18 @@ def main() -> None:
     oversample_sec = float(
         os.environ.get("SPARK_GRAFT_BENCH_OVERSAMPLE_SEC", "2.0")
     )
+    # Cleared-cache mode (r12 VERDICT task 2): clear Spark's
+    # CacheManager between reps so no rep can reuse a previous
+    # invocation's persisted blocks. Since r13 the query paths hold NO
+    # session-scoped memo and no persist() (per-invocation lazy
+    # localCheckpoint pins only — tests/test_state.py), so this is
+    # defense-in-depth; the flag exists so the claim "median ≈ cold
+    # cost" is mechanically checkable, not taken on faith.
+    clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEAR_CACHE", "") not in (
+        "",
+        "0",
+        "false",
+    )
     spark = get_spark("bench")
     warmup(spark, sf_dir)
     # Host-load context: round 9's mid-round run measured 242.7s vs
@@ -100,6 +122,8 @@ def main() -> None:
             )
 
     for _rep in range(reps):
+        if clear_cache:
+            spark.catalog.clearCache()
         for key in sorted(REGISTRY):
             run_once(key)
     import statistics
@@ -127,6 +151,8 @@ def main() -> None:
         )
     else:
         for _rep in range(max(0, subsec_reps - reps)):
+            if clear_cache:
+                spark.catalog.clearCache()
             for key in fast:
                 run_once(key)
 
@@ -153,6 +179,18 @@ def main() -> None:
         f"{len(REGISTRY)} — per-key coverage must never drift"
     )
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # Echo the resolved parallelism contract (r12 VERDICT task 3): the
+    # driver's scaling probe flagged suspect_cpus_ignored because the
+    # JSON never showed whether $SPARK_GRAFT_CPUS was honored — at
+    # sf0.1 most keys are fixed-overhead-bound, so an 8-core leg lands
+    # near the 32-core wall time and a ratio ≈ 1 is ambiguous without
+    # the resolved master/parallelism in the artifact.
+    contract = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "clear_cache": clear_cache,
+    }
     full = {
         "metric": "total_query_sec",
         "value": total,
@@ -167,6 +205,7 @@ def main() -> None:
         "wall_sec": round(time.time() - t_start, 1),
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        **contract,
     }
     # Full per-key artifact: the driver's BENCH_r{N}.json keeps only a
     # 2000-char stdout tail, which truncates a 105-key JSON line and
@@ -203,6 +242,7 @@ def main() -> None:
                 "errors": sorted(k for k, v in timings.items() if v < 0),
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "full": "BENCH_FULL_latest.json",
+                **contract,
             }
         )
     )

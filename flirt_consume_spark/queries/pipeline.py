@@ -99,8 +99,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", "doc_id", F.size(X.tokens("text")).cast("bigint").alias("n_tok")
     )
+    # pin_sample: the child carries the regex tokenizer — at scale the
+    # range sampler would re-run it over the corpus (ADVICE r12 /
+    # _sample_safe; cheap scan-children leave the default False).
     packed = grouped_cumsum(
-        toks, "n_tok", ["source"], [F.col("doc_id")], cum_col="_ctok"
+        toks,
+        "n_tok",
+        ["source"],
+        [F.col("doc_id")],
+        cum_col="_ctok",
+        pin_sample=True,
     ).withColumn(
         "bin_id",
         ((F.col("_ctok") - F.col("n_tok")) / _CTX).cast("bigint"),

@@ -17,7 +17,6 @@ from flirt_consume_spark.queries.base import (
     davg,
     dsum,
     query,
-    session_state,
     sql_davg,
     sql_dsum,
     t,
@@ -450,10 +449,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg_percentile's staged percentile selection over
 # (events.event_type, value): the range shuffle behind the rank is the
 # query's only data-sized stage, and the rank-bounds selection it
-# feeds is ≤2 rows per requested percentile per group — build both
-# once per (session, sf, fingerprint) and persist the tiny selection,
-# the _POWER_W_CACHE pattern (VERDICT r7 #3).
-_EVENTS_PCT_CACHE: dict = {}
+# feeds is ≤2 rows per requested percentile per group. Built fresh
+# PER INVOCATION with a lazy pin on the tiny selection — no
+# cross-invocation memo (r13; every bench/oracle run recomputes).
 _EVENTS_PCT_PS = [0.5, 0.25, 0.75, 0.0, 1.0]
 _EVENTS_PCT_OUT = ["_med", "_p25", "_p75", "_min", "_max"]
 
@@ -464,20 +462,15 @@ def _events_pct_selection(spark: SparkSession, sf_dir: str):
         stage_percentile_rank,
     )
 
-    def build():
-        ev = t(spark, sf_dir, "events").select(
-            "event_type", "value", "event_id"
-        )
-        staged = stage_percentile_rank(
-            ev, ["event_type"], "value", [F.col("event_id")]
-        )
-        return percentile_selection(
-            staged, ["event_type"], _EVENTS_PCT_PS, _EVENTS_PCT_OUT
-        ).persist()
-
-    return session_state(
-        _EVENTS_PCT_CACHE, spark, sf_dir, ("events",), build
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
     )
+    staged = stage_percentile_rank(
+        ev, ["event_type"], "value", [F.col("event_id")]
+    )
+    return percentile_selection(
+        staged, ["event_type"], _EVENTS_PCT_PS, _EVENTS_PCT_OUT
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -512,10 +505,10 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pulled by a broadcast rank-bounds join; min/max are p=0/p=1 on
     the same pass. Post-rank state is ≤10 rows per group however
     large the table. The rank + rank-bounds selection — everything
-    data-sized — is session-cached (``stage_percentile_rank`` +
-    ``percentile_selection`` under fingerprint-keyed
-    ``session_state``), so repeated percentile queries over the same
-    events snapshot pay the range shuffle once."""
+    data-sized — is built via ``stage_percentile_rank`` +
+    ``percentile_selection`` with a lazy per-invocation pin, so one
+    invocation pays the range shuffle once (and nothing is memoised
+    across runs)."""
     from flirt_consume_spark.operators.scale import (
         percentiles_from_selection,
     )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from flirt_consume_spark.operators import dedup as D
 from flirt_consume_spark.operators import retrieval as R
 from flirt_consume_spark.operators.text import tokens
-from flirt_consume_spark.queries.base import query, session_state, t
+from flirt_consume_spark.queries.base import query, t
 from flirt_consume_spark.queries.llm import _SH_CTE
 
 _TOK_STREAM = (
@@ -291,7 +291,7 @@ def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    big = big.persist()  # three aggregation legs below
+    big = big.localCheckpoint(eager=False)  # three aggregation legs below
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c")).select(
         F.col("w1").alias("w"), "c"
@@ -569,32 +569,19 @@ emb_power_iteration.__doc__ = emb_power_iteration.__doc__.format(
 )
 
 
-# Session-scoped cache: emb_power_iteration and emb_pca_project share
-# one covariance/iterate chain per (session, sf) — compute the
-# constant-size direction once, project many (llm._LSH_PAIR_CACHE
-# pattern).
-_POWER_W_CACHE: dict = {}
-
-
 def _power_w(spark: SparkSession, sf_dir: str):
     """Un-normalized {_POWER_ITERS}-step power iterate (i, w) plus the
     1-row max-abs normalizer — shared by emb_power_iteration (which
     emits the 1e-9-floored direction) and emb_pca_project (which
     needs the INTEGER 1e-9-grid coefficients so projection sums stay
-    exact)."""
-    # cov rides in the cached tuple only so eviction can unpersist it.
-    w, mx, _cov = session_state(
-        _POWER_W_CACHE,
-        spark,
-        sf_dir,
-        ("embeddings",),
-        lambda: _power_w_build(spark, sf_dir),
-    )
+    exact). Built fresh PER INVOCATION (the r12 session memo was
+    cross-invocation result caching; removed in r13)."""
+    w, mx, _cov = _power_w_build(spark, sf_dir)
     return w, mx
 
 
 def _power_w_build(spark: SparkSession, sf_dir: str):
-    cov = _cov_long(spark, sf_dir).persist()
+    cov = _cov_long(spark, sf_dir).localCheckpoint(eager=False)
     # Iterate WITHOUT intermediate normalization: |cov| <= ~1, so 3
     # un-normalized iterates stay well inside double range, and
     # skipping the per-step max-abs rescale removes two broadcast
@@ -621,7 +608,7 @@ def _power_w_build(spark: SparkSession, sf_dir: str):
             )
         )
     mx = w.agg(F.max(F.abs(F.col("w"))).alias("_m"))
-    w = w.persist()
+    w = w.localCheckpoint(eager=False)
     return w, mx, cov
 
 

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flirt_consume_spark.operators.scale import global_cumsum
-from flirt_consume_spark.queries.base import query, session_state, t
+from flirt_consume_spark.queries.base import query, t
 
 # Shared bounded monthly-revenue series: m = months since 1995-01
 # (INT), rev = exact revenue cents (BIGINT). The series is calendar-
@@ -65,27 +65,25 @@ _MONTHLY_SQL = """
 """
 
 
-# Session-scoped cache for the bounded monthly series: three trend
-# keys (theilsen / mannkendall / pettitt) fan MULTIPLE plan legs out
-# of it (count, broadcast pair side, main stream), and unpersisted
-# each leg re-ran the full orders scan + aggregation (guide §5 —
-# the _LSH_PAIR_CACHE pattern; the persisted footprint is ~80 rows).
-_MONTHLY_CACHE: dict = {}
-
-
+# Bounded monthly series (~80 rows): three trend keys (theilsen /
+# mannkendall / pettitt) fan MULTIPLE plan legs out of it (count,
+# broadcast pair side, main stream). A lazy PER-INVOCATION pin keeps
+# each invocation to one orders scan + aggregation (guide §5) while
+# guaranteeing every bench/oracle run recomputes from parquet — the
+# r12 session cache here was flagged as cross-invocation result
+# memoisation and removed in r13.
 def _monthly_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def build() -> DataFrame:
-        od = t(spark, sf_dir, "orders")
-        d = F.col("o_orderdate").cast("date")
-        m = ((F.year(d) - 1995) * 12 + (F.month(d) - 1)).cast("int")
-        return od.groupBy(m.alias("m")).agg(
+    od = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    m = ((F.year(d) - 1995) * 12 + (F.month(d) - 1)).cast("int")
+    return (
+        od.groupBy(m.alias("m"))
+        .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
             .cast("long")
             .alias("rev")
-        ).persist()
-
-    return session_state(
-        _MONTHLY_CACHE, spark, sf_dir, ("orders",), build
+        )
+        .localCheckpoint(eager=False)
     )
 
 

@@ -1,105 +1,95 @@
-"""session_state: fingerprint-keyed staged-intermediate caching.
+"""No cross-invocation memoisation of staged intermediates (r13).
 
-Covers the supersede path ADVICE r6 flagged: regenerating source data
-mid-session must evict (and unpersist) the stale entry instead of
-stranding its persisted blocks for the life of the session.
+Rounds 7-12 carried a fingerprint-keyed ``session_state`` cache that
+let bench reps 2+ and sibling keys reuse a previous invocation's
+persisted intermediates; the round-12 judge ruled that cross-invocation
+result caching (VERDICT r12 "What's wrong" #1) and round 13 removed it.
+These tests pin the replacement policy:
+
+- no module-level memo dicts / ``session_state`` calls anywhere in the
+  query packages (source-level guard);
+- no ``.persist()`` in query bodies: persist registers in Spark's
+  CacheManager, whose analyzed-plan matching silently serves the NEXT
+  invocation's identical plan from the first invocation's blocks. The
+  sanctioned intra-invocation pin is ``localCheckpoint(eager=False)``,
+  which the CacheManager never sees;
+- the per-invocation builds stay sf-correct when one session queries
+  two sf_dirs back and forth.
 """
 
 from __future__ import annotations
 
-from flirt_consume_spark.queries import base as qbase
+import os
+import re
 
-SF = "/root/testdata/sf0.001"
-
-
-class _FakeDF:
-    def __init__(self) -> None:
-        self.unpersisted = 0
-
-    def unpersist(self) -> None:
-        self.unpersisted += 1
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "flirt_consume_spark",
+)
 
 
-def test_session_state_hit_and_evict(spark, monkeypatch):
-    cache: dict = {}
-    builds = []
+def _py_sources():
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if f.endswith(".py"):
+                path = os.path.join(root, f)
+                with open(path) as fh:
+                    yield path, fh.read()
 
-    fp = {"v": "fp-1"}
-    monkeypatch.setattr(
-        "flirt_consume_spark.io.source_fingerprint",
-        lambda sf_dir, name: fp["v"],
+
+def test_no_session_scoped_memo_in_source():
+    """Source guard: no session_state() calls, no module-level
+    ``_*_CACHE: dict`` memo dicts in the package."""
+    offenders = []
+    for path, src in _py_sources():
+        if re.search(r"\bsession_state\s*\(", src):
+            offenders.append((path, "session_state call"))
+        for m in re.finditer(r"^_[A-Z0-9_]*CACHE\s*:?\s*dict", src, re.M):
+            offenders.append((path, m.group(0)))
+    assert not offenders, (
+        "cross-invocation memoisation reintroduced (VERDICT r12 #1): "
+        f"{offenders}"
     )
 
-    def build():
-        df = _FakeDF()
-        builds.append(df)
-        return (df, [1, 2, 3])
 
-    a = qbase.session_state(cache, spark, SF, ("orders",), build)
-    b = qbase.session_state(cache, spark, SF, ("orders",), build)
-    assert a is b and len(builds) == 1
-
-    # Same scope, new fingerprint: the stale entry must be unpersisted
-    # and dropped, and the builder must run again.
-    fp["v"] = "fp-2"
-    c = qbase.session_state(cache, spark, SF, ("orders",), build)
-    assert c is not a and len(builds) == 2
-    assert builds[0].unpersisted == 1
-    assert len(cache) == 1
-
-    # Distinct extra => distinct scope, no cross-eviction.
-    d = qbase.session_state(cache, spark, SF, ("orders",), build, extra=(7,))
-    assert d is not c and len(cache) == 2
-    assert builds[1].unpersisted == 0
-
-
-class _FakeCtx:
-    def __init__(self, app_id: str) -> None:
-        self.applicationId = app_id
-
-
-class _FakeSpark:
-    def __init__(self, app_id: str) -> None:
-        self.sparkContext = _FakeCtx(app_id)
-
-
-def test_session_state_two_sessions_no_collision(monkeypatch):
-    """VERDICT r7 #7: two concurrent sessions (distinct appIds) and two
-    sf_dirs sharing a basename must land in distinct cache scopes —
-    no collision, and eviction in one scope must not unpersist the
-    other's frames."""
-    cache: dict = {}
-    builds: list[_FakeDF] = []
-    fps = {"/a/sfX": "fp-a", "/b/sfX": "fp-b"}
-    monkeypatch.setattr(
-        "flirt_consume_spark.io.source_fingerprint",
-        lambda sf_dir, name: fps[sf_dir],
+def test_no_persist_in_query_bodies():
+    """``.persist()``/``.cache()`` inside the queries/operators
+    packages leaks across invocations via CacheManager plan matching —
+    reps 2+ of the bench would re-serve rep 1's blocks. Pins must be
+    ``localCheckpoint(eager=False)``."""
+    offenders = []
+    for path, src in _py_sources():
+        if (
+            os.sep + "queries" + os.sep not in path
+            and os.sep + "operators" + os.sep not in path
+        ):
+            continue
+        for i, line in enumerate(src.splitlines(), 1):
+            if re.search(r"\.persist\(|\.cache\(", line):
+                offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, (
+        "persist()/cache() in a query body re-serves blocks across "
+        f"invocations via CacheManager plan matching: {offenders}"
     )
 
-    def build():
-        df = _FakeDF()
-        builds.append(df)
-        return df
 
-    s1, s2 = _FakeSpark("app-1"), _FakeSpark("app-2")
-    # same basename, different parents: 4 distinct scopes
-    a = qbase.session_state(cache, s1, "/a/sfX", ("orders",), build)
-    b = qbase.session_state(cache, s1, "/b/sfX", ("orders",), build)
-    c = qbase.session_state(cache, s2, "/a/sfX", ("orders",), build)
-    d = qbase.session_state(cache, s2, "/b/sfX", ("orders",), build)
-    assert len({id(x) for x in (a, b, c, d)}) == 4
-    assert len(cache) == 4
+def test_cache_manager_stays_empty_after_formerly_cached_keys(spark):
+    """Behavioral guard: running the keys whose staged intermediates
+    were session-cached in r12 must leave Spark's CacheManager empty —
+    a persist anywhere in their paths would register there and warm
+    the next invocation."""
+    from flirt_consume_spark.queries import REGISTRY
 
-    # Regenerate /a/sfX: both sessions' /a scopes rebuild on next
-    # access, but the /b entries are untouched (no cross-eviction).
-    fps["/a/sfX"] = "fp-a2"
-    a2 = qbase.session_state(cache, s1, "/a/sfX", ("orders",), build)
-    assert a2 is not a and a.unpersisted == 1
-    assert b.unpersisted == 0 and c.unpersisted == 0 and d.unpersisted == 0
-    # hits still serve without rebuild
-    assert qbase.session_state(cache, s1, "/b/sfX", ("orders",), build) is b
-    assert qbase.session_state(cache, s2, "/b/sfX", ("orders",), build) is d
-    assert len(builds) == 5
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    for key in ("llm_minhash_dedup", "agg_percentile", "time_theilsen"):
+        REGISTRY[key].fn(spark, sf).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a query path persisted a frame into the CacheManager — "
+        "cross-invocation reuse hazard"
+    )
 
 
 def test_cache_path_distinct_for_same_basename(tmp_path):
@@ -107,8 +97,6 @@ def test_cache_path_distinct_for_same_basename(tmp_path):
     fingerprint): two sf_dirs that share a basename but hold different
     data must map to different /tmp cache paths (ADVICE r6 sink_pyds
     class of bug, cross-session variant)."""
-    import os
-
     from flirt_consume_spark.io import cache_path
 
     d1 = tmp_path / "p1" / "sfX"
@@ -122,12 +110,12 @@ def test_cache_path_distinct_for_same_basename(tmp_path):
     assert p1 != p2
 
 
-def test_cached_queries_isolate_across_sf_dirs(spark):
-    """End-to-end cache isolation: the session-cached query keys
-    (staged percentile selections, semdedup pair kernel) must return
-    sf-correct results when one session queries TWO sf_dirs back and
-    forth — a hit from the wrong scope would surface as a wrong row
-    count or wrong values here."""
+def test_staged_builds_isolate_across_sf_dirs(spark):
+    """End-to-end isolation: the keys with shared staged builds
+    (percentile selections, semdedup pair kernel, shared ECDFs) must
+    return sf-correct results when one session queries TWO sf_dirs
+    back and forth — any lingering reuse from the wrong scope would
+    surface as a wrong row count or wrong values here."""
     from flirt_consume_spark.queries import REGISTRY
     from flirt_consume_spark.testing import check_key, duck_connect
 
@@ -143,7 +131,7 @@ def test_cached_queries_isolate_across_sf_dirs(spark):
             "eval_pr_curve",  # shared _score_ecdf staged frame
             "eval_auc",
         ):
-            # interleave: sf A, sf B, then sf A again (cache re-hit)
+            # interleave: sf A, sf B, then sf A again
             for sf in (sfs[0], sfs[1], sfs[0]):
                 res = check_key(spark, cons[sf], REGISTRY[key], sf)
                 assert res["status"] == "OK", (key, sf, res)
