@@ -34,15 +34,21 @@ The per-key sample count ships in the full artifact as "reps_per_key".
 and the full run must stay comfortably inside the driver's per-round
 budget — a 7-sample trial measured ~28 min total.)
 
-Round 13 additions (both JSON lines; additive, nothing renamed):
-"master", "default_parallelism", "shuffle_partitions" echo the
-resolved session so the driver's lower-core scaling leg can verify
-$SPARK_GRAFT_CPUS was honored (r12 PERF flagged suspect_cpus_ignored
-on ambiguity alone), and "clear_cache" records whether
-$SPARK_GRAFT_BENCH_CLEAR_CACHE=1 cleared the CacheManager between
-reps. Since r13 the query paths hold no cross-invocation memo at all
-(tests/test_state.py), so medians are honest cold-path costs either
-way; the flag makes that mechanically checkable.
+Round 13 measurement-honesty change (disclosed in OPTIMIZATION_r13.md):
+the CacheManager is now CLEARED before every invocation (default on;
+"clear_cache" in the JSON records it, SPARK_GRAFT_BENCH_CLEAR_CACHE=0
+restores the legacy warm mode for diagnosis). Through r12, persisted
+intra-query frames were silently re-served to later reps AND sibling
+keys by CacheManager plan matching, so warm medians understated ~20
+keys (llm_minhash_dedup median 0.05 s vs true cold 2.4 s). With
+clearing, median ≈ queries_first by construction and every sample is
+computed from the parquet inputs. Old artifacts keep the old numbers.
+
+Round 13 also echoes the resolved parallelism contract in both JSON
+lines (additive): "master", "default_parallelism",
+"shuffle_partitions" — so the driver's lower-core scaling leg can
+verify $SPARK_GRAFT_CPUS was honored (r12 PERF flagged
+suspect_cpus_ignored on ambiguity alone).
 """
 
 from __future__ import annotations
@@ -86,18 +92,19 @@ def main() -> None:
     oversample_sec = float(
         os.environ.get("SPARK_GRAFT_BENCH_OVERSAMPLE_SEC", "2.0")
     )
-    # Cleared-cache mode (r12 VERDICT task 2): clear Spark's
-    # CacheManager between reps so no rep can reuse a previous
-    # invocation's persisted blocks. Since r13 the query paths hold NO
-    # session-scoped memo and no persist() (per-invocation lazy
-    # localCheckpoint pins only — tests/test_state.py), so this is
-    # defense-in-depth; the flag exists so the claim "median ≈ cold
-    # cost" is mechanically checkable, not taken on faith.
-    clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEAR_CACHE", "") not in (
-        "",
-        "0",
-        "false",
-    )
+    # Cleared-cache benching (r12 VERDICT task 2), DEFAULT ON: clear
+    # Spark's CacheManager before EVERY invocation, so no rep and no
+    # sibling key can ever be served from a previous invocation's
+    # persisted blocks (CacheManager plan matching did exactly that
+    # through r12 — warm medians the judge ruled result caching).
+    # Every timed sample is therefore a true cold run computed from
+    # the parquet inputs; intra-invocation persist() pins remain
+    # effective because they live and die inside the timed run.
+    # SPARK_GRAFT_BENCH_CLEAR_CACHE=0 restores the legacy warm
+    # behavior for diagnosis only.
+    clear_cache = os.environ.get(
+        "SPARK_GRAFT_BENCH_CLEAR_CACHE", "1"
+    ) not in ("0", "false")
     spark = get_spark("bench")
     warmup(spark, sf_dir)
     # Host-load context: round 9's mid-round run measured 242.7s vs
@@ -110,6 +117,10 @@ def main() -> None:
 
     def run_once(key: str) -> None:
         spec = REGISTRY[key]
+        # Clear OUTSIDE the timed region: dropping another key's stale
+        # blocks is session hygiene, not part of this query's cost.
+        if clear_cache:
+            spark.catalog.clearCache()
         t0 = time.time()
         try:
             materialize(spec.fn(spark, sf_dir))
@@ -122,8 +133,6 @@ def main() -> None:
             )
 
     for _rep in range(reps):
-        if clear_cache:
-            spark.catalog.clearCache()
         for key in sorted(REGISTRY):
             run_once(key)
     import statistics
@@ -151,8 +160,6 @@ def main() -> None:
         )
     else:
         for _rep in range(max(0, subsec_reps - reps)):
-            if clear_cache:
-                spark.catalog.clearCache()
             for key in fast:
                 run_once(key)
 

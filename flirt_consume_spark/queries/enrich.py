@@ -1356,14 +1356,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUE DOMAIN, not by N. Level 1 aggregates the fact straight to
     2^10-cent bucket weights (≈11k buckets for any realistic price
     domain, regardless of row count), so the per-flag running sum
-    over buckets is a bounded window; level 2 broadcast-prunes the
-    fact to the one median bucket per flag and resolves the exact
-    cents with one more bounded window. Versus the former
-    range-partitioned global cumsum over every (flag, distinct
-    cents): no sampling pass, no range shuffle, no layout
-    checkpoint — 3.0-3.8 s → 1.7-2.0 s at sf0.1, bit-identical
-    output, and at 100 TB the only full-width stages are two narrow
-    fact scans feeding hash aggregations."""
+    over buckets is a bounded window; level 2 broadcast-prunes to
+    the one median bucket per flag and resolves the exact cents with
+    one more bounded window. Versus the former range-partitioned
+    global cumsum over every (flag, distinct cents): no sampling
+    pass, no range shuffle, no layout checkpoint — 3.0-3.8 s →
+    1.7-2.0 s at sf0.1, bit-identical output. r13 (VERDICT task 5):
+    both levels derive from ONE pinned (flag, cents) aggregation —
+    at 100 TB the only full-width stage is a single narrow fact
+    scan feeding a hash aggregation."""
     from flirt_consume_spark.operators.scale import (
         bucketized_weighted_quantile,
     )

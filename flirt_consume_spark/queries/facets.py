@@ -312,7 +312,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = sets.select(
         F.size("bs").cast("bigint").alias("dx"),
         F.explode("bs").alias("brand"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     dt = e.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("dy")
     )

@@ -76,6 +76,7 @@ def audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``broadcast_if_small``): it fires at test scale (keeping the
     local plan's broadcast joins) and degrades to a planner-chosen
     shuffle join exactly when the dim is too big to ship."""
+    from flirt_consume_spark.io import table_bytes
     from flirt_consume_spark.operators.scale import broadcast_if_small
 
     by_fact: dict[str, list] = {}
@@ -89,7 +90,13 @@ def audit_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw_keys = t(spark, sf_dir, dim).select(
                 F.col(dk).alias(f"_dk{i}")
             )
-            keys = broadcast_if_small(raw_keys.distinct(), probe=raw_keys)
+            # probe_bytes = on-disk size of the dim (zero-cost; a
+            # plan-statistics probe here cost 4 extra optimizer
+            # passes per invocation, ~0.2 s of plan-build time)
+            keys = broadcast_if_small(
+                raw_keys.distinct(),
+                probe_bytes=table_bytes(sf_dir, dim),
+            )
             probe = probe.join(
                 keys, probe[fk] == keys[f"_dk{i}"], "left_outer"
             )
@@ -1047,7 +1054,7 @@ def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive to recompute; frontiers shrink as chains hit the
     # root, so the cached footprint is bounded by the live-path
     # count).
-    frontier = frontier.localCheckpoint(eager=False)
+    frontier = frontier.persist()
     out = frontier
     for d in range(2, _ANC_DEPTH + 1):
         nxt = pmap.select(
@@ -1058,7 +1065,7 @@ def graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node", F.col("_pp").alias("ancestor"), F.lit(d).alias("depth")
             )
-            .localCheckpoint(eager=False)
+            .persist()
         )
         out = out.unionByName(frontier)
     return out

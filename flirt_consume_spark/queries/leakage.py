@@ -111,7 +111,12 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document scans per run (r12 session 5, guide §5). The pinned
     # frame is narrow (ids + split flag + 64-hex digest, no text);
     # lazy and per-invocation, no cross-run reuse.
-    split = docs.select(
+    from flirt_consume_spark.operators.scale import fan_out
+
+    # fan_out below the pin (r13, guide §2.5): sha256 of every document
+    # otherwise runs as ONE task over the single-row-group fixture; the
+    # pin has one materialization, so no multi-leg re-shuffle hazard.
+    split = fan_out(docs.select("doc_id", "source", "text")).select(
         "doc_id",
         "source",
         (_BUCKET_SPARK(F.col("doc_id")) >= 90).alias("heldout"),

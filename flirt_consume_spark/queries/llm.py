@@ -92,7 +92,18 @@ _MH_PAIRS_SELECT = """
 # inputs (r12 VERDICT flagged the old session-scoped memo as
 # cross-invocation result caching; removed in r13).
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    from flirt_consume_spark.operators.scale import fan_out
+
+    # fan_out HERE, not inside shingle_stream (r12's revert stands for
+    # the shared shingle tables: their multi-leg consumers re-pay the
+    # text shuffle per leg when pushdown defeats exchange reuse). This
+    # build has exactly ONE consumer chain above the floor — the
+    # min-hash aggregation — and its output is pinned below, so every
+    # downstream leg reads the pin, never the shuffle. Without the
+    # floor the tokenize+shingle+md5/sha256 stage runs as ONE task
+    # over the single-row-group fixture (guide §2.5); at scale the
+    # probe is a no-op.
+    docs = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return D.lsh_candidate_pairs(
         D.minhash_signatures(D.shingle_stream(docs))
     ).localCheckpoint(eager=False)
@@ -237,6 +248,19 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     available for small blocked inputs."""
     docs = t(spark, sf_dir, "documents")
     cand = _lsh_pairs(spark, sf_dir)
+    # Shingle ONLY the docs that appear in a candidate pair (r13):
+    # the verify consumes nothing else, so the corpus-wide tokenize/
+    # shingle explode shrinks to the candidate set — the compute-side
+    # twin of jaccard_verify's own storage bound (which still
+    # semi-filters internally, so the operator stays safe for any
+    # caller). Results unchanged: non-candidate docs cannot reach the
+    # pair joins.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = docs.join(cand_docs, "doc_id", "left_semi")
     return D.jaccard_verify(D.shingle_table(docs), cand, min_sim=0.3)
 
 

@@ -291,7 +291,7 @@ def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    big = big.localCheckpoint(eager=False)  # three aggregation legs below
+    big = big.persist()  # three aggregation legs below
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c")).select(
         F.col("w1").alias("w"), "c"

@@ -72,33 +72,66 @@ def shape_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shape_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way join with a same-nation co-location
     predicate and region filter — join-order and broadcast-selection
-    stress; Catalyst/AQE pick the strategy, dims broadcast."""
+    stress; Catalyst/AQE pick the strategy, bounded dims broadcast.
+
+    Scale gating (r13, guide §3.2): the transitive ASIA restriction
+    (c_nationkey = s_nationkey = n_nationkey with n in the ASIA
+    region) can prune customer and supplier before they shuffle, but
+    the prune measured as a LOSS at test scale (r12: 1.45 s vs 1.32 —
+    AQE already broadcasts the pruned side). It is therefore gated on
+    the ``semi_prune_if_large`` static size probe: local plans are
+    byte-identical to the ungated join, and at the design point the
+    data-sized sides are cut ~4/5 before their exchange. supplier's
+    broadcast hint is likewise size-gated (``broadcast_if_small``) —
+    supplier grows with the data, so an unconditional hint is the
+    audit_fk class of 100-TB abort."""
+    from flirt_consume_spark.io import table_bytes
+    from flirt_consume_spark.operators.scale import (
+        broadcast_if_small,
+        semi_prune_if_large,
+    )
+
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1998-01-01")
     )
     li = t(spark, sf_dir, "lineitem")
-    supp = t(spark, sf_dir, "supplier")
+    supp_raw = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # r12 measured-and-left: pushing the transitive ASIA restriction
-    # onto customer/supplier up front (broadcast semi-join: 1.45 s
-    # median vs 1.32 baseline; O(1)-collect + isin scan predicate:
-    # 1.74 vs 1.37 same-session A/B at sf0.1) LOSES locally — the
-    # extra pruning jobs cost more than the ~4/5 customer cut saves
-    # when AQE already broadcasts the pruned side. Left on the plain
-    # five-way join; the key's point is Catalyst/AQE strategy choice.
+    # Bounded ASIA nation-key set (nation/region are calendar-class
+    # constant tables): the prune key both gated semi-joins share.
+    asia_keys = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    ).select(F.col("n_nationkey").alias("_ak"))
+    cust = semi_prune_if_large(
+        cust,
+        asia_keys,
+        F.col("c_nationkey") == F.col("_ak"),
+        probe_bytes=table_bytes(sf_dir, "customer"),
+    )
+    supp = semi_prune_if_large(
+        supp_raw,
+        asia_keys,
+        F.col("s_nationkey") == F.col("_ak"),
+        probe_bytes=table_bytes(sf_dir, "supplier"),
+    )
+    supp = broadcast_if_small(
+        supp, probe_bytes=table_bytes(sf_dir, "supplier")
+    )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        cust.join(orders, cust["c_custkey"] == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            supp,
+            (li.l_suppkey == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue", 6))
@@ -322,8 +355,25 @@ def shape_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE aggregation pass (no self-join of the filtered against the
     unfiltered stream); six dims join around the lineitem spine, the
     region/type filters prune before the aggregate, and the share is
-    an exact integer-cent rational."""
-    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    an exact integer-cent rational.
+
+    Scale gating (r13, guide §3.2): part grows with the data, so its
+    broadcast hint is size-gated (``broadcast_if_small`` — the
+    ECONOMY filter keeps it broadcastable far up the scale curve,
+    but an unconditional hint aborts at the point it stops fitting),
+    and the transitive ASIA restriction on customer (c_nationkey →
+    n1 → region) is applied as a ``semi_prune_if_large`` prefilter
+    that only engages when customer is estimated too big to
+    broadcast — local plans unchanged, data-sized exchange cut ~4/5
+    at the design point."""
+    from flirt_consume_spark.io import table_bytes
+    from flirt_consume_spark.operators.scale import (
+        broadcast_if_small,
+        semi_prune_if_large,
+    )
+
+    part_raw = t(spark, sf_dir, "part")
+    part = part_raw.filter(F.col("p_type") == "ECONOMY")
     li = t(spark, sf_dir, "lineitem")
     sup = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
@@ -335,11 +385,24 @@ def shape_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("_sname")
     )
+    asia_keys = (
+        n1.join(
+            F.broadcast(region),
+            F.col("_crk") == F.col("r_regionkey"),
+            "left_semi",
+        ).select(F.col("_cn").alias("_ak"))
+    )
+    cust = semi_prune_if_large(
+        cust,
+        asia_keys,
+        F.col("c_nationkey") == F.col("_ak"),
+        probe_bytes=table_bytes(sf_dir, "customer"),
+    )
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     j = (
-        F.broadcast(part)
+        broadcast_if_small(part, probe_bytes=table_bytes(sf_dir, "part"))
         .join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -603,35 +603,29 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("ts")
     )
-    # One pass for BOTH readouts (the agg_basket_pairs unit-counting
-    # shape, r12 session 5): each user's set emits a (type, NULL)
-    # degree unit per member and an (a, b) unit per combination, all
-    # counted by ONE hash aggregation — previously the degree leg and
-    # the pair leg each re-ran the events scan + collect_set agg.
-    # The counted frame is ≤ |types| + C(|types|,2) rows; the lazy
-    # checkpoint lets both filter readouts share it per-invocation.
-    units = sets.select(
-        F.explode(
-            F.expr(
-                "concat("
-                "transform(ts, a -> struct(a AS type_a,"
-                "                          CAST(NULL AS STRING) AS type_b)), "
-                "flatten(transform(ts, (a, i) -> "
-                "transform(slice(ts, i + 2, size(ts)), "
-                "b -> struct(a AS type_a, b AS type_b)))))"
-            )
-        ).alias("u")
-    ).select("u.type_a", "u.type_b")
-    counts = (
-        units.groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    deg = counts.filter(F.col("type_b").isNull()).select(
-        F.col("type_a").alias("event_type"), F.col("cnt").alias("d")
-    )
-    common = counts.filter(F.col("type_b").isNotNull()).select(
-        "type_a", "type_b", F.col("cnt").alias("n_common")
+    # r13 re-adjudication (VERDICT r12 task 1): the r12 one-pass
+    # unit-counting rework measured SLOWER in the committed A/B (0.94
+    # vs 0.66 s solo median, plans/r13/readjudicate_*.json) — the two
+    # legs below build the IDENTICAL collect_set subtree, so exchange
+    # reuse already dedups the expensive shuffle, and the unit explode
+    # + pinned counts frame only added work. REVERTED to the r11
+    # two-leg form.
+    deg = sets.select(F.explode("ts").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    common = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "b -> struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     da = deg.select(F.col("event_type").alias("_ta"), F.col("d").alias("deg_a"))
     db = deg.select(F.col("event_type").alias("_tb"), F.col("d").alias("deg_b"))

@@ -41,45 +41,54 @@ def test_entry_point_exposes_full_registry():
     assert set(o) == {k for k, s in REGISTRY.items() if s.oracle}
 
 
-def test_driver_window_is_round12():
+def test_driver_window_is_round13():
     """VERDICT r7 #8: the active rotation must match the documented round.
 
-    The round-12 window (VERDICT r11 task 1): the round's one NEW key
-    first (emb_recall_planted — the only key with no external row
-    ever), then llm_simpson (query/oracle text changed this round by
-    the Σc² decimal widening, also r6-vintage), then the complete
-    remaining r6-vintage backlog (43 keys), then the first five
-    r7-vintage keys in registry order. Every name must resolve (typos
-    would silently waste the driver's 50-key sample).
+    The round-13 window: the keys whose internals were restructured by
+    this optimization round lead (fresh external rows on the live
+    plans are worth the most), then the complete r7-vintage staleness
+    backlog minus the two stream keys deferred to round 14 (they carry
+    independent stream==batch equivalence evidence — the r11
+    precedent). Every name must resolve (typos would silently waste
+    the driver's 50-key sample).
     """
-    from flirt_consume_spark.queries import _ROUND12_WINDOW
+    from flirt_consume_spark.queries import _ROUND13_WINDOW
 
-    assert len(_ROUND12_WINDOW) == 50
-    assert len(set(_ROUND12_WINDOW)) == 50, "window repeats a key"
-    assert _ROUND12_WINDOW[:2] == ["emb_recall_planted", "llm_simpson"], (
-        "the never-checked key and the changed-this-round key lead"
-    )
-    # The complete r6-vintage staleness backlog is in the window.
-    r6_backlog = {
-        "agg_abc", "agg_approx_distinct", "agg_approx_percentile",
-        "agg_bucketed", "agg_concurrency", "agg_distinct", "agg_pivot",
-        "agg_rollup", "agg_route", "alloc_remainder",
-        "attribution_touch", "audit_benford", "audit_fk", "audit_srm",
-        "bm25_rank", "dedup_rank", "emb_covariance",
-        "emb_power_iteration", "graph_ancestors", "join_asof",
-        "join_enrich", "join_pointpoly", "join_range", "join_setsim",
-        "llm_collocations", "llm_dupspans", "llm_simpson",
-        "llm_winnow", "sample_weighted", "scan_variant",
-        "scd2_history", "set_union", "shape_market_share",
-        "shape_product_profit", "shape_volume_shipping",
-        "temporal_align", "time_cusum", "time_downsample",
-        "time_seasonal", "topk", "udf_scalar_iter", "win_drawdown",
-        "win_rolling", "win_transitions",
+    assert len(_ROUND13_WINDOW) == 50
+    assert len(set(_ROUND13_WINDOW)) == 50, "window repeats a key"
+    # changed-this-round keys lead
+    assert _ROUND13_WINDOW[0] == "agg_weighted_median"
+    changed = {
+        "agg_weighted_median", "join_setsim", "audit_fk",
+        "shape_local_supplier_volume", "shape_market_share",
+        "scan_pyds", "sink_pyds", "llm_ngram_jaccard",
+        "llm_minhash_dedup", "dedup_components",
+        "dedup_components_star", "llm_semdedup", "llm_cross_dedup",
     }
-    assert len(r6_backlog) == 44
-    assert r6_backlog <= set(_ROUND12_WINDOW)
-    assert list(REGISTRY)[:50] == _ROUND12_WINDOW, (
-        "REGISTRY insertion order must start with the round-12 window"
+    assert changed <= set(_ROUND13_WINDOW[: len(changed)])
+    # The r7-vintage backlog is covered except the two deferred
+    # stream keys (computed from the CORRECTNESS_r* history by
+    # tools at window construction; pinned literally here).
+    r7_backlog = {
+        "agg_cms", "agg_mode", "agg_skew_kurt", "cdc_time_travel",
+        "emb_mmr", "graph_assortativity", "graph_bfs_dist",
+        "join_geo_nearest", "join_interval_overlap", "join_nullsafe",
+        "llm_bpe_pairs", "llm_hash_embed", "llm_ngram_lm",
+        "sample_reservoir", "shape_custdist",
+        "shape_disjunctive_revenue", "shape_forecast_revenue",
+        "shape_important_stock", "shape_parts_supplier",
+        "shape_potential_promotion", "shape_promo_effect",
+        "shape_returned_items", "shape_small_qty_revenue",
+        "shape_top_customers", "shape_top_supplier",
+        "sql_distant_customers", "sql_lateral", "sql_min_cost",
+        "sql_pivot", "sql_recursive", "sql_waiting_orders",
+        "time_interpolate", "time_interval_merge", "time_workdays",
+        "win_locf", "win_range_hour", "win_zscore",
+    }
+    assert len(r7_backlog) == 37
+    assert r7_backlog <= set(_ROUND13_WINDOW)
+    assert list(REGISTRY)[:50] == _ROUND13_WINDOW, (
+        "REGISTRY insertion order must start with the round-13 window"
     )
 
 

@@ -395,3 +395,57 @@ def test_nullsafe_equi_join_rejects_right_and_full(spark):
     # spellings of left (ADVICE r10: aliases must not be rejected).
     for how in ("left", "left_outer", "leftouter"):
         assert _nullsafe_equi_join(left, right, ["k"], how=how).count() == 1
+
+
+def test_semi_prune_gate_static_probe(spark):
+    """r13 (VERDICT r12 task 6): the ASIA-prune class of semi-join
+    prefilter must be a NO-OP at test scale (the probe sees a small
+    frame; r12 measured the ungated prune as a local loss) and must
+    ENGAGE, result-identically, when the pruned side is estimated
+    over the gate (the 100-TB case, forced here with threshold=0)."""
+    from flirt_consume_spark.operators.scale import semi_prune_if_large
+
+    cust = load_table(spark, SF, "customer")
+    nation = load_table(spark, SF, "nation")
+    region = load_table(spark, SF, "region").filter(F.col("r_name") == "ASIA")
+    keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    ).select(F.col("n_nationkey").alias("_ak"))
+    cond = F.col("c_nationkey") == F.col("_ak")
+    # default gate: local estimate is tiny -> identity (plan unchanged)
+    assert semi_prune_if_large(cust, keys, cond) is cust
+    # forced gate: the prune engages and keeps exactly the rows the
+    # downstream equi-join would keep anyway
+    pruned = semi_prune_if_large(cust, keys, cond, threshold=0)
+    assert pruned is not cust
+    expected = cust.join(
+        F.broadcast(keys), cond, "left_semi"
+    )
+    assert pruned.count() == expected.count()
+    assert pruned.exceptAll(expected).count() == 0
+    # plan carries the semi join
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_broadcast_if_small_gate(spark):
+    """r13 (ADVICE r12 audit_fk): broadcast hints on data-sized dims
+    must be size-gated — the hint fires under the threshold and is
+    ABSENT (planner's choice) above it."""
+    from flirt_consume_spark.operators.scale import broadcast_if_small
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    keys = orders.distinct()
+    hinted = broadcast_if_small(keys, probe=orders)
+    # local probe is tiny: the hint must be present in the analyzed plan
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    unhinted = broadcast_if_small(keys, probe=orders, threshold=1)
+    assert unhinted is keys
+    # a session with broadcast disabled never hints
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert broadcast_if_small(keys, probe=orders) is keys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -31,6 +31,15 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--explain-dir", default=None)
     ap.add_argument("--suffix", default="before")
+    ap.add_argument(
+        "--clear",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="clearCache() before every rep (default on, matching "
+        "bench.py r13): every sample is a true cold invocation — no "
+        "CacheManager reuse across reps. --no-clear restores the "
+        "legacy warm mode for diagnosis.",
+    )
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
 
@@ -56,6 +65,8 @@ def main() -> int:
     samples: dict[str, list[float]] = {k: [] for k in args.keys}
     for _rep in range(args.reps):
         for key in args.keys:
+            if args.clear:
+                spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"solo:{key}")
             t0 = time.time()
             bench.materialize(REGISTRY[key].fn(spark, args.sf))
